@@ -1,0 +1,216 @@
+"""FFT/MXU eigenfunction-expansion direct Poisson/Helmholtz solver.
+
+TPU-native rebuild of the reference solver stack:
+  * setup: /root/reference/src/initsolver.f90:17-169 (eigenvalues, tridmatrix)
+  * solve: /root/reference/src/solver.f90:20-233 (transform -> batched Thomas
+    in z -> inverse transform), solver_gpu.f90:32-477
+  * BC inhomogeneity planes: /root/reference/src/bound.f90:447-617
+    (cmpt_rhs_b / bc_rhs / updt_rhs_b)
+
+Arrays are (nz, ny, nx); transforms act along x (axis -1) then y (axis -2),
+then a batched Thomas sweep runs along z (axis 0).  On a device mesh the
+re-shardings between those stages become XLA all-to-alls — the analogue of the
+reference's cuDecomp pencil transposes (solver_gpu.f90:80-158).
+
+Normalization: all transform pairs are exact inverses, so the reference's
+``normfft`` scalar (fft.f90:62-142) is identically 1 here.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .grid import Grid
+from .ops import transforms as tr
+from .ops.tridiag import thomas, thomas_periodic
+
+
+def tridmatrix(bc: str, n: int, dzci: np.ndarray, dzfi: np.ndarray,
+               c_or_f: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """z tridiagonal coefficients (initsolver.f90:127-169).  dzci/dzfi are the
+    (n+2,) inverse-spacing arrays with ghost entries."""
+    k = np.arange(1, n + 1)
+    if c_or_f == 'c':
+        a = dzfi[k] * dzci[k - 1]
+        c = dzfi[k] * dzci[k]
+    else:
+        a = dzfi[k] * dzci[k]
+        c = dzfi[k + 1] * dzci[k]
+    b = -(a + c)
+    factor = {'P': 0.0, 'D': -1.0, 'N': 1.0}
+    if c_or_f == 'c':
+        b[0] += factor[bc[0]] * a[0]
+        b[-1] += factor[bc[1]] * c[-1]
+    else:
+        if bc[0] == 'N':
+            b[0] += factor[bc[0]] * a[0]
+        if bc[1] == 'N':
+            b[-1] += factor[bc[1]] * c[-1]
+    return a, b, c
+
+
+@dataclass(frozen=True)
+class DirectSolver:
+    """Prebuilt direct solver for one field (pressure or a velocity component)."""
+    ng: tuple[int, int, int]
+    c_or_f: tuple[str, str, str]
+    bcx: str
+    bcy: str
+    bcz: str
+    trx: tr.Transform1D
+    try_: tr.Transform1D
+    a: np.ndarray          # (nz,) float64
+    b: np.ndarray
+    c: np.ndarray
+    lamx: np.ndarray       # scaled by dxi^2, full-length float64
+    lamy: np.ndarray       # scaled by dyi^2
+
+    @property
+    def qz(self) -> int:
+        # last z plane excluded for face-staggered Dirichlet top (solver.f90:55-56)
+        return 1 if (self.c_or_f[2] == 'f' and self.bcz[1] == 'D') else 0
+
+
+def make_solver(cfg: Config, grid: Grid, cbc, c_or_f) -> DirectSolver:
+    """cbc: per-direction BC pairs [(lo,hi) x 3] as two-letter strings."""
+    nx, ny, nz = cfg.ng
+    dli = cfg.dli
+    trx = tr.make_transform(cbc[0], c_or_f[0], nx)
+    try_ = tr.make_transform(cbc[1], c_or_f[1], ny)
+    a, b, c = tridmatrix(cbc[2], nz, grid.dzci, grid.dzfi, c_or_f[2])
+    lamx = trx.lam * dli[0] ** 2
+    lamy = try_.lam * dli[1] ** 2
+    return DirectSolver(ng=cfg.ng, c_or_f=tuple(c_or_f), bcx=cbc[0], bcy=cbc[1],
+                        bcz=cbc[2], trx=trx, try_=try_, a=a, b=b, c=c,
+                        lamx=lamx, lamy=lamy)
+
+
+def solve(sv: DirectSolver, p, alpha=None):
+    """Solve L p_new = p (Poisson) or (I + alpha*L) p_new = p (Helmholtz,
+    main.f90:424-443 with alpha = -nu*dt_rk/2) in place of the input RHS.
+
+    p: (nz, ny, nx) interior array.  Returns the solution with excluded
+    boundary slices (face-staggered Dirichlet) passed through unchanged.
+    """
+    nz, ny, nx = p.shape
+    sx, sy = sv.trx.nsolve, sv.try_.nsolve
+    tail_x = p[..., sx:]
+    body = p[..., :sx]
+    tail_y = body[:, sy:, :]
+    body = body[:, :sy, :]
+
+    # forward transforms: x (axis -1) then y (axis -2)
+    body = tr.fwd(sv.trx, body, axis=-1)
+    x_was_fft = sv.trx.kind == 'fft'
+    body = tr.fwd(sv.try_, body, axis=-2)
+    y_was_rfft = (sv.try_.kind == 'fft') and not x_was_fft
+
+    # eigenvalue grids matching the spectral shape
+    lamx = sv.lamx[: nx // 2 + 1] if x_was_fft else sv.lamx
+    lamy = sv.lamy[: ny // 2 + 1] if y_was_rfft else sv.lamy
+    lamxy = lamy[:, None] + lamx[None, :]
+
+    # tridiagonal z-sweep with modified-wavenumber diagonal shift
+    a, b, c = sv.a, sv.b, sv.c
+    lam = lamxy
+    if alpha is not None:
+        a = a * alpha
+        b = b * alpha + 1.0
+        c = c * alpha
+        lam = lamxy * alpha
+    qz = sv.qz
+    zbody = body[: nz - qz]
+    lam_j = jnp.asarray(lam, dtype=zbody.real.dtype if jnp.iscomplexobj(zbody)
+                        else zbody.dtype)
+    if sv.bcz == 'PP':
+        zsol = thomas_periodic(a, b, c, zbody, lam=lam_j)
+    else:
+        zsol = thomas(a[: nz - qz], b[: nz - qz], c[: nz - qz], zbody, lam=lam_j)
+    body = jnp.concatenate([zsol, body[nz - qz:]], axis=0) if qz else zsol
+
+    # inverse transforms: y then x
+    body = tr.bwd(sv.try_, body, axis=-2, n=sy, real_out=not x_was_fft)
+    body = tr.bwd(sv.trx, body, axis=-1, n=sx, real_out=True)
+    body = body.real if jnp.iscomplexobj(body) else body
+    body = body.astype(p.dtype)
+
+    if tail_y.shape[1]:
+        body = jnp.concatenate([body, tail_y], axis=1)
+    if tail_x.shape[-1]:
+        body = jnp.concatenate([body, tail_x], axis=-1)
+    return body
+
+
+# ---------------------------------------------------------------------------
+# BC inhomogeneity planes (bound.f90:447-617)
+# ---------------------------------------------------------------------------
+
+def rhs_bound_planes(cfg: Config, grid: Grid, cbc, c_or_f, bcvals):
+    """Compute the additive RHS boundary planes (cmpt_rhs_b/bc_rhs,
+    bound.f90:447-560).
+
+    bcvals: per-direction pair of 2D arrays or scalars, bcvals[idir][ibound];
+    shapes: x-planes (nz, ny), y-planes (nz, nx), z-planes (ny, nx).
+    Returns dict {('x'|'y'|'z', 0|1): plane ndarray}.
+    """
+    nx, ny, nz = cfg.ng
+    dl = cfg.dl
+    dzc, dzf = grid.dzc, grid.dzf
+    if c_or_f[2] == 'c':
+        dzc01 = (dzc[0], dzc[nz])
+        dzf01 = (dzf[1], dzf[nz])
+    else:
+        dzc01 = (dzc[1], dzc[nz - 1])
+        dzf01 = (dzf[1], dzf[nz])
+    metr = {
+        0: ((dl[0], dl[0]), (dl[0], dl[0])),
+        1: ((dl[1], dl[1]), (dl[1], dl[1])),
+        2: (dzc01, dzf01),
+    }
+    shapes = {0: (nz, ny), 1: (nz, nx), 2: (ny, nx)}
+    out = {}
+    for idir, key in ((0, 'x'), (1, 'y'), (2, 'z')):
+        dlc, dlf = metr[idir]
+        for ib in range(2):
+            bcv = np.broadcast_to(np.asarray(bcvals[idir][ib], dtype=np.float64),
+                                  shapes[idir])
+            letter = cbc[idir][ib]
+            cf = c_or_f[idir]
+            if letter == 'P':
+                plane = np.zeros(shapes[idir])
+            elif letter == 'D':
+                fac = 2.0 if cf == 'c' else 1.0
+                plane = -fac * bcv / (dlc[ib] * dlf[ib])
+            else:  # 'N'
+                sgn = 1.0 if ib == 0 else -1.0
+                div = dlf[ib] if cf == 'c' else dlc[ib]
+                plane = sgn * bcv / div
+            out[(key, ib)] = plane
+    return out
+
+
+def add_rhs_bound(cfg: Config, c_or_f, cbc, rhs, planes):
+    """Add boundary planes onto the solver RHS (updt_rhs_b, bound.f90:562-617).
+    rhs: (nz, ny, nx)."""
+    nx, ny, nz = cfg.ng
+    q = [0, 0, 0]
+    for idir in range(3):
+        if c_or_f[idir] == 'f' and cbc[idir][1] == 'D':
+            q[idir] = 1
+    dt = rhs.dtype
+    px0 = jnp.asarray(planes[('x', 0)], dtype=dt)
+    px1 = jnp.asarray(planes[('x', 1)], dtype=dt)
+    py0 = jnp.asarray(planes[('y', 0)], dtype=dt)
+    py1 = jnp.asarray(planes[('y', 1)], dtype=dt)
+    pz0 = jnp.asarray(planes[('z', 0)], dtype=dt)
+    pz1 = jnp.asarray(planes[('z', 1)], dtype=dt)
+    rhs = rhs.at[:, :, 0].add(px0)
+    rhs = rhs.at[:, :, nx - 1 - q[0]].add(px1)
+    rhs = rhs.at[:, 0, :].add(py0)
+    rhs = rhs.at[:, ny - 1 - q[1], :].add(py1)
+    rhs = rhs.at[0, :, :].add(pz0)
+    rhs = rhs.at[nz - 1 - q[2], :, :].add(pz1)
+    return rhs
