@@ -144,6 +144,22 @@ def solve(sv: DirectSolver, p, alpha=None):
     return body
 
 
+def solve_z_only(sv: DirectSolver, p, alpha):
+    """z-implicit-only Helmholtz solve (I + alpha*Lz) p = rhs with no x/y
+    transforms (solver_gaussel_z, solver.f90:182-233; the _IMPDIFF_1D path)."""
+    nz = p.shape[0]
+    a = sv.a * alpha
+    b = sv.b * alpha + 1.0
+    c = sv.c * alpha
+    qz = sv.qz
+    zbody = p[: nz - qz]
+    if sv.bcz == 'PP':
+        zsol = thomas_periodic(a, b, c, zbody)
+    else:
+        zsol = thomas(a[: nz - qz], b[: nz - qz], c[: nz - qz], zbody)
+    return jnp.concatenate([zsol, p[nz - qz:]], axis=0) if qz else zsol
+
+
 # ---------------------------------------------------------------------------
 # BC inhomogeneity planes (bound.f90:447-617)
 # ---------------------------------------------------------------------------
@@ -185,6 +201,45 @@ def rhs_bound_planes(cfg: Config, grid: Grid, cbc, c_or_f, bcvals):
                 fac = 2.0 if cf == 'c' else 1.0
                 plane = -fac * bcv / (dlc[ib] * dlf[ib])
             else:  # 'N'
+                sgn = 1.0 if ib == 0 else -1.0
+                div = dlf[ib] if cf == 'c' else dlc[ib]
+                plane = sgn * bcv / div
+            out[(key, ib)] = plane
+    return out
+
+
+def rhs_bound_planes_dyn(cfg: Config, grid: Grid, cbc, c_or_f, bc_planes):
+    """Traced variant of rhs_bound_planes for dynamic (wall-model-updated) BC
+    planes (cmpt_rhs_b called per substep, main.f90:425-469).
+
+    bc_planes[idir][ibound]: padded-transverse jnp planes; cropped to interior
+    here.  cbc: per-direction (lo, hi) letter pairs.
+    """
+    nx, ny, nz = cfg.ng
+    dl = cfg.dl
+    dzc, dzf = grid.dzc, grid.dzf
+    if c_or_f[2] == 'c':
+        dzc01 = (dzc[0], dzc[nz])
+        dzf01 = (dzf[1], dzf[nz])
+    else:
+        dzc01 = (dzc[1], dzc[nz - 1])
+        dzf01 = (dzf[1], dzf[nz])
+    metr = {0: ((dl[0], dl[0]), (dl[0], dl[0])),
+            1: ((dl[1], dl[1]), (dl[1], dl[1])),
+            2: (dzc01, dzf01)}
+    out = {}
+    for idir, key in ((0, 'x'), (1, 'y'), (2, 'z')):
+        dlc, dlf = metr[idir]
+        for ib in range(2):
+            bcv = bc_planes[idir][ib][1:-1, 1:-1]
+            letter = cbc[idir][ib]
+            cf = c_or_f[idir]
+            if letter == 'P':
+                plane = jnp.zeros_like(bcv)
+            elif letter == 'D':
+                fac = 2.0 if cf == 'c' else 1.0
+                plane = -fac * bcv / (dlc[ib] * dlf[ib])
+            else:
                 sgn = 1.0 if ib == 0 else -1.0
                 div = dlf[ib] if cf == 'c' else dlc[ib]
                 plane = sgn * bcv / div

@@ -1,0 +1,311 @@
+"""Time integration: RK3 + pressure projection, fully jitted per step.
+
+TPU-native rebuild of the reference hot loop:
+  * RK3 low-storage update      /root/reference/src/rk.f90:17-121
+  * substep orchestration       /root/reference/src/main.f90:417-507
+  * bulk-velocity forcing       rk.f90:197-222, mom.f90:311-335
+  * implicit Crank–Nicolson viscous solves (runtime ``impdiff``/``impdiff_1d``
+    instead of compile flags)   main.f90:423-491
+
+One full time step (3 RK substeps, each with momentum RHS, projection solve,
+BC fills, SGS update) compiles to a single XLA program; the Python driver only
+handles cadenced I/O and dt refresh (main.f90:405-619).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config, RK_COEFF, effective_cbcvel
+from .grid import Grid
+from . import poisson
+from .ops import boundary as bnd
+from .ops import stencil as st
+from . import sgs as sgsmod
+from . import wallmodel as wm
+
+
+class State(NamedTuple):
+    u: Any
+    v: Any
+    w: Any
+    p: Any
+    visct: Any
+    vlo: Any          # (u_lo, v_lo, w_lo) lower-wall normal-face planes
+    rhs_old: Any      # (du, dv, dw) previous-substep explicit RHS
+    time: Any
+    istep: Any
+
+
+class Simulation:
+    """Static solver setup + jitted step function."""
+
+    def __init__(self, cfg: Config, grid: Grid):
+        self.cfg = cfg
+        self.grid = grid
+        self.dtype = cfg.np_dtype
+        self.cbcvel = effective_cbcvel(cfg)
+        self.cbcpre = tuple((cfg.cbcpre[0][d], cfg.cbcpre[1][d]) for d in range(3))
+        cbcpre_pairs = tuple(cfg.cbc_pre(d) for d in range(3))
+        nx, ny, nz = cfg.ng
+
+        # Poisson solver for the pressure correction (initsolver, main.f90:312)
+        self.solver_p = poisson.make_solver(cfg, grid, cbcpre_pairs, ('c', 'c', 'c'))
+        # static BC value planes (initbc, bound.f90:726-806)
+        by_dir = lambda vals: tuple(tuple(vals[ib][idir] for ib in range(2))
+                                    for idir in range(3))
+        self.bcp_vals = bnd.make_bc_values(cfg.ng, by_dir(cfg.bcpre), self.dtype)
+        self.bcs_vals = bnd.make_bc_values(cfg.ng, by_dir(cfg.bcsgs), self.dtype)
+        bcvel_by_dir = lambda ivel: tuple(
+            tuple(cfg.bcvel[ib][idir][ivel] for ib in range(2)) for idir in range(3))
+        self.bcu_vals = bnd.make_bc_values(cfg.ng, bcvel_by_dir(0), self.dtype)
+        self.bcv_vals = bnd.make_bc_values(cfg.ng, bcvel_by_dir(1), self.dtype)
+        self.bcw_vals = bnd.make_bc_values(cfg.ng, bcvel_by_dir(2), self.dtype)
+        # wall-model state
+        self.has_wm = any(cfg.lwm[ib][d] != 0 for ib in range(2) for d in range(3))
+        self.index_wm = wm.find_index_wm(cfg, grid) if self.has_wm else None
+        # pressure BC RHS planes (cmpt_rhs_b, main.f90:317)
+        self.rhsb_p = poisson.rhs_bound_planes(
+            cfg, grid, self.cbcpre, ('c', 'c', 'c'),
+            tuple(tuple(cfg.bcpre[ib][d] for ib in range(2)) for d in range(3)))
+        # Helmholtz solvers for implicit diffusion (main.f90:318-334)
+        self.c_or_f = {0: ('f', 'c', 'c'), 1: ('c', 'f', 'c'), 2: ('c', 'c', 'f')}
+        if cfg.impdiff:
+            self.solver_vel = []
+            for ivel in range(3):
+                cbc = tuple(self.cbcvel[0][d][ivel] + self.cbcvel[1][d][ivel]
+                            for d in range(3))
+                self.solver_vel.append(
+                    poisson.make_solver(cfg, grid, cbc, self.c_or_f[ivel]))
+        # SGS setup
+        self.sgs_setup = sgsmod.SGSSetup(cfg, grid, self.cbcvel)
+        # bulk-forcing volume weights (main.f90:282-283)
+        vol = cfg.l[0] * cfg.l[1] * cfg.l[2]
+        self.gvr_c = (cfg.dl[0] * cfg.dl[1] * grid.dzc[1:nz + 1] / vol).astype(self.dtype)
+        self.gvr_f = (cfg.dl[0] * cfg.dl[1] * grid.dzf[1:nz + 1] / vol).astype(self.dtype)
+
+        self._step = jax.jit(self._step_impl)
+        self._chk = jax.jit(self._chk_impl)
+
+    # ------------------------------------------------------------------
+    def initial_state(self, u, v, w, p) -> State:
+        dt = self.dtype
+        z = lambda a: jnp.asarray(a, dtype=dt)
+        u, v, w, p = z(u), z(v), z(w), z(p)
+        zeros = jnp.zeros_like(u)
+        nx, ny, nz = self.cfg.ng
+        vlo = (jnp.zeros((nz + 2, ny + 2), dt), jnp.zeros((nz + 2, nx + 2), dt),
+               jnp.zeros((ny + 2, nx + 2), dt))
+        st0 = State(u=u, v=v, w=w, p=p, visct=zeros, vlo=vlo,
+                    rhs_old=(zeros, zeros, zeros),
+                    time=jnp.zeros((), dt), istep=jnp.zeros((), jnp.int32))
+        # initial BC fill + SGS (main.f90:370-375)
+        bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
+        up, vp, wp, vlo = bnd.pad_velocity(
+            u, v, w, self.cbcvel, bcu, bcv, bcw, self.cfg.dl, self.grid.dzc,
+            self.grid.dzf, vlo=None, is_correc=False)
+        visct = self._compute_sgs(up, vp, wp)
+        return st0._replace(u=up[1:-1, 1:-1, 1:-1], v=vp[1:-1, 1:-1, 1:-1],
+                            w=wp[1:-1, 1:-1, 1:-1], vlo=vlo, visct=visct)
+
+    # ------------------------------------------------------------------
+    def _dynamic_bcs(self, u, v, w):
+        """Velocity BC planes; wall-modeled faces get fresh Neumann values
+        from the log-law (bounduvw is_updt_wm path, bound.f90:120-123)."""
+        bcu, bcv, bcw = self.bcu_vals, self.bcv_vals, self.bcw_vals
+        if not self.has_wm:
+            return bcu, bcv, bcw
+        up, vp, wp, _ = bnd.pad_velocity(
+            u, v, w, self.cbcvel, bcu, bcv, bcw, self.cfg.dl, self.grid.dzc,
+            self.grid.dzf, vlo=None, is_correc=False)
+        return wm.update_wallmodel_bcs(
+            self.cfg, self.grid, up, vp, wp, bcu, bcv, bcw,
+            self.bcu_vals, self.bcv_vals, self.bcw_vals, self.index_wm)
+
+    def _pad_vel(self, u, v, w, bcu, bcv, bcw, vlo=None, is_correc=False):
+        return bnd.pad_velocity(u, v, w, self.cbcvel, bcu, bcv, bcw,
+                                self.cfg.dl, self.grid.dzc, self.grid.dzf,
+                                vlo=vlo, is_correc=is_correc)
+
+    def _pad_p(self, p):
+        return bnd.pad_scalar(p, self.cbcpre, self.bcp_vals,
+                              self.cfg.dl, self.grid.dzc)
+
+    def _pad_s(self, s):
+        cbcs = tuple((self.cfg.cbcsgs[0][d], self.cfg.cbcsgs[1][d]) for d in range(3))
+        return bnd.pad_scalar(s, cbcs, self.bcs_vals, self.cfg.dl, self.grid.dzc)
+
+    def _compute_sgs(self, up, vp, wp):
+        cfg = self.cfg
+        if cfg.sgstype == 'none':
+            return jnp.zeros([s - 2 for s in up.shape], dtype=up.dtype)
+        if cfg.sgstype == 'smag':
+            return sgsmod.smag_visct(self.sgs_setup, cfg, self.grid, up, vp, wp)
+
+        # dynamic Smagorinsky: filtered velocities are re-BC'd with the static
+        # planes and no wall-model update (sgs.f90:256-257, bcuf=bcu at init)
+        def pad_filtered(uf, vf, wf):
+            ufp, vfp, wfp, _ = self._pad_vel(uf, vf, wf, self.bcu_vals,
+                                             self.bcv_vals, self.bcw_vals)
+            return ufp, vfp, wfp
+
+        return sgsmod.dsmag_visct(self.sgs_setup, cfg, self.grid, up, vp, wp,
+                                  self.bcs_vals, None, pad_filtered)
+
+    # ------------------------------------------------------------------
+    def _substep(self, state: State, dt, irk: int):
+        cfg = self.cfg
+        grid = self.grid
+        dxi, dyi = cfg.dli[0], cfg.dli[1]
+        dzci, dzfi = grid.dzci, grid.dzfi
+        f1 = RK_COEFF[irk][0] * dt
+        f2 = RK_COEFF[irk][1] * dt
+        f12 = f1 + f2
+        dtrk = f12
+        visc = cfg.visc
+
+        u, v, w, p, visct = state.u, state.v, state.w, state.p, state.visct
+        ru_o, rv_o, rw_o = state.rhs_old
+
+        # ghosts of the current state (same fill the previous substep left)
+        bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
+        up, vp, wp, _ = self._pad_vel(u, v, w, bcu, bcv, bcw,
+                                      vlo=state.vlo, is_correc=True)
+        ppad = self._pad_p(p)
+        sp = self._pad_s(visct)
+
+        # momentum RHS + explicit/implicit split (rk.f90:74-75, mom.f90:277-303)
+        (eu, exyu, ezu), (ev, exyv, ezv), (ew, exyw, ezw) = st.momentum_rhs(
+            up, vp, wp, sp, visc, dxi, dyi, dzci, dzfi)
+        if not cfg.impdiff:
+            ru, rv, rw = eu + exyu + ezu, ev + exyv + ezv, ew + exyw + ezw
+            rud = rvd = rwd = None
+        elif cfg.impdiff_1d:
+            ru, rv, rw = eu + exyu, ev + exyv, ew + exyw
+            rud, rvd, rwd = ezu, ezv, ezw
+        else:
+            ru, rv, rw = eu, ev, ew
+            rud, rvd, rwd = exyu + ezu, exyv + ezv, exyw + ezw
+
+        # RK update with pressure gradient + body force (rk.f90:77-94)
+        dzci_c = jnp.asarray(dzci[1:u.shape[0] + 1])[:, None, None]
+        gpx = dxi * (ppad[1:-1, 1:-1, 2:] - ppad[1:-1, 1:-1, 1:-1])
+        gpy = dyi * (ppad[1:-1, 2:, 1:-1] - ppad[1:-1, 1:-1, 1:-1])
+        gpz = dzci_c * (ppad[2:, 1:-1, 1:-1] - ppad[1:-1, 1:-1, 1:-1])
+        u = u + f1 * ru + f2 * ru_o + f12 * (cfg.bforce[0] - gpx)
+        v = v + f1 * rv + f2 * rv_o + f12 * (cfg.bforce[1] - gpy)
+        w = w + f1 * rw + f2 * rw_o + f12 * (cfg.bforce[2] - gpz)
+        if cfg.impdiff:
+            u = u + f12 * rud
+            v = v + f12 * rvd
+            w = w + f12 * rwd
+        rhs_old = (ru, rv, rw)
+
+        # bulk-velocity forcing controller (rk.f90:197-222 + mom.f90:311-335)
+        f = [jnp.zeros((), u.dtype)] * 3
+        if cfg.is_forced[0]:
+            f[0] = cfg.velf[0] - st.bulk_mean(u, self.gvr_f)
+            u = u + f[0]
+        if cfg.is_forced[1]:
+            f[1] = cfg.velf[1] - st.bulk_mean(v, self.gvr_f)
+            v = v + f[1]
+        if cfg.is_forced[2]:
+            f[2] = cfg.velf[2] - st.bulk_mean(w, self.gvr_c)
+            w = w + f[2]
+        dpdl = jnp.stack(f)
+
+        alpha = -0.5 * visc * dtrk
+        if cfg.impdiff:
+            # Crank–Nicolson Helmholtz solves (main.f90:423-491)
+            u = u - 0.5 * f12 * rud
+            v = v - 0.5 * f12 * rvd
+            w = w - 0.5 * f12 * rwd
+            for ivel, (fld, bcf) in enumerate(((u, bcu), (v, bcv), (w, bcw))):
+                cbc = tuple((self.cbcvel[0][d][ivel], self.cbcvel[1][d][ivel])
+                            for d in range(3))
+                cf = self.c_or_f[ivel]
+                planes = poisson.rhs_bound_planes_dyn(cfg, grid, cbc, cf, bcf)
+                planes = {k: alpha * v_ for k, v_ in planes.items()}
+                if cfg.impdiff_1d:
+                    planes = {k: (v_ if k[0] == 'z' else jnp.zeros_like(v_))
+                              for k, v_ in planes.items()}
+                fld = poisson.add_rhs_bound(cfg, cf, cbc, fld, planes)
+                if cfg.impdiff_1d:
+                    fld = poisson.solve_z_only(self.solver_vel[ivel], fld, alpha)
+                else:
+                    fld = poisson.solve(self.solver_vel[ivel], fld, alpha=alpha)
+                if ivel == 0:
+                    u = fld
+                elif ivel == 1:
+                    v = fld
+                else:
+                    w = fld
+
+        # prediction-velocity BC fill (main.f90:493-494)
+        bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
+        up, vp, wp, vlo = self._pad_vel(u, v, w, bcu, bcv, bcw, is_correc=False)
+
+        # projection (main.f90:495-499)
+        rhs = st.fillps(up, vp, wp, 1.0 / dtrk, dxi, dyi, dzfi)
+        rhs = poisson.add_rhs_bound(cfg, ('c', 'c', 'c'), self.cbcpre, rhs,
+                                    self.rhsb_p)
+        pp = poisson.solve(self.solver_p, rhs)
+        pppad = self._pad_p(pp)
+        u, v, w, vlo = st.correc(up, vp, wp, pppad, dtrk, dxi, dyi, dzci)
+
+        # post-correction BC fill, keeping corrected wall-normal values
+        # (main.f90:500-501, is_correc=.true.)
+        bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
+        up, vp, wp, vlo = self._pad_vel(u, v, w, bcu, bcv, bcw,
+                                        vlo=vlo, is_correc=True)
+
+        # pressure update (main.f90:502-503)
+        p = st.updatep(pppad, p, alpha, cfg.impdiff, cfg.impdiff_1d,
+                       dxi, dyi, dzci, dzfi)
+
+        # SGS eddy viscosity (main.f90:504-506)
+        visct = self._compute_sgs(up, vp, wp)
+
+        return state._replace(u=u, v=v, w=w, p=p, visct=visct, vlo=vlo,
+                              rhs_old=rhs_old), dpdl
+
+    def _step_impl(self, state: State, dt):
+        """One full time step = 3 RK substeps (main.f90:417-507)."""
+        dpdl = jnp.zeros(3, dtype=state.u.dtype)
+        for irk in range(3):
+            state, f = self._substep(state, dt, irk)
+            dpdl = dpdl + f
+        state = state._replace(time=state.time + dt, istep=state.istep + 1)
+        return state, -dpdl / dt
+
+    def step(self, state: State, dt):
+        return self._step(state, jnp.asarray(dt, dtype=self.dtype))
+
+    # ------------------------------------------------------------------
+    def _chk_impl(self, state: State):
+        """dt limit + divergence diagnostics (chkdt.f90, chkdiv.f90)."""
+        cfg = self.cfg
+        bcu, bcv, bcw = self._dynamic_bcs(state.u, state.v, state.w)
+        up, vp, wp, _ = self._pad_vel(state.u, state.v, state.w, bcu, bcv, bcw,
+                                      vlo=state.vlo, is_correc=True)
+        sp = self._pad_s(state.visct)
+        eps = float(np.finfo(self.dtype).eps)
+        dt_cfl = st.cfl_dt(up, vp, wp, sp, cfg.visc, cfg.dl, self.grid.dzci,
+                           self.grid.dzfi, cfg.impdiff, cfg.impdiff_1d, eps)
+        divtot, divmax = st.divergence(up, vp, wp, cfg.dli[0], cfg.dli[1],
+                                       self.grid.dzfi)
+        return dt_cfl, divtot, divmax
+
+    def check(self, state: State):
+        dt_cfl, divtot, divmax = self._chk(state)
+        return float(dt_cfl), float(divtot), float(divmax)
+
+    def pick_dt(self, dt_cfl: float) -> float:
+        cfg = self.cfg
+        if cfg.dt_f > 0:
+            return cfg.dt_f
+        return min(cfg.cfl * dt_cfl, cfg.dtmax)
