@@ -1,0 +1,195 @@
+"""Simulation driver: the counterpart of the reference executable
+(/root/reference/src/main.f90:28-632).
+
+Orchestrates: config validation -> grid -> solver setup -> initial condition
+or restart -> time loop with stopping criteria (nstep / time_max / tw_max),
+cadenced stability+divergence checks with hard aborts (main.f90:523-544),
+scalar logs (time.out, forcing.out), profile outputs, checkpoint rotation
+with alias symlinks (main.f90:590-611), and per-step wall-time reporting
+(main.f90:613-618).
+"""
+from __future__ import annotations
+
+import math
+import time as _time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+
+from .config import Config, validate
+from .grid import make_grid_from_config
+from .initflow import initflow
+from .timeloop import Simulation
+from .io import checkpoint as ckpt
+from .io import output as out
+
+
+class SimulationAborted(RuntimeError):
+    pass
+
+
+def run(cfg: Config, datadir='data', mesh=None, verbose=True,
+        max_steps=None, hooks=None):
+    """Run a full simulation.  Returns (sim, state).
+
+    hooks: optional dict of callables fired at output cadences:
+      {'out1d': fn(sim, state, istep), 'out2d': ..., 'out3d': ...}
+    replacing the reference's user-editable out?d.h90 include files
+    (main.f90:380-394,575-589)."""
+    validate(cfg)
+    datadir = Path(datadir)
+    datadir.mkdir(parents=True, exist_ok=True)
+    grid = make_grid_from_config(cfg)
+    # wall-model height must sit between first and last cell centers
+    # (sanity.f90:233-241)
+    if any(cfg.lwm[ib][2] != 0 for ib in range(2)):
+        if not (grid.zc[1] < cfg.hwm < grid.zc[cfg.ng[2]]):
+            raise ValueError('hwm outside the first..last cell-center band')
+
+    sim = Simulation(cfg, grid, mesh=mesh)
+    out.write_grid_files(datadir, cfg, grid)
+
+    if cfg.restart:
+        u, v, w, p, t0, istep0 = ckpt.load_checkpoint(
+            datadir / 'fld.bin', cfg.ng, cfg.np_dtype)
+        state = sim.initial_state(u, v, w, p)
+        state = state._replace(time=state.time + t0,
+                               istep=state.istep + istep0)
+        log(verbose, f'*** Checkpoint loaded at time = {t0}, step = {istep0} ***')
+    else:
+        u, v, w, p = initflow(cfg, grid)
+        state = sim.initial_state(u, v, w, p)
+        log(verbose, '*** Initial condition successfully set ***')
+
+    dt_cfl, divtot, divmax = sim.check(state)
+    dt = sim.pick_dt(dt_cfl)
+    log(verbose, f'dt_cfl = {dt_cfl:.6e}, dt = {dt:.6e}')
+
+    small = math.sqrt(np.finfo(cfg.np_dtype).eps) * 10
+    twi = _time.perf_counter()
+    savecounter = 0
+    kill = False
+    is_done = False
+    nsteps_done = 0
+    hooks = hooks or {}
+
+    while not is_done:
+        t_step = _time.perf_counter()
+        state, dpdl = sim.step(state, dt)
+        istep = int(state.istep)
+        tnow = float(state.time)
+        nsteps_done += 1
+
+        # stopping criteria (main.f90:513-522)
+        if cfg.stop_type[0] and istep >= cfg.nstep:
+            is_done = True
+        if cfg.stop_type[1] and tnow >= cfg.time_max:
+            is_done = True
+        if cfg.stop_type[2] and (_time.perf_counter() - twi) / 3600.0 >= cfg.tw_max:
+            is_done = True
+        if max_steps is not None and nsteps_done >= max_steps:
+            is_done = True
+
+        # stability & divergence checks (main.f90:523-544)
+        if cfg.icheck > 0 and istep % max(cfg.icheck, 1) == 0:
+            dt_cfl, divtot, divmax = sim.check(state)
+            dt = sim.pick_dt(dt_cfl)
+            if dt_cfl < small:
+                log(verbose, 'ERROR: time step is too small. Aborting...')
+                is_done, kill = True, True
+            if divmax > small or math.isnan(divtot):
+                log(verbose, f'ERROR: maximum divergence too large '
+                             f'({divmax:.3e}). Aborting...')
+                is_done, kill = True, True
+
+        # scalar logs (main.f90:548-573)
+        if cfg.iout0d > 0 and istep % max(cfg.iout0d, 1) == 0:
+            out.out0d(datadir / 'time.out', [istep, dt, tnow])
+            if any(cfg.is_forced) or any(abs(b) > 0 for b in cfg.bforce):
+                from .ops.stencil import bulk_mean
+                mv = [0.0, 0.0, 0.0]
+                if cfg.is_forced[0] or abs(cfg.bforce[0]) > 0:
+                    mv[0] = float(bulk_mean(state.u, sim.gvr_f))
+                if cfg.is_forced[1] or abs(cfg.bforce[1]) > 0:
+                    mv[1] = float(bulk_mean(state.v, sim.gvr_f))
+                if cfg.is_forced[2] or abs(cfg.bforce[2]) > 0:
+                    mv[2] = float(bulk_mean(state.w, sim.gvr_c))
+                dp = np.asarray(dpdl)
+                if not any(cfg.is_forced):
+                    dp = -np.asarray(cfg.bforce)
+                out.out0d(datadir / 'forcing.out',
+                          [tnow, dp[0], dp[1], dp[2], mv[0], mv[1], mv[2]])
+
+        # profile / plane / volume outputs (main.f90:574-589)
+        if cfg.iout1d > 0 and istep % max(cfg.iout1d, 1) == 0:
+            if 'out1d' in hooks:
+                hooks['out1d'](sim, state, istep)
+            else:
+                out.out1d_chan(datadir / f'velstats_{istep:07d}.out',
+                               grid, cfg.l, np.asarray(state.u),
+                               np.asarray(state.v), np.asarray(state.w))
+        if cfg.iout2d > 0 and istep % max(cfg.iout2d, 1) == 0:
+            if 'out2d' in hooks:
+                hooks['out2d'](sim, state, istep)
+            else:
+                ny = cfg.ng[1]
+                for name, f in (('u', state.u), ('v', state.v),
+                                ('w', state.w), ('p', state.p)):
+                    fn = datadir / f'{name}_2d_{istep:07d}.bin'
+                    out.out2d(fn, np.asarray(f), 1, ny // 2)
+                    out.write_log_output(datadir / 'log_visu_2d_slice_1.out',
+                                         fn.name, name, (1, ny // 2, 1),
+                                         (cfg.ng[0], ny // 2, cfg.ng[2]),
+                                         (1, 1, 1), tnow, istep)
+        if cfg.iout3d > 0 and istep % max(cfg.iout3d, 1) == 0:
+            if 'out3d' in hooks:
+                hooks['out3d'](sim, state, istep)
+            else:
+                for name, f in (('u', state.u), ('v', state.v),
+                                ('w', state.w), ('p', state.p)):
+                    fn = datadir / f'{name}_{istep:07d}.bin'
+                    out.write_field_bin(fn, np.asarray(f))
+                    out.write_log_output(datadir / 'log_visu_3d.out', fn.name,
+                                         name, (1, 1, 1), cfg.ng, (1, 1, 1),
+                                         tnow, istep)
+
+        # checkpoint (main.f90:590-611)
+        if (cfg.isave > 0 and istep % max(cfg.isave, 1) == 0) or \
+                (is_done and not kill):
+            if cfg.is_overwrite_save:
+                filename = 'fld.bin'
+            else:
+                if cfg.nsaves_max > 0:
+                    if savecounter >= cfg.nsaves_max:
+                        savecounter = 0
+                    savecounter += 1
+                    filename = f'fld_{savecounter:04d}.bin'
+                    out.out0d(datadir / 'log_checkpoints.out',
+                              [istep, tnow, savecounter])
+                else:
+                    filename = f'fld_{istep:07d}.bin'
+                ckpt_path = datadir / filename
+            ckpt.save_checkpoint(datadir / filename, np.asarray(state.u),
+                                 np.asarray(state.v), np.asarray(state.w),
+                                 np.asarray(state.p), tnow, istep)
+            if not cfg.is_overwrite_save:
+                ckpt.gen_alias(datadir, filename)
+            log(verbose, f'*** Checkpoint saved at time = {tnow}, '
+                         f'step = {istep} ***')
+
+        jax.block_until_ready(state.u)
+        dt_wall = _time.perf_counter() - t_step
+        log(verbose, f'step {istep}  t = {tnow:.6e}  dt = {dt:.3e}  '
+                     f'wall = {dt_wall:.3f}s')
+
+    if kill:
+        raise SimulationAborted('simulation aborted (see log)')
+    log(verbose, '*** Fim ***')
+    return sim, state
+
+
+def log(verbose, msg):
+    if verbose:
+        print(msg, flush=True)

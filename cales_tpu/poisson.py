@@ -88,12 +88,16 @@ def make_solver(cfg: Config, grid: Grid, cbc, c_or_f) -> DirectSolver:
                         lamx=lamx, lamy=lamy)
 
 
-def solve(sv: DirectSolver, p, alpha=None):
+def solve(sv: DirectSolver, p, alpha=None, hints=None):
     """Solve L p_new = p (Poisson) or (I + alpha*L) p_new = p (Helmholtz,
     main.f90:424-443 with alpha = -nu*dt_rk/2) in place of the input RHS.
 
     p: (nz, ny, nx) interior array.  Returns the solution with excluded
     boundary slices (face-staggered Dirichlet) passed through unchanged.
+
+    `hints` (parallel.mesh.ShardingHints): sharding constraints around each
+    stage; GSPMD lowers the reshardings to the all-to-all pencil transposes
+    of the reference (solver_gpu.f90:80-158).
     """
     nz, ny, nx = p.shape
     sx, sy = sv.trx.nsolve, sv.try_.nsolve
@@ -103,10 +107,16 @@ def solve(sv: DirectSolver, p, alpha=None):
     body = body[:, :sy, :]
 
     # forward transforms: x (axis -1) then y (axis -2)
+    if hints is not None:
+        body = hints.x_local(body)
     body = tr.fwd(sv.trx, body, axis=-1)
     x_was_fft = sv.trx.kind == 'fft'
+    if hints is not None:
+        body = hints.y_local(body)
     body = tr.fwd(sv.try_, body, axis=-2)
     y_was_rfft = (sv.try_.kind == 'fft') and not x_was_fft
+    if hints is not None:
+        body = hints.z_local(body)
 
     # eigenvalue grids matching the spectral shape
     lamx = sv.lamx[: nx // 2 + 1] if x_was_fft else sv.lamx
@@ -132,10 +142,16 @@ def solve(sv: DirectSolver, p, alpha=None):
     body = jnp.concatenate([zsol, body[nz - qz:]], axis=0) if qz else zsol
 
     # inverse transforms: y then x
+    if hints is not None:
+        body = hints.y_local(body)
     body = tr.bwd(sv.try_, body, axis=-2, n=sy, real_out=not x_was_fft)
+    if hints is not None:
+        body = hints.x_local(body)
     body = tr.bwd(sv.trx, body, axis=-1, n=sx, real_out=True)
     body = body.real if jnp.iscomplexobj(body) else body
     body = body.astype(p.dtype)
+    if hints is not None:
+        body = hints.field(body)
 
     if tail_y.shape[1]:
         body = jnp.concatenate([body, tail_y], axis=1)
@@ -186,17 +202,17 @@ def rhs_bound_planes(cfg: Config, grid: Grid, cbc, c_or_f, bcvals):
         1: ((dl[1], dl[1]), (dl[1], dl[1])),
         2: (dzc01, dzf01),
     }
-    shapes = {0: (nz, ny), 1: (nz, nx), 2: (ny, nx)}
     out = {}
     for idir, key in ((0, 'x'), (1, 'y'), (2, 'z')):
         dlc, dlf = metr[idir]
         for ib in range(2):
-            bcv = np.broadcast_to(np.asarray(bcvals[idir][ib], dtype=np.float64),
-                                  shapes[idir])
+            # scalar BC values stay scalar (broadcast at use-site; avoids
+            # inlining full-plane literals into the jitted program)
+            bcv = np.asarray(bcvals[idir][ib], dtype=np.float64)
             letter = cbc[idir][ib]
             cf = c_or_f[idir]
             if letter == 'P':
-                plane = np.zeros(shapes[idir])
+                plane = bcv * 0.0
             elif letter == 'D':
                 fac = 2.0 if cf == 'c' else 1.0
                 plane = -fac * bcv / (dlc[ib] * dlf[ib])
@@ -227,11 +243,16 @@ def rhs_bound_planes_dyn(cfg: Config, grid: Grid, cbc, c_or_f, bc_planes):
     metr = {0: ((dl[0], dl[0]), (dl[0], dl[0])),
             1: ((dl[1], dl[1]), (dl[1], dl[1])),
             2: (dzc01, dzf01)}
+    ishape = {0: (nz, ny), 1: (nz, nx), 2: (ny, nx)}
     out = {}
     for idir, key in ((0, 'x'), (1, 'y'), (2, 'z')):
         dlc, dlf = metr[idir]
         for ib in range(2):
-            bcv = bc_planes[idir][ib][1:-1, 1:-1]
+            val = bc_planes[idir][ib]
+            if hasattr(val, 'ndim') and getattr(val, 'ndim', 0) == 2:
+                bcv = val[1:-1, 1:-1]
+            else:
+                bcv = jnp.full(ishape[idir], val)
             letter = cbc[idir][ib]
             cf = c_or_f[idir]
             if letter == 'P':

@@ -67,43 +67,45 @@ class SGSSetup:
         self.fac_lwm = (dzc[0] * dzci[1], dzc[nz] * dzci[nz - 1])
         # filter width Delta = (dx dy dzf)^(1/3) (sgs.f90:148)
         self.delta = (cfg.dl[0] * cfg.dl[1] * grid.dzf[1:nz + 1]) ** (1.0 / 3.0)
-        # van Driest wall-distance fields, (nz,ny,nx)-broadcastable
-        big = 1e30
+        # van Driest wall-distance profiles as *1D* arrays, broadcast inside
+        # the kernel (a precomputed 3D field would be inlined as a megabyte
+        # HLO literal and wreck TPU compile time)
         dl = cfg.dl
         i = np.arange(1, nx + 1)
         j = np.arange(1, ny + 1)
         zc = grid.zc[1:nz + 1]
-        self.dw = [
-            np.broadcast_to(dl[0] * (i - 0.5), (nz, ny, nx)),
-            np.broadcast_to(dl[0] * (nx - i + 0.5), (nz, ny, nx)),
-            np.broadcast_to((dl[1] * (j - 0.5))[None, :, None], (nz, ny, nx)),
-            np.broadcast_to((dl[1] * (ny - j + 0.5))[None, :, None], (nz, ny, nx)),
-            np.broadcast_to(zc[:, None, None], (nz, ny, nx)),
-            np.broadcast_to((cfg.l[2] - zc)[:, None, None], (nz, ny, nx)),
+        self.dw1d = [
+            (dl[0] * (i - 0.5), 2),          # x-low:  varies along axis 2
+            (dl[0] * (nx - i + 0.5), 2),     # x-high
+            (dl[1] * (j - 0.5), 1),          # y-low:  varies along axis 1
+            (dl[1] * (ny - j + 0.5), 1),     # y-high
+            (zc.copy(), 0),                  # z-low:  varies along axis 0
+            (cfg.l[2] - zc, 0),              # z-high
         ]
         self.is_wall6 = [self.wall_flags[(ib, idir)]
                          for idir in range(3) for ib in range(2)]
-        self.dw_masked = np.stack([d if f else np.full_like(d, big)
-                                   for d, f in zip(self.dw, self.is_wall6)])
         self.any_wall = any(self.is_wall6)
-        # alpha^2 filter-ratio field (sgs.f90:769-822)
-        if cfg.filter_2d:
-            alph2 = np.full((nz, ny, nx), 2.52)
-        else:
-            alph2 = np.full((nz, ny, nx), 4.0)
-            if self.wall_flags[(0, 0)]:
-                alph2[:, :, 0] = 2.52
-            if self.wall_flags[(1, 0)]:
-                alph2[:, :, -1] = 2.52
-            if self.wall_flags[(0, 1)]:
-                alph2[:, 0, :] = 2.52
-            if self.wall_flags[(1, 1)]:
-                alph2[:, -1, :] = 2.52
-            if self.wall_flags[(0, 2)]:
-                alph2[0] = 2.52
-            if self.wall_flags[(1, 2)]:
-                alph2[-1] = 2.52
-        self.alph2 = alph2
+
+    def alph2_field(self, shape, dtype):
+        """alpha^2 filter-ratio field, built in-trace (sgs.f90:769-822):
+        4.0 interior, 2.52 first off-wall layer (2.52 everywhere for the 2D
+        filter)."""
+        if self.cfg.filter_2d:
+            return jnp.full(shape, 2.52, dtype=dtype)
+        a = jnp.full(shape, 4.0, dtype=dtype)
+        if self.wall_flags[(0, 0)]:
+            a = a.at[:, :, 0].set(2.52)
+        if self.wall_flags[(1, 0)]:
+            a = a.at[:, :, -1].set(2.52)
+        if self.wall_flags[(0, 1)]:
+            a = a.at[:, 0, :].set(2.52)
+        if self.wall_flags[(1, 1)]:
+            a = a.at[:, -1, :].set(2.52)
+        if self.wall_flags[(0, 2)]:
+            a = a.at[0].set(2.52)
+        if self.wall_flags[(1, 2)]:
+            a = a.at[-1].set(2.52)
+        return a
 
 
 def _wall_tauw_planes(setup, up, vp, wp, dxi, dyi, dzci, visc):
@@ -148,16 +150,24 @@ def smag_visct(setup: SGSSetup, cfg, grid, up, vp, wp):
     if not setup.any_wall:
         fd = 1.0
     else:
+        # nearest active wall by sequential running-min over the six walls
+        # (first minimum wins ties, matching the reference's minloc,
+        # sgs.f90:104-146); distances broadcast from 1D profiles in-trace
         tauw6 = _wall_tauw_planes(setup, up, vp, wp, dxi, dyi, grid.dzci, visc)
-        nz, ny, nx = s0.shape
-        dwm = jnp.asarray(setup.dw_masked, dtype=s0.dtype)
-        loc = jnp.argmin(dwm, axis=0)
-        dw_min = jnp.min(dwm, axis=0)
+        dw_min = jnp.full_like(s0, 1e30)
         tauw_s = jnp.zeros_like(s0)
         for m in range(6):
-            if setup.is_wall6[m]:
-                tauw_s = jnp.where(loc == m,
-                                   jnp.broadcast_to(tauw6[m], s0.shape), tauw_s)
+            if not setup.is_wall6[m]:
+                continue
+            prof, ax = setup.dw1d[m]
+            shape1 = [1, 1, 1]
+            shape1[ax] = len(prof)
+            dw_m = jnp.broadcast_to(
+                jnp.asarray(prof, dtype=s0.dtype).reshape(shape1), s0.shape)
+            closer = dw_m < dw_min
+            tauw_s = jnp.where(closer, jnp.broadcast_to(tauw6[m], s0.shape),
+                               tauw_s)
+            dw_min = jnp.minimum(dw_min, dw_m)
         tauw_s = 0.5 * visc * tauw_s
         dw_plus = dw_min * jnp.sqrt(tauw_s) / visc
         fd = 1.0 - jnp.exp(-dw_plus / 25.0)
@@ -222,7 +232,7 @@ def dsmag_visct(setup: SGSSetup, cfg, grid, up, vp, wp, bcs_vals, bc_static,
     vfp = extrapolate(vfp, 2, setup.lwm_flags, setup.fac_lwm)
     wfp = extrapolate(wfp, 3, setup.lwm_flags, setup.fac_lwm)
     s0f, sijf = st.strain_rate(ufp, vfp, wfp, dzci, dzfi, dxi, dyi, with_sij=True)
-    alph2 = jnp.asarray(setup.alph2, dtype=s0.dtype)
+    alph2 = setup.alph2_field(s0.shape, s0.dtype)
     mij = [2.0 * (m - alph2 * s0f * sf) for m, sf in zip(mij, sijf)]
 
     # Lij (sgs.f90:274-327)

@@ -42,9 +42,17 @@ class State(NamedTuple):
 
 
 class Simulation:
-    """Static solver setup + jitted step function."""
+    """Static solver setup + jitted step function.
 
-    def __init__(self, cfg: Config, grid: Grid):
+    mesh: optional jax.sharding.Mesh ('gy','gx') for multi-chip domain
+    decomposition; fields shard (z, y:gy, x:gx) and the Poisson stages
+    reshard via constraint hints (parallel/mesh.py).
+    """
+
+    def __init__(self, cfg: Config, grid: Grid, mesh=None):
+        from .parallel.mesh import ShardingHints
+        self.mesh = mesh
+        self.hints = ShardingHints(mesh) if mesh is not None else None
         self.cfg = cfg
         self.grid = grid
         self.dtype = cfg.np_dtype
@@ -90,6 +98,7 @@ class Simulation:
 
         self._step = jax.jit(self._step_impl)
         self._chk = jax.jit(self._chk_impl)
+        self._init_jit = jax.jit(self._init_impl)
 
     # ------------------------------------------------------------------
     def initial_state(self, u, v, w, p) -> State:
@@ -103,7 +112,11 @@ class Simulation:
         st0 = State(u=u, v=v, w=w, p=p, visct=zeros, vlo=vlo,
                     rhs_old=(zeros, zeros, zeros),
                     time=jnp.zeros((), dt), istep=jnp.zeros((), jnp.int32))
+        return self._init_jit(st0)
+
+    def _init_impl(self, st0: State):
         # initial BC fill + SGS (main.f90:370-375)
+        u, v, w = st0.u, st0.v, st0.w
         bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
         up, vp, wp, vlo = bnd.pad_velocity(
             u, v, w, self.cbcvel, bcu, bcv, bcw, self.cfg.dl, self.grid.dzc,
@@ -157,19 +170,19 @@ class Simulation:
                                   self.bcs_vals, None, pad_filtered)
 
     # ------------------------------------------------------------------
-    def _substep(self, state: State, dt, irk: int):
+    def _substep(self, state: State, f1, f2):
         cfg = self.cfg
         grid = self.grid
         dxi, dyi = cfg.dli[0], cfg.dli[1]
         dzci, dzfi = grid.dzci, grid.dzfi
-        f1 = RK_COEFF[irk][0] * dt
-        f2 = RK_COEFF[irk][1] * dt
         f12 = f1 + f2
         dtrk = f12
         visc = cfg.visc
 
         u, v, w, p, visct = state.u, state.v, state.w, state.p, state.visct
         ru_o, rv_o, rw_o = state.rhs_old
+        if self.hints is not None:
+            u, v, w, p, visct = map(self.hints.field, (u, v, w, p, visct))
 
         # ghosts of the current state (same fill the previous substep left)
         bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
@@ -237,7 +250,8 @@ class Simulation:
                 if cfg.impdiff_1d:
                     fld = poisson.solve_z_only(self.solver_vel[ivel], fld, alpha)
                 else:
-                    fld = poisson.solve(self.solver_vel[ivel], fld, alpha=alpha)
+                    fld = poisson.solve(self.solver_vel[ivel], fld, alpha=alpha,
+                                        hints=self.hints)
                 if ivel == 0:
                     u = fld
                 elif ivel == 1:
@@ -253,7 +267,7 @@ class Simulation:
         rhs = st.fillps(up, vp, wp, 1.0 / dtrk, dxi, dyi, dzfi)
         rhs = poisson.add_rhs_bound(cfg, ('c', 'c', 'c'), self.cbcpre, rhs,
                                     self.rhsb_p)
-        pp = poisson.solve(self.solver_p, rhs)
+        pp = poisson.solve(self.solver_p, rhs, hints=self.hints)
         pppad = self._pad_p(pp)
         u, v, w, vlo = st.correc(up, vp, wp, pppad, dtrk, dxi, dyi, dzci)
 
@@ -274,10 +288,13 @@ class Simulation:
                               rhs_old=rhs_old), dpdl
 
     def _step_impl(self, state: State, dt):
-        """One full time step = 3 RK substeps (main.f90:417-507)."""
-        dpdl = jnp.zeros(3, dtype=state.u.dtype)
+        """One full time step = 3 RK substeps (main.f90:417-507), one XLA
+        program (single dispatch through the runtime per step)."""
+        dpdl = jnp.zeros(3, dtype=self.dtype)
         for irk in range(3):
-            state, f = self._substep(state, dt, irk)
+            f1 = RK_COEFF[irk][0] * dt
+            f2 = RK_COEFF[irk][1] * dt
+            state, f = self._substep(state, f1, f2)
             dpdl = dpdl + f
         state = state._replace(time=state.time + dt, istep=state.istep + 1)
         return state, -dpdl / dt

@@ -96,14 +96,30 @@ def update_wallmodel_bcs(cfg, grid, up, vp, wp, bcu, bcv, bcw,
     bc*_mag are the static wall-velocity magnitudes (initbc bcu_mag=bcu,
     bound.f90:797-801).  Returns updated (bcu, bcv, bcw) plane pytrees.
     """
+    from .ops.boundary import bc_plane_shapes, ensure_plane
     nx, ny, nz = cfg.ng
     dl = cfg.dl
     h, visc = cfg.hwm, cfg.visc
     visci = 1.0 / visc
     zc, zf, dzc = grid.zc, grid.zf, grid.dzc
-    bcu = [list(pair) for pair in bcu]
-    bcv = [list(pair) for pair in bcv]
-    bcw = [list(pair) for pair in bcw]
+    dtype = up.dtype
+    shapes = bc_plane_shapes(cfg.ng)
+
+    def promote(vals):
+        """scalar BC values -> full planes (built in-trace, cheap broadcasts)
+        for the faces this routine slices or updates."""
+        out = []
+        for idir, key in ((0, 'x'), (1, 'y'), (2, 'z')):
+            out.append([ensure_plane(vals[idir][ib], shapes[key], dtype)
+                        for ib in range(2)])
+        return out
+
+    bcu = promote(bcu)
+    bcv = promote(bcv)
+    bcw = promote(bcw)
+    bcu_mag = promote(bcu_mag)
+    bcv_mag = promote(bcv_mag)
+    bcw_mag = promote(bcw_mag)
 
     # weight for interpolating cell-centered values to w's face heights
     wei = ((zf - zc) / dzc)[:, None]           # (nz+2, 1)
