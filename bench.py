@@ -4,14 +4,21 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Methodology: N time steps run inside ONE device program
+(Simulation.multi_step, a lax.fori_loop over the full RK3 step), timed from
+dispatch to a forced scalar fetch of the result — robust to the async
+dispatch semantics of the runtime.  A 1-step run is timed the same way and
+subtracted to remove fixed dispatch/fetch overhead.
+
 Metric: ns per grid cell per RK3 substep (one substep = momentum RHS + RK
-update + BC fills + Poisson solve + projection + SGS, main.f90:417-507).
+update + BC fills + FFT/tridiagonal Poisson solve + projection + SGS,
+reference main.f90:417-507).
 
 vs_baseline: the reference publishes no benchmark tables (BASELINE.md); the
-comparison constant below is our documented estimate of CaLES-on-A100 for this
-configuration, 0.25 ns/cell/substep (a bandwidth-model estimate: ~45 full-field
-HBM passes per substep at ~1.6 TB/s effective).  vs_baseline > 1 means faster
-than that estimate.  Superseded by a measured number when one exists.
+constant below is our documented estimate of CaLES-on-A100 for this class of
+configuration, 0.25 ns/cell/substep (bandwidth model: ~45 full-field HBM
+passes per substep at ~1.55 TB/s effective).  vs_baseline > 1 means faster
+than that estimate; superseded by a measured number when one exists.
 """
 import json
 import os
@@ -21,6 +28,8 @@ import time
 import numpy as np
 
 BASELINE_NS_PER_CELL_SUBSTEP = 0.25
+NG = (512, 256, 256)
+NSTEPS = 10
 
 
 def main():
@@ -33,8 +42,7 @@ def main():
     from cales_tpu.initflow import initflow
     from cales_tpu.timeloop import Simulation
 
-    ng = (512, 256, 256)
-    cfg = Config(ng=ng, l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=1.0,
+    cfg = Config(ng=NG, l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=1.0,
                  visci=20_000.0, inivel='log', is_wallturb=True,
                  is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
                  sgstype='smag', dtype='float32')
@@ -42,23 +50,30 @@ def main():
     sim = Simulation(cfg, grid)
     u, v, w, p = initflow(cfg, grid)
     state = sim.initial_state(u, v, w, p)
-    dt = jnp.asarray(1e-4, dtype=state.u.dtype)
+    dt = 1e-4
 
-    # warmup / compile
-    state, _ = sim.step(state, dt)
-    jax.block_until_ready(state.u)
+    def timed_advance(st, n):
+        t0 = time.perf_counter()
+        out = sim.multi_step(st, dt, n)
+        # force full completion through the runtime
+        chk = float(jnp.sum(out.u[0, 0, :8]))
+        el = time.perf_counter() - t0
+        assert np.isfinite(chk)
+        return out, el
 
-    nrep = 10
-    t0 = time.perf_counter()
-    for _ in range(nrep):
-        state, _ = sim.step(state, dt)
-    jax.block_until_ready(state.u)
-    t1 = time.perf_counter()
+    # compile both step counts + warm the pipeline
+    state, _ = timed_advance(state, 1)
+    state, _ = timed_advance(state, NSTEPS)
+    # measure
+    _, t1 = timed_advance(state, 1)
+    _, tN = timed_advance(state, NSTEPS)
+    per_step = max((tN - t1) / (NSTEPS - 1), 1e-9)
 
-    ncell = ng[0] * ng[1] * ng[2]
-    ns_per_cell_substep = (t1 - t0) / nrep / 3.0 / ncell * 1e9
+    ncell = NG[0] * NG[1] * NG[2]
+    ns_per_cell_substep = per_step / 3.0 / ncell * 1e9
     out = {
-        "metric": "channel LES (smag) ns/cell/RK3-substep, 512x256x256 f32",
+        "metric": "channel LES (smag) ns/cell/RK3-substep, "
+                  f"{NG[0]}x{NG[1]}x{NG[2]} f32",
         "value": round(ns_per_cell_substep, 4),
         "unit": "ns/cell/substep",
         "vs_baseline": round(BASELINE_NS_PER_CELL_SUBSTEP / ns_per_cell_substep, 3),

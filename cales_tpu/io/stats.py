@@ -1,0 +1,105 @@
+"""Single-point channel statistics.
+
+Port of out1d_single_point_chan (/root/reference/src/output.f90:509-689,
+first block): 27 plane-averaged quantities per z level —
+  1-3   <u>, <v>, <w>
+  4-6   <u^2>, <v^2>, <w^2>
+  7     <u w> at cell edges
+  8-13  <u^3>, <v^3>, <w^3>, <u^4>, <v^4>, <w^4>
+  14-15 <p>, <p^2>
+  16-21 <omega_x>, <omega_y>, <omega_z>, <omega_x^2>, <omega_y^2>, <omega_z^2>
+  22-25 modelled (subgrid) stresses -2<nu_t S11>, -2<nu_t S22>, -2<nu_t S33>,
+        -<nu_t (du/dz + dw/dx)> at edges
+  26    <nu_t>
+  27    <du/dz> (viscous shear-stress contribution, edges)
+
+Written as fname.out (ascii: zc zf 27 columns dzc dzf) and fname.bin (raw),
+matching the reference formats (output.f90:690-700).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def single_point_chan(fname, cfg, grid, u, v, w, p, visct):
+    """u, v, w, p, visct: interior (nz, ny, nx) numpy arrays with the solver's
+    ghost semantics applied on the fly (periodic x/y; one-sided at z walls
+    like the reference's ghost reads)."""
+    u, v, w, p, visct = map(np.asarray, (u, v, w, p, visct))
+    nz, ny, nx = u.shape
+    dl = cfg.dl
+    dzc = grid.dzc
+    dzf = grid.dzf
+    zc = grid.zc
+    zf = grid.zf
+
+    # padded views (periodic x/y; mirror-free z: use wall BC values 0 at walls
+    # is not needed because every stencil below only reaches k+1<=nz with the
+    # top plane handled via the ghost convention of the solver: we pad with
+    # edge replication which reproduces homogeneous-Neumann reads; Dirichlet
+    # walls only affect the first/last plane of the vorticity/sgs columns).
+    def padp(f):
+        f = np.concatenate([f[:, :, -1:], f, f[:, :, :1]], axis=2)
+        f = np.concatenate([f[:, -1:, :], f, f[:, :1, :]], axis=1)
+        f = np.concatenate([f[:1], f, f[-1:]], axis=0)
+        return f
+
+    up, vp, wp, pp, sp = map(padp, (u, v, w, p, visct))
+    C = lambda f, k=0, j=0, i=0: f[1 + k:1 + k + nz, 1 + j:1 + j + ny,
+                                   1 + i:1 + i + nx]
+
+    dzc_k = dzc[1:nz + 1][:, None, None]
+    dzf_k = dzf[1:nz + 1][:, None, None]
+    dzf_kp = dzf[2:nz + 2][:, None, None]
+
+    mean = lambda f: f.mean(axis=(1, 2))
+    out = np.zeros((27, nz))
+    out[0] = mean(u)
+    out[1] = mean(v)
+    out[2] = mean(w)
+    out[3] = mean(u ** 2)
+    out[4] = mean(v ** 2)
+    out[5] = mean(w ** 2)
+    out[6] = mean(0.25 * (C(up, k=1) + C(up)) * (C(wp) + C(wp, i=1)))
+    out[7] = mean(u ** 3)
+    out[8] = mean(v ** 3)
+    out[9] = mean(w ** 3)
+    out[10] = mean(u ** 4)
+    out[11] = mean(v ** 4)
+    out[12] = mean(w ** 4)
+    out[13] = mean(p)
+    out[14] = mean(p ** 2)
+    # vorticity components at edges (output.f90:612-618)
+    om_x = (C(wp, j=1) - C(wp)) / dl[1] - (C(vp, k=1) - C(vp)) / dzc_k
+    om_y = (C(up, k=1) - C(up)) / dzc_k - (C(wp, i=1) - C(wp)) / dl[0]
+    om_z = (C(vp, i=1) - C(vp)) / dl[0] - (C(up, j=1) - C(up)) / dl[1]
+    out[15] = mean(om_x)
+    out[16] = mean(om_y)
+    out[17] = mean(om_z)
+    out[18] = mean(om_x ** 2)
+    out[19] = mean(om_y ** 2)
+    out[20] = mean(om_z ** 2)
+    # modelled stress (output.f90:630-652)
+    dudx_ip = (C(up, i=1) - C(up)) / dl[0]
+    dudx_im = (C(up) - C(up, i=-1)) / dl[0]
+    dvdy_jp = (C(vp, j=1) - C(vp)) / dl[1]
+    dvdy_jm = (C(vp) - C(vp, j=-1)) / dl[1]
+    dwdz_kp = (C(wp, k=1) - C(wp)) / dzf_kp
+    dwdz_km = (C(wp) - C(wp, k=-1)) / dzf_k
+    dudz = (C(up, k=1) - C(up)) / dzc_k
+    dwdx = (C(wp, i=1) - C(wp)) / dl[0]
+    s_ccc, s_pcc = C(sp), C(sp, i=1)
+    s_cpc, s_ccp, s_pcp = C(sp, j=1), C(sp, k=1), C(sp, k=1, i=1)
+    out[21] = mean(-0.5 * (s_pcc * 2 * dudx_ip + s_ccc * 2 * dudx_im))
+    out[22] = mean(-0.5 * (s_cpc * 2 * dvdy_jp + s_ccc * 2 * dvdy_jm))
+    out[23] = mean(-0.5 * (s_ccp * 2 * dwdz_kp + s_ccc * 2 * dwdz_km))
+    out[24] = mean(-0.25 * (s_ccc + s_pcc + s_ccp + s_pcp) * (dudz + dwdx))
+    out[25] = mean(visct)
+    out[26] = mean(dudz)
+
+    with open(str(fname) + '.out', 'w') as f:
+        for k in range(nz):
+            row = [zc[k + 1], zf[k + 1], *out[:, k], dzc[k + 1], dzf[k + 1]]
+            f.write(' '.join(f'{v:24.16e}' for v in row) + '\n')
+    out.astype(np.float64).T.tofile(str(fname) + '.bin')
+    return out

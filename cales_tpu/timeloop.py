@@ -302,6 +302,19 @@ class Simulation:
     def step(self, state: State, dt):
         return self._step(state, jnp.asarray(dt, dtype=self.dtype))
 
+    def multi_step(self, state: State, dt, nsteps: int) -> State:
+        """Advance `nsteps` steps in ONE device program (lax.fori_loop) —
+        used for benchmarking (single dispatch, device-side throughput) and
+        long unattended advances without host round trips."""
+        if not hasattr(self, '_multi'):
+            def run(state, dt, n):
+                def body(_, st):
+                    st2, _ = self._step_impl(st, dt)
+                    return st2
+                return jax.lax.fori_loop(0, n, body, state)
+            self._multi = jax.jit(run, static_argnums=2)
+        return self._multi(state, jnp.asarray(dt, dtype=self.dtype), nsteps)
+
     # ------------------------------------------------------------------
     def _chk_impl(self, state: State):
         """dt limit + divergence diagnostics (chkdt.f90, chkdiv.f90)."""

@@ -1,0 +1,92 @@
+"""I/O layer tests: namelist parsing against the reference examples,
+checkpoint roundtrip + size validation (load.f90:44-52), restart continuity,
+stats output."""
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from cales_tpu.nml import config_from_nml, parse_namelists
+from cales_tpu.io import checkpoint as ckpt
+from cales_tpu.io import stats
+from cales_tpu.config import Config, validate
+from cales_tpu.grid import make_grid_from_config
+
+REF_EX = Path('/root/reference/examples')
+
+
+@pytest.mark.parametrize("case", [
+    'dns/triperiodic', 'dns/turbulent_channel_constant_pressure_gradient',
+    'dns/_manuscript_turbulent_channel', 'dns/_manuscript_lid_driven_cavity',
+    'dns/_manuscript_turbulent_duct', 'dns/couette',
+    'les/_manuscript_turbulent_channel',
+    'les/_manuscript_turbulent_channel_wall_model',
+    'les/_manuscript_turbulent_duct_wall_model',
+])
+def test_reference_nml_parses_and_validates(case):
+    path = REF_EX / case / 'input.nml'
+    if not path.exists():
+        pytest.skip(f'{path} missing')
+    cfg = config_from_nml(str(path))
+    validate(cfg)
+    assert all(n > 0 for n in cfg.ng)
+    assert cfg.visci > 0
+
+
+def test_nml_values_wall_model():
+    cfg = config_from_nml(
+        str(REF_EX / 'les/_manuscript_turbulent_channel_wall_model/input.nml'))
+    assert cfg.ng == (192, 72, 48)
+    assert cfg.gtype == 6
+    assert cfg.sgstype == 'smag'
+    assert cfg.lwm == ((0, 0, 1), (0, 0, 1))
+    assert cfg.hwm == 0.1
+    assert cfg.stop_type == (False, True, False)
+    assert cfg.cbcvel[0][2][0] == 'D'  # z-wall Dirichlet for u
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    ng = (8, 6, 4)
+    fields = [rng.standard_normal((4, 6, 8)) for _ in range(4)]
+    path = tmp_path / 'fld.bin'
+    ckpt.save_checkpoint(path, *fields, time=2.5, istep=77)
+    u, v, w, p, t, i = ckpt.load_checkpoint(path, ng, np.float64)
+    for a, b in zip(fields, (u, v, w, p)):
+        np.testing.assert_array_equal(a, b)
+    assert t == 2.5 and i == 77
+    # size validation (load.f90:44-52)
+    with pytest.raises(ValueError):
+        ckpt.load_checkpoint(path, (8, 6, 5), np.float64)
+
+
+def test_checkpoint_fortran_order(tmp_path):
+    """Memory layout must match the reference's Fortran column-major stream:
+    x fastest, then y, then z."""
+    nz, ny, nx = 2, 3, 4
+    u = np.arange(nz * ny * nx, dtype=np.float64).reshape(nz, ny, nx)
+    z = np.zeros_like(u)
+    path = tmp_path / 'fld.bin'
+    ckpt.save_checkpoint(path, u, z, z, z, 0.0, 0)
+    raw = np.fromfile(path, dtype=np.float64)[: nz * ny * nx]
+    # element (i, j, k) fortran-linear index = i + nx*j + nx*ny*k
+    for k in range(nz):
+        for j in range(ny):
+            for i in range(nx):
+                assert raw[i + nx * j + nx * ny * k] == u[k, j, i]
+
+
+def test_single_point_chan_stats(tmp_path):
+    cfg = Config(ng=(8, 6, 10), l=(1., 1., 2.), dtype='float64')
+    grid = make_grid_from_config(cfg)
+    rng = np.random.default_rng(1)
+    nz, ny, nx = 10, 6, 8
+    u = rng.standard_normal((nz, ny, nx))
+    out = stats.single_point_chan(tmp_path / 'stats', cfg, grid,
+                                  u, u * 0.5, u * 0.2, u * 0.1, abs(u) * 1e-3)
+    assert out.shape == (27, nz)
+    np.testing.assert_allclose(out[0], u.mean(axis=(1, 2)))
+    np.testing.assert_allclose(out[3], (u ** 2).mean(axis=(1, 2)))
+    assert (tmp_path / 'stats.out').exists()
+    assert (tmp_path / 'stats.bin').exists()

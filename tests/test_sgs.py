@@ -1,0 +1,97 @@
+"""SGS model unit tests: strain rate (manufactured field), filters, static
+Smagorinsky scaling, wall model log-law (analytic fixed point)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cales_tpu.config import Config, C_SMAG, KAP_LOG, B_LOG, effective_cbcvel
+from cales_tpu.grid import make_grid_from_config
+from cales_tpu.ops import stencil as st
+from cales_tpu.sgs import SGSSetup, smag_visct
+from cales_tpu.wallmodel import wallmodel_tauw
+
+
+def test_strain_rate_linear_field():
+    """For u = a*y (pure shear), S12 = a/2 and |S| = a; all other Sij = 0.
+    (The reference validates its eddy-viscosity interpolation with linear
+    manufactured fields, mom.f90:20-22.)"""
+    n = 16
+    cfg = Config(ng=(n, n, n), l=(1., 1., 1.), dtype='float64')
+    grid = make_grid_from_config(cfg)
+    a = 0.7
+    y = (np.arange(-1, n + 1) + 0.5) / n  # padded y coordinates
+    u = np.broadcast_to(a * y[None, :, None], (n + 2, n + 2, n + 2)).copy()
+    zer = np.zeros_like(u)
+    s0, sij = st.strain_rate(jnp.asarray(u), jnp.asarray(zer), jnp.asarray(zer),
+                             grid.dzci, grid.dzfi, float(n), float(n),
+                             with_sij=True)
+    np.testing.assert_allclose(np.asarray(sij[3]), a / 2, rtol=1e-12)  # S12
+    np.testing.assert_allclose(np.asarray(sij[0]), 0.0, atol=1e-12)    # S11
+    np.testing.assert_allclose(np.asarray(s0), a, rtol=1e-12)          # |S|
+
+
+def test_filter3d_separable_weights():
+    """filter3d must reproduce the 27-point (8,4,2,1)/64 trapezoidal weights
+    (sgs.f90:667-676)."""
+    rng = np.random.default_rng(0)
+    f = rng.standard_normal((6, 5, 7))
+    out = np.asarray(st.filter3d(jnp.asarray(f)))
+    # direct 27-point sum at one interior point
+    k, j, i = 3, 2, 4
+    w = {0: 8.0, 1: 4.0, 2: 2.0, 3: 1.0}
+    acc = 0.0
+    for dk in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            for di in (-1, 0, 1):
+                acc += w[abs(dk) + abs(dj) + abs(di)] * f[k + dk, j + dj, i + di]
+    np.testing.assert_allclose(out[k - 1, j - 1, i - 1], acc / 64.0, rtol=1e-12)
+
+
+def test_smag_triperiodic_matches_formula():
+    """No walls: visct = (Cs*Delta)^2 |S| exactly (sgs.f90:148-149, fd=1)."""
+    n = 12
+    cfg = Config(ng=(n, n, n), l=(1., 1., 1.), dtype='float64', sgstype='smag',
+                 cbcvel=((('P',) * 3,) * 3, (('P',) * 3,) * 3),
+                 cbcpre=(('P',) * 3, ('P',) * 3))
+    grid = make_grid_from_config(cfg)
+    setup = SGSSetup(cfg, grid, effective_cbcvel(cfg))
+    rng = np.random.default_rng(1)
+    f = rng.standard_normal((n, n, n))
+    fp = jnp.asarray(np.pad(f, 1, mode='wrap'))
+    visct = np.asarray(smag_visct(setup, cfg, grid, fp, fp * 0.3, fp * 0.1))
+    s0 = np.asarray(st.strain_rate(fp, fp * 0.3, fp * 0.1, grid.dzci,
+                                   grid.dzfi, float(n), float(n)))
+    delta = (cfg.dl[0] * cfg.dl[1] * grid.dzf[1]) ** (1 / 3)
+    np.testing.assert_allclose(visct, (C_SMAG * delta) ** 2 * s0, rtol=1e-12)
+
+
+def test_wallmodel_loglaw_fixed_point():
+    """Newton solve must satisfy u_par/u_tau = log(h u_tau / nu)/kappa + B to
+    high precision, and tau components align with (uh, vh)
+    (wmodel.f90:313-326)."""
+    visc = 1.0 / 20000.0
+    h = 0.1
+    uh = jnp.asarray(np.full((4, 4), 0.9))
+    vh = jnp.asarray(np.full((4, 4), 0.3))
+    t1, t2 = wallmodel_tauw(1, uh, vh, h, 2.0, visc)
+    upar = float(np.sqrt(0.9 ** 2 + 0.3 ** 2))
+    utau = float(np.sqrt(np.asarray(t1)[0, 0] ** 2 + np.asarray(t2)[0, 0] ** 2)
+                 ** 0.5)
+    resid = upar / utau - np.log(h * utau / visc) / KAP_LOG - B_LOG
+    assert abs(resid) < 1e-5
+    np.testing.assert_allclose(np.asarray(t2)[0, 0] / np.asarray(t1)[0, 0],
+                               0.3 / 0.9, rtol=1e-10)
+
+
+def test_wallmodel_laminar():
+    """Laminar wall model: tau_w = 2 u_max nu / delta with u_max from the
+    parabolic profile at the matching height (wmodel.f90:327-333)."""
+    visc = 0.01
+    h, l1d = 0.1, 2.0
+    uh = jnp.asarray(np.full((2, 2), 0.5))
+    vh = jnp.zeros((2, 2))
+    t1, t2 = wallmodel_tauw(-1, uh, vh, h, l1d, visc)
+    dl = 0.5 * l1d
+    umax = 0.5 / (h / dl * (2.0 - h / dl))
+    np.testing.assert_allclose(np.asarray(t1), 2.0 / dl * umax * visc, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(t2), 0.0, atol=1e-12)
