@@ -115,6 +115,8 @@ class Config:
     impdiff: bool = False                  # _IMPDIFF
     impdiff_1d: bool = False               # _IMPDIFF_1D (implies impdiff)
     dtype: str = 'float32'                 # _SINGLE_PRECISION analogue ('float32'|'float64')
+    zsolver: str = 'eig'                   # z direct solver: 'eig' (MXU matmul
+                                           # diagonalization) | 'thomas' (scan)
 
     def __post_init__(self):
         object.__setattr__(self, 'ng', _t3(self.ng))

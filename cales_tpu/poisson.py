@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,6 +53,48 @@ def tridmatrix(bc: str, n: int, dzci: np.ndarray, dzfi: np.ndarray,
     return a, b, c
 
 
+def _z_eigendecomposition(a, b, c, weights, periodic):
+    """Eigendecomposition of the z tridiagonal operator T (matrix
+    diagonalization method; replaces the sequential Thomas sweep with two
+    MXU matmuls along z — no loop-carried dependency on TPU).
+
+    T is similar to a symmetric matrix via D^{1/2} with D = diag(weights):
+    weights = dzf (cell-centered z) or dzc (face-centered z) make
+    (D T)_{k,k-1} == (D T)_{k-1,k}, so M = D^{1/2} T D^{-1/2} is symmetric
+    and T = D^{-1/2} Q L Q^T D^{1/2} with Q orthonormal from eigh
+    (numerically stable for stretched grids).  If the similarity fails (e.g.
+    periodic z with a non-periodic stretching), falls back to a general
+    eigendecomposition.
+
+    Returns (Vl, Vr, lamz) float64 with solve((T + s I) x = r) as
+    x = Vr @ (Vl @ r / (lamz + s)).
+    """
+    n = len(b)
+    T = np.zeros((n, n))
+    for k in range(n):
+        T[k, k] = b[k]
+        if k > 0:
+            T[k, k - 1] = a[k]
+        if k < n - 1:
+            T[k, k + 1] = c[k]
+    if periodic:
+        T[0, n - 1] = a[0]
+        T[n - 1, 0] = c[n - 1]
+    d = np.sqrt(weights[1:n + 1])
+    M = (d[:, None] * T) / d[None, :]
+    if np.allclose(M, M.T, rtol=1e-12, atol=1e-12):
+        lamz, Q = np.linalg.eigh(0.5 * (M + M.T))
+        Vl = Q.T * d[None, :]          # Q^T D^{1/2}
+        Vr = Q / d[:, None]            # D^{-1/2} Q
+    else:
+        lam_c, V = np.linalg.eig(T)
+        idx = np.argsort(lam_c.real)
+        lamz = lam_c.real[idx]
+        Vr = V.real[:, idx] if np.abs(V.imag).max() < 1e-12 else V[:, idx].real
+        Vl = np.linalg.inv(Vr)
+    return Vl, Vr, lamz
+
+
 @dataclass(frozen=True)
 class DirectSolver:
     """Prebuilt direct solver for one field (pressure or a velocity component)."""
@@ -67,6 +110,11 @@ class DirectSolver:
     c: np.ndarray
     lamx: np.ndarray       # scaled by dxi^2, full-length float64
     lamy: np.ndarray       # scaled by dyi^2
+    # z eigen-solver operators (matrix diagonalization method)
+    zVl: np.ndarray | None = None    # (nzs, nzs)
+    zVr: np.ndarray | None = None
+    lamz: np.ndarray | None = None   # (nzs,)
+    zsolver: str = 'eig'             # 'eig' (MXU matmuls) | 'thomas' (scan)
 
     @property
     def qz(self) -> int:
@@ -74,7 +122,8 @@ class DirectSolver:
         return 1 if (self.c_or_f[2] == 'f' and self.bcz[1] == 'D') else 0
 
 
-def make_solver(cfg: Config, grid: Grid, cbc, c_or_f) -> DirectSolver:
+def make_solver(cfg: Config, grid: Grid, cbc, c_or_f,
+                zsolver: str = 'eig') -> DirectSolver:
     """cbc: per-direction BC pairs [(lo,hi) x 3] as two-letter strings."""
     nx, ny, nz = cfg.ng
     dli = cfg.dli
@@ -83,9 +132,15 @@ def make_solver(cfg: Config, grid: Grid, cbc, c_or_f) -> DirectSolver:
     a, b, c = tridmatrix(cbc[2], nz, grid.dzci, grid.dzfi, c_or_f[2])
     lamx = trx.lam * dli[0] ** 2
     lamy = try_.lam * dli[1] ** 2
+    qz = 1 if (c_or_f[2] == 'f' and cbc[2][1] == 'D') else 0
+    nzs = nz - qz
+    weights = grid.dzf if c_or_f[2] == 'c' else grid.dzc
+    zVl, zVr, lamz = _z_eigendecomposition(a[:nzs], b[:nzs], c[:nzs],
+                                           weights, cbc[2] == 'PP')
     return DirectSolver(ng=cfg.ng, c_or_f=tuple(c_or_f), bcx=cbc[0], bcy=cbc[1],
                         bcz=cbc[2], trx=trx, try_=try_, a=a, b=b, c=c,
-                        lamx=lamx, lamy=lamy)
+                        lamx=lamx, lamy=lamy, zVl=zVl, zVr=zVr, lamz=lamz,
+                        zsolver=zsolver)
 
 
 def solve(sv: DirectSolver, p, alpha=None, hints=None):
@@ -118,27 +173,54 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None):
     if hints is not None:
         body = hints.z_local(body)
 
-    # eigenvalue grids matching the spectral shape
-    lamx = sv.lamx[: nx // 2 + 1] if x_was_fft else sv.lamx
-    lamy = sv.lamy[: ny // 2 + 1] if y_was_rfft else sv.lamy
-    lamxy = lamy[:, None] + lamx[None, :]
+    # eigenvalue grids matching the spectral shape; assembled in-trace from
+    # the 1D profiles (a precomputed 2D/3D grid would inline as a huge literal)
+    rdt0 = body.real.dtype if jnp.iscomplexobj(body) else body.dtype
+    lamx_np = sv.lamx[: nx // 2 + 1] if x_was_fft else sv.lamx
+    lamy_np = sv.lamy[: ny // 2 + 1] if y_was_rfft else sv.lamy
+    lamxy = (jnp.asarray(lamy_np, dtype=rdt0)[:, None]
+             + jnp.asarray(lamx_np, dtype=rdt0)[None, :])
 
-    # tridiagonal z-sweep with modified-wavenumber diagonal shift
-    a, b, c = sv.a, sv.b, sv.c
-    lam = lamxy
-    if alpha is not None:
-        a = a * alpha
-        b = b * alpha + 1.0
-        c = c * alpha
-        lam = lamxy * alpha
+    # z-direction solve with modified-wavenumber diagonal shift
     qz = sv.qz
     zbody = body[: nz - qz]
-    lam_j = jnp.asarray(lam, dtype=zbody.real.dtype if jnp.iscomplexobj(zbody)
-                        else zbody.dtype)
-    if sv.bcz == 'PP':
-        zsol = thomas_periodic(a, b, c, zbody, lam=lam_j)
+    rdt = zbody.real.dtype if jnp.iscomplexobj(zbody) else zbody.dtype
+    if sv.zsolver == 'eig':
+        # matrix diagonalization method: two MXU matmuls along z instead of a
+        # sequential Thomas sweep (see _z_eigendecomposition)
+        Vl = jnp.asarray(sv.zVl, dtype=rdt)
+        Vr = jnp.asarray(sv.zVr, dtype=rdt)
+        lamz_j = jnp.asarray(sv.lamz, dtype=rdt)
+        lam3 = lamz_j[:, None, None] + lamxy[None, :, :]
+        if alpha is not None:
+            den = lam3 * alpha + 1.0
+            inv = 1.0 / den
+        else:
+            # project out the (exactly) singular constant mode instead of the
+            # reference's eps-regularized pivot (solver.f90:165-169)
+            scale = float(np.abs(sv.lamz).max()
+                          + np.abs(lamx_np).max() + np.abs(lamy_np).max())
+            tol = np.finfo(np.dtype(rdt)).eps * scale * 4.0
+            inv = jnp.where(jnp.abs(lam3) > tol, 1.0 / lam3, 0.0)
+        prec = jax.lax.Precision.HIGHEST
+        hat = jnp.tensordot(Vl, zbody, axes=(1, 0), precision=prec)
+        hat = hat * inv
+        zsol = jnp.tensordot(Vr, hat, axes=(1, 0), precision=prec)
+        zsol = zsol.astype(zbody.dtype)
     else:
-        zsol = thomas(a[: nz - qz], b[: nz - qz], c[: nz - qz], zbody, lam=lam_j)
+        a, b, c = sv.a, sv.b, sv.c
+        lam = lamxy
+        if alpha is not None:
+            a = a * alpha
+            b = b * alpha + 1.0
+            c = c * alpha
+            lam = lamxy * alpha
+        lam_j = jnp.asarray(lam, dtype=rdt)
+        if sv.bcz == 'PP':
+            zsol = thomas_periodic(a, b, c, zbody, lam=lam_j)
+        else:
+            zsol = thomas(a[: nz - qz], b[: nz - qz], c[: nz - qz], zbody,
+                          lam=lam_j)
     body = jnp.concatenate([zsol, body[nz - qz:]], axis=0) if qz else zsol
 
     # inverse transforms: y then x
@@ -164,15 +246,25 @@ def solve_z_only(sv: DirectSolver, p, alpha):
     """z-implicit-only Helmholtz solve (I + alpha*Lz) p = rhs with no x/y
     transforms (solver_gaussel_z, solver.f90:182-233; the _IMPDIFF_1D path)."""
     nz = p.shape[0]
-    a = sv.a * alpha
-    b = sv.b * alpha + 1.0
-    c = sv.c * alpha
     qz = sv.qz
     zbody = p[: nz - qz]
-    if sv.bcz == 'PP':
-        zsol = thomas_periodic(a, b, c, zbody)
+    if sv.zsolver == 'eig':
+        rdt = zbody.dtype
+        Vl = jnp.asarray(sv.zVl, dtype=rdt)
+        Vr = jnp.asarray(sv.zVr, dtype=rdt)
+        inv = 1.0 / (jnp.asarray(sv.lamz, dtype=rdt) * alpha + 1.0)
+        prec = jax.lax.Precision.HIGHEST
+        hat = jnp.tensordot(Vl, zbody, axes=(1, 0), precision=prec)
+        hat = hat * inv[:, None, None]
+        zsol = jnp.tensordot(Vr, hat, axes=(1, 0), precision=prec).astype(rdt)
     else:
-        zsol = thomas(a[: nz - qz], b[: nz - qz], c[: nz - qz], zbody)
+        a = sv.a * alpha
+        b = sv.b * alpha + 1.0
+        c = sv.c * alpha
+        if sv.bcz == 'PP':
+            zsol = thomas_periodic(a, b, c, zbody)
+        else:
+            zsol = thomas(a[: nz - qz], b[: nz - qz], c[: nz - qz], zbody)
     return jnp.concatenate([zsol, p[nz - qz:]], axis=0) if qz else zsol
 
 

@@ -62,7 +62,8 @@ class Simulation:
         nx, ny, nz = cfg.ng
 
         # Poisson solver for the pressure correction (initsolver, main.f90:312)
-        self.solver_p = poisson.make_solver(cfg, grid, cbcpre_pairs, ('c', 'c', 'c'))
+        self.solver_p = poisson.make_solver(cfg, grid, cbcpre_pairs, ('c', 'c', 'c'),
+                                            zsolver=cfg.zsolver)
         # static BC value planes (initbc, bound.f90:726-806)
         by_dir = lambda vals: tuple(tuple(vals[ib][idir] for ib in range(2))
                                     for idir in range(3))
@@ -88,7 +89,8 @@ class Simulation:
                 cbc = tuple(self.cbcvel[0][d][ivel] + self.cbcvel[1][d][ivel]
                             for d in range(3))
                 self.solver_vel.append(
-                    poisson.make_solver(cfg, grid, cbc, self.c_or_f[ivel]))
+                    poisson.make_solver(cfg, grid, cbc, self.c_or_f[ivel],
+                                        zsolver=cfg.zsolver))
         # SGS setup
         self.sgs_setup = sgsmod.SGSSetup(cfg, grid, self.cbcvel)
         # bulk-forcing volume weights (main.f90:282-283)

@@ -116,3 +116,33 @@ def test_poisson_periodic_z():
     res = lap - rhs
     res -= res.mean()
     np.testing.assert_allclose(res, 0.0, atol=1e-9)
+
+
+def test_eig_matches_thomas():
+    """The MXU matrix-diagonalization z-solver must agree with the Thomas
+    scan to machine precision (both paths kept; eig is the TPU default)."""
+    ng = (16, 12, 10)
+    cfg = Config(ng=ng, l=(1.3, 0.9, 2.0), gtype=1, gr=0.8, dtype='float64')
+    grid = make_grid(cfg.gtype, ng[2], cfg.gr, cfg.l[2])
+    rng = np.random.default_rng(5)
+    rhs = rng.standard_normal((ng[2], ng[1], ng[0]))
+    w = grid.dzf[1:ng[2] + 1]
+    for cbc, cf in ((('PP', 'PP', 'NN'), ('c', 'c', 'c')),
+                    (('PP', 'PP', 'PP'), ('c', 'c', 'c')),
+                    (('PP', 'PP', 'DD'), ('c', 'c', 'f'))):
+        if 'D' not in (cbc[2] + cbc[0] + cbc[1]):
+            # compatible (dzf-weighted zero-mean) RHS: with an incompatible
+            # RHS the eps-pivot (thomas) and null-space projection (eig)
+            # legitimately differ in the singular column
+            wm = (rhs * w[:, None, None]).sum() / (w.sum() * ng[0] * ng[1])
+            r = rhs - wm
+        else:
+            r = rhs
+        sv_e = make_solver(cfg, grid, cbc, cf, zsolver='eig')
+        sv_t = make_solver(cfg, grid, cbc, cf, zsolver='thomas')
+        pe = np.asarray(solve(sv_e, jnp.asarray(r)))
+        pt = np.asarray(solve(sv_t, jnp.asarray(r)))
+        if 'D' not in cbc[2] + cbc[0] + cbc[1]:
+            pe = pe - pe.mean()
+            pt = pt - pt.mean()
+        np.testing.assert_allclose(pe, pt, atol=2e-9)
