@@ -63,3 +63,31 @@ def gen_alias(datadir, filename, alias='fld.bin'):
     if link.is_symlink() or link.exists():
         link.unlink()
     link.symlink_to(filename)
+
+
+def save_field_hdf5(path, name, f, time=0.0, istep=0, zc=None):
+    """Optional HDF5 single-field output with grid/time metadata
+    (io_field_hdf5, load.f90:537-673; gated on h5py availability like the
+    reference's _USE_HDF5 build flag)."""
+    try:
+        import h5py
+    except ImportError as e:
+        raise RuntimeError('h5py not available; HDF5 output disabled') from e
+    f = np.asarray(f)
+    with h5py.File(path, 'w') as h:
+        d = h.create_dataset(name, data=f)
+        d.attrs['time'] = time
+        d.attrs['istep'] = istep
+        if zc is not None:
+            h.create_dataset('zc', data=np.asarray(zc))
+
+
+def load_field_hdf5(path, name):
+    try:
+        import h5py
+    except ImportError as e:
+        raise RuntimeError('h5py not available; HDF5 input disabled') from e
+    with h5py.File(path, 'r') as h:
+        d = h[name]
+        return np.asarray(d), float(d.attrs.get('time', 0.0)), \
+            int(d.attrs.get('istep', 0))

@@ -103,3 +103,30 @@ def single_point_chan(fname, cfg, grid, u, v, w, p, visct):
             f.write(' '.join(f'{v:24.16e}' for v in row) + '\n')
     out.astype(np.float64).T.tofile(str(fname) + '.bin')
     return out
+
+
+def duct_stats_2d(fname, cfg, grid, u, v, w):
+    """Streamwise(x)-averaged duct statistics on the (y, z) cross-section
+    (out2d_duct, output.f90:406-507): mean velocities and second moments."""
+    u, v, w = map(np.asarray, (u, v, w))
+    nz, ny, nx = u.shape
+    m = lambda f: f.mean(axis=2)           # (nz, ny)
+    cols = {
+        'um': m(u), 'vm': m(v), 'wm': m(w),
+        'uu': m(u ** 2) - m(u) ** 2,
+        'vv': m(v ** 2) - m(v) ** 2,
+        'ww': m(w ** 2) - m(w) ** 2,
+        'vw': m(v * w) - m(v) * m(w),
+    }
+    order = ['um', 'vm', 'wm', 'uu', 'vv', 'ww', 'vw']
+    arr = np.stack([cols[k] for k in order])   # (7, nz, ny)
+    arr.astype(np.float64).tofile(str(fname) + '.bin')
+    yc = (np.arange(ny) + 0.5) * cfg.dl[1]
+    zc = grid.zc[1:nz + 1]
+    with open(str(fname) + '.out', 'w') as f:
+        f.write('# y z ' + ' '.join(order) + '\n')
+        for k in range(nz):
+            for j in range(ny):
+                row = [yc[j], zc[k]] + [arr[q, k, j] for q in range(len(order))]
+                f.write(' '.join(f'{x:16.7e}' for x in row) + '\n')
+    return arr

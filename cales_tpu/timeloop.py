@@ -194,8 +194,9 @@ class Simulation:
         sp = self._pad_s(visct)
 
         # momentum RHS + explicit/implicit split (rk.f90:74-75, mom.f90:277-303)
-        (eu, exyu, ezu), (ev, exyv, ezv), (ew, exyw, ezw) = st.momentum_rhs(
-            up, vp, wp, sp, visc, dxi, dyi, dzci, dzfi)
+        with jax.named_scope('momentum_rhs'):
+            (eu, exyu, ezu), (ev, exyv, ezv), (ew, exyw, ezw) = st.momentum_rhs(
+                up, vp, wp, sp, visc, dxi, dyi, dzci, dzfi)
         if not cfg.impdiff:
             ru, rv, rw = eu + exyu + ezu, ev + exyv + ezv, ew + exyw + ezw
             rud = rvd = rwd = None
@@ -266,10 +267,11 @@ class Simulation:
         up, vp, wp, vlo = self._pad_vel(u, v, w, bcu, bcv, bcw, is_correc=False)
 
         # projection (main.f90:495-499)
-        rhs = st.fillps(up, vp, wp, 1.0 / dtrk, dxi, dyi, dzfi)
-        rhs = poisson.add_rhs_bound(cfg, ('c', 'c', 'c'), self.cbcpre, rhs,
-                                    self.rhsb_p)
-        pp = poisson.solve(self.solver_p, rhs, hints=self.hints)
+        with jax.named_scope('poisson'):
+            rhs = st.fillps(up, vp, wp, 1.0 / dtrk, dxi, dyi, dzfi)
+            rhs = poisson.add_rhs_bound(cfg, ('c', 'c', 'c'), self.cbcpre, rhs,
+                                        self.rhsb_p)
+            pp = poisson.solve(self.solver_p, rhs, hints=self.hints)
         pppad = self._pad_p(pp)
         u, v, w, vlo = st.correc(up, vp, wp, pppad, dtrk, dxi, dyi, dzci)
 
@@ -284,7 +286,8 @@ class Simulation:
                        dxi, dyi, dzci, dzfi)
 
         # SGS eddy viscosity (main.f90:504-506)
-        visct = self._compute_sgs(up, vp, wp)
+        with jax.named_scope('sgs'):
+            visct = self._compute_sgs(up, vp, wp)
 
         return state._replace(u=u, v=v, w=w, p=p, visct=visct, vlo=vlo,
                               rhs_old=rhs_old), dpdl
