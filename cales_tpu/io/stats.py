@@ -130,3 +130,131 @@ def duct_stats_2d(fname, cfg, grid, u, v, w):
                 row = [yc[j], zc[k]] + [arr[q, k, j] for q in range(len(order))]
                 f.write(' '.join(f'{x:16.7e}' for x in row) + '\n')
     return arr
+
+
+def reystr_budget_chan(fname, cfg, grid, u, v, w, p):
+    """MKE and Reynolds-stress budget terms, 38 plane-averaged quantities per
+    z level (out1d_single_point_chan second block, output.f90:703-1009):
+    MKE work/transport terms, uu/vv/ww/uw transport, pressure-strain and
+    dissipation contributions, plus the split dissipation components.
+    Writes fname_reystr_budget.{out,bin} like the reference."""
+    u, v, w, p = map(np.asarray, (u, v, w, p))
+    nz, ny, nx = u.shape
+    dl = cfg.dl
+    dzc = grid.dzc
+    dzf = grid.dzf
+
+    def padp(f):
+        f = np.concatenate([f[:, :, -1:], f, f[:, :, :1]], axis=2)
+        f = np.concatenate([f[:, -1:, :], f, f[:, :1, :]], axis=1)
+        f = np.concatenate([f[:1], f, f[-1:]], axis=0)
+        return f
+
+    up, vp, wp, pp = map(padp, (u, v, w, p))
+    C = lambda f, k=0, j=0, i=0: f[1 + k:1 + k + nz, 1 + j:1 + j + ny,
+                                   1 + i:1 + i + nx]
+    dzc_k = dzc[1:nz + 1][:, None, None]
+    dzc_km = dzc[0:nz][:, None, None]
+    dzf_k = dzf[1:nz + 1][:, None, None]
+    dzf_kp = dzf[2:nz + 2][:, None, None]
+    dx, dy = dl[0], dl[1]
+    mean = lambda f: f.mean(axis=(1, 2))
+
+    uc, ucp1 = C(up), C(up, k=1)
+    ucm1, ukm = C(up, k=-1), C(up, i=-1)
+    b = np.zeros((38, nz))
+    # MKE terms (output.f90:756-773)
+    b[0] = mean(uc)
+    b[1] = mean(0.5 * (uc + ucp1))
+    b[2] = mean((ucp1 - uc) / dzc_k)
+    b[3] = mean((ucp1 ** 2 - uc ** 2) / dzc_k)
+    b[4] = mean(0.25 * (ucp1 + uc) * (C(wp) + C(wp, i=1)))
+    b[5] = mean(0.25 * (ukm + uc) * (C(wp) + C(wp, k=-1)))
+    dudz_c = 0.25 * ((ucp1 - uc) / dzc_k + (uc - ucm1) / dzc_km
+                     + (C(up, k=1, i=-1) - ukm) / dzc_k
+                     + (ukm - C(up, k=-1, i=-1)) / dzc_km)
+    b[6] = mean(dudz_c)
+    # uu terms (output.f90:775-806)
+    b[7] = mean(0.125 * (ucp1 + uc) ** 2 * (C(wp) + C(wp, i=1)))
+    b[8] = mean(C(pp))
+    b[9] = mean((uc - ukm) / dx * C(pp))
+    b[10] = mean(((uc - ukm) / dx) ** 2
+                 + 0.25 * (((C(up, j=1) - uc) / dy) ** 2
+                           + ((uc - C(up, j=-1)) / dy) ** 2
+                           + ((C(up, j=1, i=-1) - ukm) / dy) ** 2
+                           + ((ukm - C(up, j=-1, i=-1)) / dy) ** 2)
+                 + 0.25 * (((ucp1 - uc) / dzc_k) ** 2
+                           + ((uc - ucm1) / dzc_km) ** 2
+                           + ((C(up, k=1, i=-1) - ukm) / dzc_k) ** 2
+                           + ((ukm - C(up, k=-1, i=-1)) / dzc_km) ** 2))
+    # vv terms (output.f90:808-836)
+    vc, vcp1, vjm = C(vp), C(vp, k=1), C(vp, j=-1)
+    b[11] = mean((vcp1 ** 2 - vc ** 2) / dzc_k)
+    b[12] = mean(0.125 * (vcp1 + vc) ** 2 * (C(wp) + C(wp, j=1)))
+    b[13] = mean((vc - vjm) / dy * C(pp))
+    b[14] = mean(0.25 * (((C(vp, i=1) - vc) / dx) ** 2
+                         + ((vc - C(vp, i=-1)) / dx) ** 2
+                         + ((C(vp, i=1, j=-1) - vjm) / dx) ** 2
+                         + ((vjm - C(vp, i=-1, j=-1)) / dx) ** 2)
+                 + ((vc - vjm) / dy) ** 2
+                 + 0.25 * (((vcp1 - vc) / dzc_k) ** 2
+                           + ((vc - C(vp, k=-1)) / dzc_km) ** 2
+                           + ((C(vp, k=1, j=-1) - vjm) / dzc_k) ** 2
+                           + ((vjm - C(vp, k=-1, j=-1)) / dzc_km) ** 2))
+    # ww terms (output.f90:838-866)
+    wc, wcp1, wcm1 = C(wp), C(wp, k=1), C(wp, k=-1)
+    b[15] = mean(0.5 * ((wcp1 ** 2 - wc ** 2) / dzf_kp
+                        + (wc ** 2 - wcm1 ** 2) / dzf_k))
+    b[16] = mean(wc ** 3)
+    b[17] = mean(wc * 0.5 * (C(pp, k=1) + C(pp)))
+    b[18] = mean((wc - wcm1) / dzf_k * C(pp))
+    b[19] = mean(0.25 * (((C(wp, i=1) - wc) / dx) ** 2
+                         + ((wc - C(wp, i=-1)) / dx) ** 2
+                         + ((C(wp, i=1, k=-1) - wcm1) / dx) ** 2
+                         + ((wcm1 - C(wp, i=-1, k=-1)) / dx) ** 2)
+                 + 0.25 * (((C(wp, j=1) - wc) / dy) ** 2
+                           + ((wc - C(wp, j=-1)) / dy) ** 2
+                           + ((C(wp, j=1, k=-1) - wcm1) / dy) ** 2
+                           + ((wcm1 - C(wp, j=-1, k=-1)) / dy) ** 2)
+                 + ((wc - wcm1) / dzf_k) ** 2)
+    # uw terms (output.f90:868-925)
+    b[20] = mean(0.5 * (wc ** 2 + wcm1 ** 2))
+    b[21] = mean((0.25 * (wc + wcp1 + C(wp, k=1, i=1) + C(wp, i=1)) * ucp1
+                  - 0.25 * (wc + wcm1 + C(wp, k=-1, i=1) + C(wp, i=1)) * uc)
+                 / dzc_k)
+    b[22] = mean(wc ** 2)
+    b[23] = mean(0.125 * (ucp1 + uc) * (wc + C(wp, i=1)) ** 2)
+    b[24] = mean(0.5 * (C(pp, k=1) + C(pp)))
+    b[25] = mean(0.25 * (uc + ucp1 + C(up, k=1, i=-1) + ukm)
+                 * 0.5 * (C(pp, k=1) + C(pp)))
+    dwdx_c = 0.25 * ((C(wp, i=1) - wc) / dx + (wc - C(wp, i=-1)) / dx
+                     + (C(wp, i=1, k=-1) - wcm1) / dx
+                     + (wcm1 - C(wp, i=-1, k=-1)) / dx)
+    b[26] = mean(dudz_c * C(pp) + dwdx_c * C(pp))
+    dudy_c = 0.25 * ((C(up, j=1) - uc) / dy + (uc - C(up, j=-1)) / dy
+                     + (C(up, j=1, i=-1) - ukm) / dy
+                     + (ukm - C(up, j=-1, i=-1)) / dy)
+    dwdy_c = 0.25 * ((C(wp, j=1) - wc) / dy + (wc - C(wp, j=-1)) / dy
+                     + (C(wp, j=1, k=-1) - wcm1) / dy
+                     + (wcm1 - C(wp, j=-1, k=-1)) / dy)
+    b[27] = mean((uc - ukm) / dx * dwdx_c + dudy_c * dwdy_c
+                 + dudz_c * (wc - wcm1) / dzf_k)
+    # split dissipation contributions (output.f90:927-948)
+    b[28] = mean((ucp1 - uc) / dzc_k)
+    b[29] = mean(((uc - ukm) / dx) ** 2)
+    b[30] = mean(((C(up, j=1) - uc) / dy) ** 2)
+    b[31] = mean(((ucp1 - uc) / dzc_k) ** 2)
+    b[32] = mean(((C(vp, i=1) - vc) / dx) ** 2)
+    b[33] = mean(((vc - vjm) / dy) ** 2)
+    b[34] = mean(((vcp1 - vc) / dzc_k) ** 2)
+    b[35] = mean(((C(wp, i=1) - wc) / dx) ** 2)
+    b[36] = mean(((C(wp, j=1) - wc) / dy) ** 2)
+    b[37] = mean(((wc - wcm1) / dzf_k) ** 2)
+
+    zc, zf = grid.zc, grid.zf
+    with open(str(fname) + '_reystr_budget.out', 'w') as f:
+        for k in range(nz):
+            row = [zc[k + 1], zf[k + 1], *b[:, k], dzc[k + 1], dzf[k + 1]]
+            f.write(' '.join(f'{v:24.16e}' for v in row) + '\n')
+    b.astype(np.float64).T.tofile(str(fname) + '_reystr_budget.bin')
+    return b

@@ -90,3 +90,17 @@ def test_single_point_chan_stats(tmp_path):
     np.testing.assert_allclose(out[3], (u ** 2).mean(axis=(1, 2)))
     assert (tmp_path / 'stats.out').exists()
     assert (tmp_path / 'stats.bin').exists()
+
+
+def test_reystr_budget_chan(tmp_path):
+    cfg = Config(ng=(8, 6, 10), l=(1., 1., 2.), dtype='float64')
+    grid = make_grid_from_config(cfg)
+    rng = np.random.default_rng(3)
+    nz, ny, nx = 10, 6, 8
+    u, v, w, p = (rng.standard_normal((nz, ny, nx)) for _ in range(4))
+    b = stats.reystr_budget_chan(tmp_path / 'stats', cfg, grid, u, v, w, p)
+    assert b.shape == (38, nz)
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b[0], u.mean(axis=(1, 2)))
+    np.testing.assert_allclose(b[8], p.mean(axis=(1, 2)))
+    assert (tmp_path / 'stats_reystr_budget.out').exists()
