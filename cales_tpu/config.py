@@ -118,6 +118,17 @@ class Config:
     zsolver: str = 'eig'                   # z direct solver: 'eig' (MXU matmul
                                            # diagonalization) | 'thomas' (scan)
 
+    # --- passive scalar (reference ships scal.f90/rk_scal unwired;
+    #     here it is an opt-in part of the time loop) ---
+    scalar: bool = False
+    pr: float = 1.0                        # Prandtl number (alpha = visc/pr)
+    iniscal: str = 'zer'                   # 'zer' | 'uni'
+    cbcscal: tuple = (('P', 'P', 'N'), ('P', 'P', 'N'))
+    bcscal: tuple = ((0., 0., 0.), (0., 0., 0.))
+    ssource: float = 0.0
+    is_sforced: bool = False
+    scalf: float = 0.0
+
     def __post_init__(self):
         object.__setattr__(self, 'ng', _t3(self.ng))
         object.__setattr__(self, 'l', _t3(self.l))

@@ -27,6 +27,7 @@ from .ops import boundary as bnd
 from .ops import stencil as st
 from . import sgs as sgsmod
 from . import wallmodel as wm
+from . import scal as scalmod
 
 
 class State(NamedTuple):
@@ -39,6 +40,8 @@ class State(NamedTuple):
     rhs_old: Any      # (du, dv, dw) previous-substep explicit RHS
     time: Any
     istep: Any
+    s: Any = None         # optional passive scalar (scal.f90)
+    dsdt_old: Any = None  # previous-substep scalar RHS (rk.f90:149-150)
 
 
 class Simulation:
@@ -111,9 +114,16 @@ class Simulation:
         nx, ny, nz = self.cfg.ng
         vlo = (jnp.zeros((nz + 2, ny + 2), dt), jnp.zeros((nz + 2, nx + 2), dt),
                jnp.zeros((ny + 2, nx + 2), dt))
+        sfield = None
+        ds_old = None
+        if self.cfg.scalar:
+            sfield = (jnp.ones_like(u) if self.cfg.iniscal == 'uni'
+                      else jnp.zeros_like(u))
+            ds_old = jnp.zeros_like(u)
         st0 = State(u=u, v=v, w=w, p=p, visct=zeros, vlo=vlo,
                     rhs_old=(zeros, zeros, zeros),
-                    time=jnp.zeros((), dt), istep=jnp.zeros((), jnp.int32))
+                    time=jnp.zeros((), dt), istep=jnp.zeros((), jnp.int32),
+                    s=sfield, dsdt_old=ds_old)
         return self._init_jit(st0)
 
     def _init_impl(self, st0: State):
@@ -153,6 +163,13 @@ class Simulation:
     def _pad_s(self, s):
         cbcs = tuple((self.cfg.cbcsgs[0][d], self.cfg.cbcsgs[1][d]) for d in range(3))
         return bnd.pad_scalar(s, cbcs, self.bcs_vals, self.cfg.dl, self.grid.dzc)
+
+    def _pad_scal(self, s):
+        cfg = self.cfg
+        cbcs = tuple((cfg.cbcscal[0][d], cfg.cbcscal[1][d]) for d in range(3))
+        by_dir = tuple(tuple(float(cfg.bcscal[ib][idir]) for ib in range(2))
+                       for idir in range(3))
+        return bnd.pad_scalar(s, cbcs, by_dir, cfg.dl, self.grid.dzc)
 
     def _compute_sgs(self, up, vp, wp):
         cfg = self.cfg
@@ -206,6 +223,18 @@ class Simulation:
         else:
             ru, rv, rw = eu, ev, ew
             rud, rvd, rwd = exyu + ezu, exyv + ezv, exyw + ezw
+
+        # passive scalar advance with the beginning-of-substep velocity
+        # (rk_scal, rk.f90:123-195)
+        scal_state = None
+        if cfg.scalar:
+            spad = self._pad_scal(state.s)
+            dsdt = scalmod.scalar_rhs(up, vp, wp, spad, cfg.visc / cfg.pr,
+                                      dxi, dyi, dzci, dzfi)
+            s_new = state.s + f1 * dsdt + f2 * state.dsdt_old + f12 * cfg.ssource
+            if cfg.is_sforced:
+                s_new = s_new + (cfg.scalf - st.bulk_mean(s_new, self.gvr_f))
+            scal_state = (s_new, dsdt)
 
         # RK update with pressure gradient + body force (rk.f90:77-94)
         dzci_c = jnp.asarray(dzci[1:u.shape[0] + 1])[:, None, None]
@@ -289,8 +318,10 @@ class Simulation:
         with jax.named_scope('sgs'):
             visct = self._compute_sgs(up, vp, wp)
 
-        return state._replace(u=u, v=v, w=w, p=p, visct=visct, vlo=vlo,
-                              rhs_old=rhs_old), dpdl
+        upd = dict(u=u, v=v, w=w, p=p, visct=visct, vlo=vlo, rhs_old=rhs_old)
+        if cfg.scalar:
+            upd['s'], upd['dsdt_old'] = scal_state
+        return state._replace(**upd), dpdl
 
     def _step_impl(self, state: State, dt):
         """One full time step = 3 RK substeps (main.f90:417-507), one XLA

@@ -104,3 +104,42 @@ def test_reystr_budget_chan(tmp_path):
     np.testing.assert_allclose(b[0], u.mean(axis=(1, 2)))
     np.testing.assert_allclose(b[8], p.mean(axis=(1, 2)))
     assert (tmp_path / 'stats_reystr_budget.out').exists()
+
+
+def test_restart_continuation(tmp_path):
+    """Run 6 steps straight vs 3 + checkpoint/restart + 3: fields must agree
+    (the reference's 'set icheck=1 to verify restart' recipe, main.f90:524;
+    the first post-restart substep has f2=0 so the zeroed old-RHS buffers do
+    not enter, rk.f90:57-61 + param.f90:27-29)."""
+    import jax.numpy as jnp
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    cfg = Config(ng=(16, 12, 12), l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=0.9,
+                 visci=500.0, inivel='log', is_wallturb=True, dtype='float64',
+                 is_forced=(True, False, False), velf=(1.0, 0.0, 0.0))
+    grid = make_grid_from_config(cfg)
+    sim = Simulation(cfg, grid)
+    s0 = sim.initial_state(*initflow(cfg, grid))
+    dt = 2e-3
+
+    sA = s0
+    for _ in range(6):
+        sA, _ = sim.step(sA, dt)
+
+    sB = s0
+    for _ in range(3):
+        sB, _ = sim.step(sB, dt)
+    path = tmp_path / 'fld.bin'
+    ckpt.save_checkpoint(path, np.asarray(sB.u), np.asarray(sB.v),
+                         np.asarray(sB.w), np.asarray(sB.p),
+                         float(sB.time), int(sB.istep))
+    u, v, w, p, t, i = ckpt.load_checkpoint(path, cfg.ng, np.float64)
+    sC = sim.initial_state(u, v, w, p)
+    sC = sC._replace(time=sC.time + t, istep=sC.istep + i)
+    for _ in range(3):
+        sC, _ = sim.step(sC, dt)
+
+    np.testing.assert_allclose(np.asarray(sC.u), np.asarray(sA.u), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sC.w), np.asarray(sA.w), atol=1e-12)
+    assert int(sC.istep) == int(sA.istep) == 6
