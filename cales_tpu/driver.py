@@ -48,6 +48,15 @@ def run(cfg: Config, datadir='data', mesh=None, verbose=True,
         if not (grid.zc[1] < cfg.hwm < grid.zc[cfg.ng[2]]):
             raise ValueError('hwm outside the first..last cell-center band')
 
+    if mesh is None and cfg.dims[0] * cfg.dims[1] > 1:
+        # namelist-driven decomposition (initmpi.f90:56-73): dims = (gy, gx)
+        import jax as _jax
+        from .parallel.mesh import make_mesh
+        if len(_jax.devices()) >= cfg.dims[0] * cfg.dims[1]:
+            mesh = make_mesh(cfg.dims)
+        else:
+            log(verbose, f'WARNING: dims={cfg.dims} needs more devices than '
+                         f'available; running single-device')
     sim = Simulation(cfg, grid, mesh=mesh)
     out.write_grid_files(datadir, cfg, grid)
 
