@@ -1,0 +1,122 @@
+"""Flow-case Config builders (see package docstring)."""
+from __future__ import annotations
+
+import math
+
+from ..config import Config
+
+PI = math.pi
+
+_P3 = (('P',) * 3,) * 3
+_PERIODIC = dict(cbcvel=(_P3, _P3),
+                 cbcpre=(('P',) * 3, ('P',) * 3),
+                 cbcsgs=(('P',) * 3, ('P',) * 3))
+_CHAN_V = (('P', 'P', 'D'),) * 3
+_CHANNEL = dict(cbcvel=(_CHAN_V, _CHAN_V),
+                cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
+                cbcsgs=(('P', 'P', 'N'), ('P', 'P', 'N')))
+
+
+def triperiodic_dns(ng=(64, 64, 64), l=(1., 1., 1.), visci=1000., **kw):
+    """Decaying isotropic turbulence box (examples/dns/triperiodic)."""
+    return Config(ng=ng, l=l, visci=visci, inivel='zer', **_PERIODIC, **kw)
+
+
+def taylor_green_2d(ng=(64, 64, 8), visci=100., **kw):
+    """2D Taylor-Green with analytic decay (dns/taylor_green_vortex_2d)."""
+    return Config(ng=ng, l=(2 * PI, 2 * PI, 1.), visci=visci, inivel='tgw',
+                  **_PERIODIC, **kw)
+
+
+def taylor_green_3d(ng=(64, 64, 64), visci=1600., **kw):
+    """3D Taylor-Green vortex (dns/_manuscript_taylor_green_vortex)."""
+    return Config(ng=ng, l=(2 * PI,) * 3, visci=visci, inivel='tgv',
+                  **_PERIODIC, **kw)
+
+
+def channel_dns(ng=(128, 96, 96), visci=5640., lz=2.0, gr=1.5, **kw):
+    """Turbulent channel DNS, bulk-velocity forced
+    (dns/_manuscript_turbulent_channel; visci=5640 -> Re_tau ~ 180)."""
+    return Config(ng=ng, l=(4 * PI, 2 * PI, lz), gtype=1, gr=gr, visci=visci,
+                  inivel='poi', is_wallturb=True,
+                  is_forced=(True, False, False), velf=(1., 0., 0.),
+                  **_CHANNEL, **kw)
+
+
+def channel_les(ng=(128, 96, 96), visci=20000., sgstype='smag', **kw):
+    """Wall-resolved channel LES (les/_manuscript_turbulent_channel)."""
+    return channel_dns(ng=ng, visci=visci, sgstype=sgstype, **kw)
+
+
+def channel_wmles(ng=(192, 72, 48), visci=125000., hwm=0.1, **kw):
+    """Wall-modeled channel LES, log-law walls
+    (les/_manuscript_turbulent_channel_wall_model)."""
+    return Config(ng=ng, l=(12.8, 4.8, 2.), gtype=6, visci=visci,
+                  inivel='poi', is_wallturb=True,
+                  is_forced=(True, False, False), velf=(1., 0., 0.),
+                  sgstype='smag', lwm=((0, 0, 1), (0, 0, 1)), hwm=hwm,
+                  **_CHANNEL, **kw)
+
+
+def half_channel(ng=(64, 64, 32), visci=5000., **kw):
+    """Half-channel: wall at the bottom, free-slip top
+    (dns/half_channel; 'hcp'/'hcl' profiles)."""
+    v = (('P', 'P', 'D'),) * 3
+    vt = (('P', 'P', 'N'), ('P', 'P', 'N'), ('P', 'P', 'D'))
+    return Config(ng=ng, l=(2 * PI, PI, 1.), visci=visci, inivel='hcp',
+                  is_forced=(True, False, False), velf=(1., 0., 0.),
+                  cbcvel=(v, vt),
+                  cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
+                  cbcsgs=(('P', 'P', 'N'), ('P', 'P', 'N')), **kw)
+
+
+def couette(ng=(64, 48, 32), visci=1000., uwall=0.5, **kw):
+    """Plane Couette flow (dns/couette): walls move at +/- uwall."""
+    bcv = [[[0.] * 3 for _ in range(3)] for _ in range(2)]
+    bcv[0][2][0] = uwall
+    bcv[1][2][0] = -uwall
+    return Config(ng=ng, l=(2 * PI, PI, 1.), visci=visci, inivel='cou',
+                  bcvel=tuple(tuple(tuple(r) for r in b) for b in bcv),
+                  **_CHANNEL, **kw)
+
+
+def lid_driven_cavity(ng=(64, 64, 64), visci=1000., ulid=1.0, **kw):
+    """Lid-driven cavity (dns/_manuscript_lid_driven_cavity): x periodic,
+    walls in y and z, top lid moving in x."""
+    v = (('P', 'D', 'D'),) * 3
+    bcv = [[[0.] * 3 for _ in range(3)] for _ in range(2)]
+    bcv[1][2][0] = ulid
+    return Config(ng=ng, l=(1., 1., 1.), visci=visci, inivel='zer',
+                  cbcvel=(v, v),
+                  bcvel=tuple(tuple(tuple(r) for r in b) for b in bcv),
+                  cbcpre=(('P', 'N', 'N'), ('P', 'N', 'N')),
+                  cbcsgs=(('P', 'N', 'N'), ('P', 'N', 'N')),
+                  dsmag_avg='cavity', **kw)
+
+
+def square_duct_les(ng=(96, 48, 48), visci=10000., sgstype='dsmag', **kw):
+    """Square duct LES with dynamic Smagorinsky
+    (les/_manuscript_turbulent_duct_wall_model class)."""
+    v = (('P', 'D', 'D'),) * 3
+    return Config(ng=ng, l=(4 * PI, 2., 2.), gtype=1, gr=1.0, visci=visci,
+                  inivel='duc', is_wallturb=True,
+                  is_forced=(True, False, False), velf=(1., 0., 0.),
+                  cbcvel=(v, v),
+                  cbcpre=(('P', 'N', 'N'), ('P', 'N', 'N')),
+                  cbcsgs=(('P', 'N', 'N'), ('P', 'N', 'N')),
+                  sgstype=sgstype, dsmag_avg='duct', **kw)
+
+
+def temporal_boundary_layer(ng=(64, 64, 96), visci=2000., **kw):
+    """Temporal boundary layer (dns/temporal_boundary_layer): moving bottom
+    wall, free-slip top."""
+    vb = (('P', 'P', 'D'),) * 3
+    vt = (('P', 'P', 'N'), ('P', 'P', 'N'), ('P', 'P', 'D'))
+    bcv = [[[0.] * 3 for _ in range(3)] for _ in range(2)]
+    bcv[0][2][0] = 1.0  # wall velocity
+    return Config(ng=ng, l=(10., 5., 12.), gtype=2, gr=1.5, visci=visci,
+                  inivel='tbl',
+                  cbcvel=(vb, vt),
+                  bcvel=tuple(tuple(tuple(r) for r in b) for b in bcv),
+                  cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
+                  cbcsgs=(('P', 'P', 'N'), ('P', 'P', 'N')), **kw)

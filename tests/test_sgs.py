@@ -95,3 +95,48 @@ def test_wallmodel_laminar():
     umax = 0.5 / (h / dl * (2.0 - h / dl))
     np.testing.assert_allclose(np.asarray(t1), 2.0 / dl * umax * visc, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(t2), 0.0, atol=1e-12)
+
+
+def test_smag_van_driest_channel_oracle():
+    """Channel smag with van Driest damping vs an independent per-point loop
+    implementation of sgs.f90:98-151 (nearest wall, one-sided tau_w, damping)."""
+    import cales_tpu.ops.stencil as stl
+    n = (10, 8, 12)  # nx, ny, nz
+    cfg = Config(ng=n, l=(1., 1., 2.), visci=200., gtype=1, gr=0.7,
+                 dtype='float64', sgstype='smag')
+    grid = make_grid_from_config(cfg)
+    setup = SGSSetup(cfg, grid, effective_cbcvel(cfg))
+    rng = np.random.default_rng(2)
+    nz, ny, nx = n[2], n[1], n[0]
+    up = rng.standard_normal((nz + 2, ny + 2, nx + 2))
+    vp = rng.standard_normal((nz + 2, ny + 2, nx + 2))
+    wp = rng.standard_normal((nz + 2, ny + 2, nx + 2))
+    visct = np.asarray(smag_visct(setup, cfg, grid, jnp.asarray(up),
+                                  jnp.asarray(vp), jnp.asarray(wp)))
+
+    # independent oracle (channel: only z walls active)
+    visc = cfg.visc
+    s0 = np.asarray(st.strain_rate(jnp.asarray(up), jnp.asarray(vp),
+                                   jnp.asarray(wp), grid.dzci, grid.dzfi,
+                                   cfg.dli[0], cfg.dli[1]))
+    zc = grid.zc[1:nz + 1]
+    for (k, j, i) in [(0, 3, 4), (5, 2, 1), (nz - 1, 7, 9)]:
+        dw_b, dw_t = zc[k], cfg.l[2] - zc[k]
+        if dw_b <= dw_t:
+            t1 = up[1, j + 1, i + 1] - up[0, j + 1, i + 1] \
+                + up[1, j + 1, i] - up[0, j + 1, i]
+            t2 = vp[1, j + 1, i + 1] - vp[0, j + 1, i + 1] \
+                + vp[1, j, i + 1] - vp[0, j, i + 1]
+            tw = 0.5 * visc * np.sqrt(t1 ** 2 + t2 ** 2) * grid.dzci[0]
+            dw = dw_b
+        else:
+            t1 = up[nz, j + 1, i + 1] - up[nz + 1, j + 1, i + 1] \
+                + up[nz, j + 1, i] - up[nz + 1, j + 1, i]
+            t2 = vp[nz, j + 1, i + 1] - vp[nz + 1, j + 1, i + 1] \
+                + vp[nz, j, i + 1] - vp[nz + 1, j, i + 1]
+            tw = 0.5 * visc * np.sqrt(t1 ** 2 + t2 ** 2) * grid.dzci[nz]
+            dw = dw_t
+        fd = 1.0 - np.exp(-dw * np.sqrt(tw) / visc / 25.0)
+        delta = (cfg.dl[0] * cfg.dl[1] * grid.dzf[k + 1]) ** (1 / 3)
+        expect = (C_SMAG * delta * fd) ** 2 * s0[k, j, i]
+        np.testing.assert_allclose(visct[k, j, i], expect, rtol=1e-12)
