@@ -53,9 +53,11 @@ def main():
     dt = 1e-4
 
     def timed_advance(st, n):
+        # multi_step donates its input state; always use the returned state
         t0 = time.perf_counter()
         out = sim.multi_step(st, dt, n)
-        # force full completion through the runtime
+        # force full completion through the runtime (dispatch is async and
+        # block_until_ready is unreliable on this runtime; see CLAUDE.md)
         chk = float(jnp.sum(out.u[0, 0, :8]))
         el = time.perf_counter() - t0
         assert np.isfinite(chk)
@@ -65,8 +67,8 @@ def main():
     state, _ = timed_advance(state, 1)
     state, _ = timed_advance(state, NSTEPS)
     # measure
-    _, t1 = timed_advance(state, 1)
-    _, tN = timed_advance(state, NSTEPS)
+    state, t1 = timed_advance(state, 1)
+    state, tN = timed_advance(state, NSTEPS)
     per_step = max((tN - t1) / (NSTEPS - 1), 1e-9)
 
     ncell = NG[0] * NG[1] * NG[2]

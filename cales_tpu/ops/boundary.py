@@ -6,14 +6,18 @@ TPU-native counterpart of the reference halo/BC machinery
 (nz+2, ny+2, nx+2) materialized here according to the BC semantics of
 ``set_bc`` (bound.f90:202-399).
 
-Implementation note (TPU): the padded array is built as one ``jnp.pad`` plus a
-sequence of full-plane ``.at[face].set`` updates — dynamic-update-slices that
-the TPU compiler handles well (an equivalent chain of ``concatenate`` ops
-compiled ~100x slower on the Mosaic/XLA TPU toolchain).  Faces are written in
-x, y, z order with each plane spanning the already-written earlier-axis
+Implementation note (TPU): each padded field is assembled with one
+``concatenate`` per axis from the interior and functionally-computed ghost
+faces; concatenates fuse into consumers on TPU, unlike chains of
+``.at[face].set`` updates which lower to full-array dynamic-update-slices
+(measured at 36% of the whole RK substep).  Axes are processed in x, y, z
+order with each ghost plane spanning the already-attached earlier-axis
 ghosts, reproducing the corner semantics of the reference's sequential
 halo+set_bc sweep.  Periodic wraps become collective-permutes when sharded
 (the updthalo/cudecompUpdateHalos analogue, bound.f90:619-723).
+N.B. trace-time constants must stay scalar/1D (see CLAUDE.md): inlined
+multi-MB literals — not concatenates — were the original TPU compile-time
+blowup.
 
 Staggered conventions (padded python index p == Fortran index p of the
 reference's 0:n+1 arrays):
@@ -66,52 +70,96 @@ def _fi(axis, i):
     return tuple(idx)
 
 
+def _body(q, axis, lo_i, hi_i):
+    """static slice q[lo_i:hi_i] along axis"""
+    idx = [slice(None)] * 3
+    idx[axis] = slice(lo_i, hi_i)
+    return q[tuple(idx)]
+
+
+def _ex(plane, axis):
+    return jnp.expand_dims(plane, axis)
+
+
+def crop_plane(plane, q_shape, axis):
+    """Crop a full padded-transverse plane to the ghost-plane shape of a
+    (possibly partially padded) array: axes are processed x, y, z, so
+    later-axis extents may still be unpadded when earlier faces attach."""
+    dims = [d for d in range(3) if d != axis]
+    sl = []
+    for d_plane, d_arr in enumerate(dims):
+        cur, full = q_shape[d_arr], plane.shape[d_plane]
+        if cur == full:
+            sl.append(slice(None))
+        elif cur == full - 2:
+            sl.append(slice(1, -1))
+        else:
+            raise ValueError(f'BC plane shape {plane.shape} vs field {q_shape}')
+    return plane[tuple(sl)]
+
+
+def _bc_plane(val, like, axis, dtype):
+    """broadcast/crop a scalar/2D BC value to the ghost-plane shape of
+    `like`."""
+    if hasattr(val, 'ndim') and getattr(val, 'ndim', 0) == 2:
+        return crop_plane(val, like.shape, axis).astype(dtype)
+    shape = list(like.shape)
+    del shape[axis]
+    return jnp.full(shape, val, dtype=dtype)
+
+
 def _set_centered(q, axis, letters, bcvals, dr):
-    """Write both ghost faces along `axis` of the zero-padded q for a
-    cell-centered variable (set_bc centered=.true., bound.f90:232-352)."""
-    first = q[_fi(axis, 1)]
-    last = q[_fi(axis, -2)]
+    """Attach both ghost faces along `axis` for a cell-centered variable
+    (set_bc centered=.true., bound.f90:232-352)."""
+    first = q[_fi(axis, 0)]
+    last = q[_fi(axis, -1)]
     if letters[0] == 'P':
         lo, hi = last, first
     else:
-        lo = 2.0 * bcvals[0] - first if letters[0] == 'D' \
-            else -dr[0] * bcvals[0] + first
-        hi = 2.0 * bcvals[1] - last if letters[1] == 'D' \
-            else dr[1] * bcvals[1] + last
-    return q.at[_fi(axis, 0)].set(lo).at[_fi(axis, -1)].set(hi)
+        b0 = _bc_plane(bcvals[0], q, axis, q.dtype)
+        b1 = _bc_plane(bcvals[1], q, axis, q.dtype)
+        lo = 2.0 * b0 - first if letters[0] == 'D' else -dr[0] * b0 + first
+        hi = 2.0 * b1 - last if letters[1] == 'D' else dr[1] * b1 + last
+    return jnp.concatenate([_ex(lo, axis), q, _ex(hi, axis)], axis=axis)
 
 
 def _set_face(q, axis, letters, bcvals, dr, lo_keep=None, keep=False):
-    """Write the ghost faces + wall-face entry along `axis` for the
-    face-staggered normal component (set_bc centered=.false.,
+    """Attach the ghost faces + rewrite the wall-face entry along `axis` for
+    the face-staggered normal component (set_bc centered=.false.,
     bound.f90:283-318 'D', 354-396 'N').
 
     keep=True (the corrector path, impose_norm_bc=.false.): the lower wall
     face comes from `lo_keep`, the interior wall-face entry is left at its
     corrected value."""
-    first = q[_fi(axis, 1)]
-    second_last = q[_fi(axis, -3)]
-    last = q[_fi(axis, -2)]
+    first = q[_fi(axis, 0)]
+    second_last = q[_fi(axis, -2)]
+    last = q[_fi(axis, -1)]
     if letters[0] == 'P':
-        return q.at[_fi(axis, 0)].set(last).at[_fi(axis, -1)].set(first)
+        return jnp.concatenate([_ex(last, axis), q, _ex(first, axis)],
+                               axis=axis)
     if keep:
         hi = second_last if letters[1] == 'D' else last
-        return q.at[_fi(axis, 0)].set(lo_keep).at[_fi(axis, -1)].set(hi)
-    lo = bcvals[0] if letters[0] == 'D' else -dr[0] * bcvals[0] + first
+        lo = crop_plane(lo_keep, q.shape, axis).astype(q.dtype)
+        return jnp.concatenate([_ex(lo, axis), q, _ex(hi, axis)],
+                               axis=axis)
+    b0 = _bc_plane(bcvals[0], q, axis, q.dtype)
+    b1 = _bc_plane(bcvals[1], q, axis, q.dtype)
+    lo = b0 if letters[0] == 'D' else -dr[0] * b0 + first
+    trunk = _body(q, axis, 0, -1)
     if letters[1] == 'D':
         # u(n) = bc; u(n+1) = u(n-1) (unused)   bound.f90:292-293
-        q = q.at[_fi(axis, -2)].set(bcvals[1]).at[_fi(axis, -1)].set(second_last)
+        newlast, hi = b1, second_last
     else:
         # u(n+1) = old u(n) (unused); u(n) = dr*bc + u(n-1)  bound.f90:365-366
-        q = q.at[_fi(axis, -1)].set(last)
-        q = q.at[_fi(axis, -2)].set(dr[1] * bcvals[1] + second_last)
-    return q.at[_fi(axis, 0)].set(lo)
+        newlast, hi = dr[1] * b1 + second_last, last
+    return jnp.concatenate([_ex(lo, axis), trunk, _ex(newlast, axis),
+                            _ex(hi, axis)], axis=axis)
 
 
 def pad_scalar(p, cbc, bcvals, dl, dzc):
     """Ghost fill for a cell-centered scalar (boundp, bound.f90:156-200)."""
     nz = p.shape[0]
-    q = jnp.pad(p, 1)
+    q = p
     drs = {'x': (dl[0], dl[0]), 'y': (dl[1], dl[1]),
            'z': (float(dzc[0]), float(dzc[nz]))}
     for key, idir in (('x', 0), ('y', 1), ('z', 2)):
@@ -146,7 +194,7 @@ def pad_velocity(u, v, w, cbcvel, bcu, bcv, bcw, dl, dzc, dzf,
 
     out = {}
     for name, ivel in (('u', 0), ('v', 1), ('w', 2)):
-        q = jnp.pad(fields[name], 1)
+        q = fields[name]
         for key, idir in (('x', 0), ('y', 1), ('z', 2)):
             axis = AX[key]
             lts = (cbcvel[0][idir][ivel], cbcvel[1][idir][ivel])

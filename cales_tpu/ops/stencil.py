@@ -356,5 +356,7 @@ def interp_center(up, vp, wp):
 
 def bulk_mean(f, grid_vol_ratio):
     """Volume-weighted mean (utils.f90:16-47); grid_vol_ratio: (nz,) weights
-    dx*dy*dzf(k)/V."""
-    return jnp.sum(f * jnp.asarray(grid_vol_ratio)[:, None, None])
+    dx*dy*dzf(k)/V.  Two-stage: plane sums then a tiny weighted dot — the
+    single fused multiply-reduce ran ~30x below bandwidth on TPU."""
+    plane = jnp.sum(f, axis=(1, 2))
+    return jnp.dot(plane, jnp.asarray(grid_vol_ratio, dtype=f.dtype))

@@ -29,20 +29,39 @@ def extrapolate(p, iface, flags, factors):
     """Linear extrapolation of ghost planes at flagged walls
     (sgs.f90:682-767).  p: padded field; iface: 0 (cell-centered) or 1/2/3
     (the component's own face direction, skipped); flags[(ib,idir)]: bool;
-    factors: (f_lo_z, f_hi_z) z-direction stretching factors."""
+    factors: (f_lo_z, f_hi_z) z-direction stretching factors.
+
+    Ghost faces are re-attached by slice+concatenate (fusible on TPU) rather
+    than .at[].set (full-array dynamic-update-slice); see ops/boundary.py.
+    """
     f0, f1 = factors
-    if flags.get((0, 0)) and iface != 1:
-        p = p.at[:, :, 0].set(2.0 * p[:, :, 1] - p[:, :, 2])
-    if flags.get((1, 0)) and iface != 1:
-        p = p.at[:, :, -1].set(2.0 * p[:, :, -2] - p[:, :, -3])
-    if flags.get((0, 1)) and iface != 2:
-        p = p.at[:, 0, :].set(2.0 * p[:, 1, :] - p[:, 2, :])
-    if flags.get((1, 1)) and iface != 2:
-        p = p.at[:, -1, :].set(2.0 * p[:, -2, :] - p[:, -3, :])
-    if flags.get((0, 2)) and iface != 3:
-        p = p.at[0].set((1.0 + f0) * p[1] - f0 * p[2])
-    if flags.get((1, 2)) and iface != 3:
-        p = p.at[-1].set((1.0 + f1) * p[-2] - f1 * p[-3])
+
+    def replace(q, axis, lo, do_lo, hi, do_hi):
+        parts = []
+        idx_lo = [slice(None)] * 3
+        idx_lo[axis] = slice(1, None) if do_lo else slice(None)
+        if do_hi:
+            idx_lo[axis] = slice(1, -1) if do_lo else slice(0, -1)
+        body = q[tuple(idx_lo)]
+        if do_lo:
+            parts.append(jnp.expand_dims(lo, axis))
+        parts.append(body)
+        if do_hi:
+            parts.append(jnp.expand_dims(hi, axis))
+        return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else body
+
+    if iface != 1 and (flags.get((0, 0)) or flags.get((1, 0))):
+        p = replace(p, 2,
+                    2.0 * p[:, :, 1] - p[:, :, 2], bool(flags.get((0, 0))),
+                    2.0 * p[:, :, -2] - p[:, :, -3], bool(flags.get((1, 0))))
+    if iface != 2 and (flags.get((0, 1)) or flags.get((1, 1))):
+        p = replace(p, 1,
+                    2.0 * p[:, 1, :] - p[:, 2, :], bool(flags.get((0, 1))),
+                    2.0 * p[:, -2, :] - p[:, -3, :], bool(flags.get((1, 1))))
+    if iface != 3 and (flags.get((0, 2)) or flags.get((1, 2))):
+        p = replace(p, 0,
+                    (1.0 + f0) * p[1] - f0 * p[2], bool(flags.get((0, 2))),
+                    (1.0 + f1) * p[-2] - f1 * p[-3], bool(flags.get((1, 2))))
     return p
 
 
@@ -150,24 +169,43 @@ def smag_visct(setup: SGSSetup, cfg, grid, up, vp, wp):
     if not setup.any_wall:
         fd = 1.0
     else:
-        # nearest active wall by sequential running-min over the six walls
-        # (first minimum wins ties, matching the reference's minloc,
-        # sgs.f90:104-146); distances broadcast from 1D profiles in-trace
         tauw6 = _wall_tauw_planes(setup, up, vp, wp, dxi, dyi, grid.dzci, visc)
-        dw_min = jnp.full_like(s0, 1e30)
-        tauw_s = jnp.zeros_like(s0)
-        for m in range(6):
-            if not setup.is_wall6[m]:
-                continue
-            prof, ax = setup.dw1d[m]
+        active = [m for m in range(6) if setup.is_wall6[m]]
+        axes = {setup.dw1d[m][1] for m in active}
+        if len(axes) == 1:
+            # walls along a single direction (channel/Couette class): the
+            # nearest-wall choice is a static 1D mask along that axis —
+            # one select instead of a chain of minimum/where passes
+            ax = axes.pop()
+            profs = np.stack([setup.dw1d[m][0] for m in active])
+            near = np.argmin(profs, axis=0)            # (n_ax,) static
+            dw_1d = profs[near, np.arange(profs.shape[1])]
             shape1 = [1, 1, 1]
-            shape1[ax] = len(prof)
-            dw_m = jnp.broadcast_to(
-                jnp.asarray(prof, dtype=s0.dtype).reshape(shape1), s0.shape)
-            closer = dw_m < dw_min
-            tauw_s = jnp.where(closer, jnp.broadcast_to(tauw6[m], s0.shape),
-                               tauw_s)
-            dw_min = jnp.minimum(dw_min, dw_m)
+            shape1[ax] = len(dw_1d)
+            dw_min = jnp.asarray(dw_1d, dtype=s0.dtype).reshape(shape1)
+            if len(active) == 1:
+                tauw_s = jnp.broadcast_to(tauw6[active[0]], s0.shape)
+            else:
+                mask = jnp.asarray(near == 0).reshape(shape1)
+                tauw_s = jnp.where(mask,
+                                   jnp.broadcast_to(tauw6[active[0]], s0.shape),
+                                   jnp.broadcast_to(tauw6[active[1]], s0.shape))
+        else:
+            # general case (duct/cavity): sequential running-min over the six
+            # walls (first minimum wins ties, matching the reference's minloc,
+            # sgs.f90:104-146); distances broadcast from 1D profiles in-trace
+            dw_min = jnp.full_like(s0, 1e30)
+            tauw_s = jnp.zeros_like(s0)
+            for m in active:
+                prof, ax = setup.dw1d[m]
+                shape1 = [1, 1, 1]
+                shape1[ax] = len(prof)
+                dw_m = jnp.broadcast_to(
+                    jnp.asarray(prof, dtype=s0.dtype).reshape(shape1), s0.shape)
+                closer = dw_m < dw_min
+                tauw_s = jnp.where(closer,
+                                   jnp.broadcast_to(tauw6[m], s0.shape), tauw_s)
+                dw_min = jnp.minimum(dw_min, dw_m)
         tauw_s = 0.5 * visc * tauw_s
         dw_plus = dw_min * jnp.sqrt(tauw_s) / visc
         fd = 1.0 - jnp.exp(-dw_plus / 25.0)
