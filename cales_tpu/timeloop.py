@@ -106,7 +106,7 @@ class Simulation:
         # copies around the FFT stages (~15% of step time at 512^3-class)
         self._use_layout_pin = (mesh is None
                                 and jax.default_backend() not in ('cpu',))
-        self._step = jax.jit(self._step_impl, donate_argnums=0)
+        self._step = jax.jit(self._step_impl)
         self._chk = jax.jit(self._chk_impl)
         self._init_jit = jax.jit(self._init_impl)
 
@@ -354,7 +354,11 @@ class Simulation:
     def multi_step(self, state: State, dt, nsteps: int) -> State:
         """Advance `nsteps` steps in ONE device program (lax.fori_loop) —
         used for benchmarking (single dispatch, device-side throughput) and
-        long unattended advances without host round trips."""
+        long unattended advances without host round trips.
+
+        N.B. donates `state`: the input buffers are consumed; always continue
+        from the returned state.  `step` does not donate, so library users
+        can branch multiple runs from one state."""
         if not hasattr(self, '_multi'):
             def run(state, dt, n):
                 def body(_, st):
