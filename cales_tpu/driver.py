@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 import time as _time
+from functools import reduce
 from pathlib import Path
 
 import numpy as np
@@ -84,8 +85,23 @@ def run(cfg: Config, datadir='data', mesh=None, verbose=True,
     nsteps_done = 0
     hooks = hooks or {}
 
+    # advance between host-side events in one device dispatch (multi_step):
+    # chunk = gcd of all active cadences, so no cadence is ever skipped
+    cadences = [c for c in (cfg.icheck, cfg.iout0d, cfg.iout1d, cfg.iout2d,
+                            cfg.iout3d, cfg.isave) if c > 0]
+    if cfg.stop_type[0]:
+        cadences.append(max(cfg.nstep, 1))
+    chunk = max(reduce(math.gcd, cadences) if cadences else 1, 1)
+    if max_steps is not None:
+        chunk = max(math.gcd(chunk, max_steps), 1)
+    if cfg.stop_type[1] or cfg.stop_type[2]:
+        chunk = 1  # time-based stopping needs per-step time checks
+
     while not is_done:
         t_step = _time.perf_counter()
+        if chunk > 1:
+            state = sim.multi_step(state, dt, chunk - 1)
+            nsteps_done += chunk - 1
         state, dpdl = sim.step(state, dt)
         istep = int(state.istep)
         tnow = float(state.time)
@@ -191,7 +207,8 @@ def run(cfg: Config, datadir='data', mesh=None, verbose=True,
         jax.block_until_ready(state.u)
         dt_wall = _time.perf_counter() - t_step
         log(verbose, f'step {istep}  t = {tnow:.6e}  dt = {dt:.3e}  '
-                     f'wall = {dt_wall:.3f}s')
+                     f'wall = {dt_wall:.3f}s'
+                     + (f' ({chunk} steps/dispatch)' if chunk > 1 else ''))
 
     if kill:
         raise SimulationAborted('simulation aborted (see log)')
