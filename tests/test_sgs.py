@@ -140,3 +140,93 @@ def test_smag_van_driest_channel_oracle():
         delta = (cfg.dl[0] * cfg.dl[1] * grid.dzf[k + 1]) ** (1 / 3)
         expect = (C_SMAG * delta * fd) ** 2 * s0[k, j, i]
         np.testing.assert_allclose(visct[k, j, i], expect, rtol=1e-12)
+
+
+def test_dsmag_triperiodic_oracle():
+    """Dynamic Smagorinsky vs an independent numpy transcription of the
+    Germano-Lilly procedure (tri-periodic, 'dit' averaging; sgs.f90:153-380)."""
+    from cales_tpu.sgs import dsmag_visct
+    from cales_tpu.grid import make_grid_from_config
+
+    n = 12
+    cfg = Config(ng=(n, n, n), l=(1., 1., 1.), dtype='float64',
+                 sgstype='dsmag', dsmag_avg='dit',
+                 cbcvel=((('P',) * 3,) * 3, (('P',) * 3,) * 3),
+                 cbcpre=(('P',) * 3, ('P',) * 3),
+                 cbcsgs=(('P',) * 3, ('P',) * 3))
+    grid = make_grid_from_config(cfg)
+    setup = SGSSetup(cfg, grid, effective_cbcvel(cfg))
+    rng = np.random.default_rng(4)
+    u, v, w = (rng.standard_normal((n, n, n)) for _ in range(3))
+    pw = lambda f: np.pad(f, 1, mode='wrap')
+    up, vp, wp = map(jnp.asarray, (pw(u), pw(v), pw(w)))
+
+    def pad_filtered(uf, vf, wf):
+        return (jnp.asarray(pw(np.asarray(uf))), jnp.asarray(pw(np.asarray(vf))),
+                jnp.asarray(pw(np.asarray(wf))))
+
+    bcs_vals = tuple((0.0, 0.0) for _ in range(3))
+    visct = np.asarray(dsmag_visct(setup, cfg, grid, up, vp, wp,
+                                   bcs_vals, None, pad_filtered))
+
+    # ---------------- independent numpy oracle ----------------
+    dxi = dyi = dzi = float(n)
+
+    def filt(f):   # 27-point trapezoidal top-hat on a wrapped field
+        q = pw(f)
+        out = np.zeros_like(f)
+        wgt = {0: 8.0, 1: 4.0, 2: 2.0, 3: 1.0}
+        for dk in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                for di in (-1, 0, 1):
+                    out += wgt[abs(dk) + abs(dj) + abs(di)] * \
+                        q[1 + dk:1 + dk + n, 1 + dj:1 + dj + n, 1 + di:1 + di + n]
+        return out / 64.0
+
+    def strain(u_, v_, w_):
+        qu, qv, qw = pw(u_), pw(v_), pw(w_)
+        C = lambda f, k=0, j=0, i=0: f[1 + k:1 + k + n, 1 + j:1 + j + n,
+                                       1 + i:1 + i + n]
+        s11 = (C(qu) - C(qu, i=-1)) * dxi
+        s22 = (C(qv) - C(qv, j=-1)) * dyi
+        s33 = (C(qw) - C(qw, k=-1)) * dzi
+        s12 = .125 * ((C(qu, j=1) - C(qu)) * dyi + (C(qv, i=1) - C(qv)) * dxi
+                      + (C(qu) - C(qu, j=-1)) * dyi + (C(qv, j=-1, i=1) - C(qv, j=-1)) * dxi
+                      + (C(qu, j=1, i=-1) - C(qu, i=-1)) * dyi + (C(qv) - C(qv, i=-1)) * dxi
+                      + (C(qu, i=-1) - C(qu, j=-1, i=-1)) * dyi
+                      + (C(qv, j=-1) - C(qv, j=-1, i=-1)) * dxi)
+        s13 = .125 * ((C(qu, k=1) - C(qu)) * dzi + (C(qw, i=1) - C(qw)) * dxi
+                      + (C(qu) - C(qu, k=-1)) * dzi + (C(qw, k=-1, i=1) - C(qw, k=-1)) * dxi
+                      + (C(qu, k=1, i=-1) - C(qu, i=-1)) * dzi + (C(qw) - C(qw, i=-1)) * dxi
+                      + (C(qu, i=-1) - C(qu, k=-1, i=-1)) * dzi
+                      + (C(qw, k=-1) - C(qw, k=-1, i=-1)) * dxi)
+        s23 = .125 * ((C(qv, k=1) - C(qv)) * dzi + (C(qw, j=1) - C(qw)) * dyi
+                      + (C(qv) - C(qv, k=-1)) * dzi + (C(qw, k=-1, j=1) - C(qw, k=-1)) * dyi
+                      + (C(qv, j=-1, k=1) - C(qv, j=-1)) * dzi + (C(qw) - C(qw, j=-1)) * dyi
+                      + (C(qv, j=-1) - C(qv, k=-1, j=-1)) * dzi
+                      + (C(qw, k=-1) - C(qw, k=-1, j=-1)) * dyi)
+        s0 = np.sqrt(2 * (s11**2 + s22**2 + s33**2 + 2 * (s12**2 + s13**2 + s23**2)))
+        return s0, [s11, s22, s33, s12, s13, s23]
+
+    s0, sij = strain(u, v, w)
+    mij = [filt(s0 * s) for s in sij]
+    uf, vf, wf = filt(u), filt(v), filt(w)
+    s0f, sijf = strain(uf, vf, wf)
+    alph2 = 4.0
+    mij = [2.0 * (m - alph2 * s0f * sf) for m, sf in zip(mij, sijf)]
+    qu, qv, qw = pw(u), pw(v), pw(w)
+    uc = 0.5 * (qu[1:-1, 1:-1, 1:-1] + qu[1:-1, 1:-1, :-2])
+    vc = 0.5 * (qv[1:-1, 1:-1, 1:-1] + qv[1:-1, :-2, 1:-1])
+    wc = 0.5 * (qw[1:-1, 1:-1, 1:-1] + qw[:-2, 1:-1, 1:-1])
+    prods = [uc*uc, vc*vc, wc*wc, uc*vc, uc*wc, vc*wc]
+    lij = [filt(p_) for p_ in prods]
+    ucf, vcf, wcf = filt(uc), filt(vc), filt(wc)
+    fp = [ucf*ucf, vcf*vcf, wcf*wcf, ucf*vcf, ucf*wcf, vcf*wcf]
+    lij = [l - f for l, f in zip(lij, fp)]
+    num = sum(m*l for m, l in zip(mij[:3], lij[:3])) \
+        + 2*sum(m*l for m, l in zip(mij[3:], lij[3:]))
+    den = sum(m*m for m in mij[:3]) + 2*sum(m*m for m in mij[3:])
+    num_avg = num.mean()
+    den_avg = den.mean()
+    expect = np.maximum(s0 * num_avg / den_avg, 0.0)
+    np.testing.assert_allclose(visct, expect, rtol=1e-10, atol=1e-13)
