@@ -152,9 +152,25 @@ def run(cfg: Config, datadir='data', mesh=None, verbose=True,
             if 'out1d' in hooks:
                 hooks['out1d'](sim, state, istep)
             else:
-                out.out1d_chan(datadir / f'velstats_{istep:07d}.out',
-                               grid, cfg.l, np.asarray(state.u),
-                               np.asarray(state.v), np.asarray(state.w))
+                # default hook = the reference's out1d.h90: single-point
+                # channel statistics (+ budgets); duct cross-section stats
+                # when y is also wall-bounded (output.f90:509, 406)
+                from .io import stats as st_io
+                if cfg.cbc_pre(1) == 'PP':
+                    st_io.single_point_chan(
+                        datadir / f'stats_{istep:07d}', cfg, grid,
+                        np.asarray(state.u), np.asarray(state.v),
+                        np.asarray(state.w), np.asarray(state.p),
+                        np.asarray(state.visct))
+                    st_io.reystr_budget_chan(
+                        datadir / f'stats_{istep:07d}', cfg, grid,
+                        np.asarray(state.u), np.asarray(state.v),
+                        np.asarray(state.w), np.asarray(state.p))
+                else:
+                    st_io.duct_stats_2d(
+                        datadir / f'stats2d_{istep:07d}', cfg, grid,
+                        np.asarray(state.u), np.asarray(state.v),
+                        np.asarray(state.w))
         if cfg.iout2d > 0 and istep % max(cfg.iout2d, 1) == 0:
             if 'out2d' in hooks:
                 hooks['out2d'](sim, state, istep)
