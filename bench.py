@@ -33,7 +33,6 @@ NSTEPS = 10
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -12,8 +12,6 @@ utils/ post-processing scripts.
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from .stencil import _sh, _zb, strain_rate
 
 

@@ -13,7 +13,6 @@ handles cadenced I/O and dt refresh (main.f90:405-619).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Any
 
 import jax

@@ -7,7 +7,7 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-from cales_tpu.nml import config_from_nml, parse_namelists
+from cales_tpu.nml import config_from_nml
 from cales_tpu.io import checkpoint as ckpt
 from cales_tpu.io import stats
 from cales_tpu.config import Config, validate

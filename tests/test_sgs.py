@@ -2,7 +2,6 @@
 Smagorinsky scaling, wall model log-law (analytic fixed point)."""
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from cales_tpu.config import Config, C_SMAG, KAP_LOG, B_LOG, effective_cbcvel
 from cales_tpu.grid import make_grid_from_config
@@ -100,7 +99,6 @@ def test_wallmodel_laminar():
 def test_smag_van_driest_channel_oracle():
     """Channel smag with van Driest damping vs an independent per-point loop
     implementation of sgs.f90:98-151 (nearest wall, one-sided tau_w, damping)."""
-    import cales_tpu.ops.stencil as stl
     n = (10, 8, 12)  # nx, ny, nz
     cfg = Config(ng=n, l=(1., 1., 2.), visci=200., gtype=1, gr=0.7,
                  dtype='float64', sgstype='smag')

@@ -3,7 +3,6 @@ step (SURVEY §7.2 stage 10; the reference validates the same property across
 MPI layouts, utils.f90:17-24 — tolerance-based because reductions reassociate)."""
 import numpy as np
 import jax
-import jax.numpy as jnp
 import pytest
 
 from cales_tpu.config import Config

@@ -1,7 +1,6 @@
 """End-to-end RK3+projection tests (SURVEY §7.2 stage 7 acceptance):
 2D Taylor-Green analytic decay, divergence-freeness, laminar channel."""
 import numpy as np
-import pytest
 import jax.numpy as jnp
 
 from cales_tpu.config import Config
