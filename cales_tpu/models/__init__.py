@@ -17,4 +17,5 @@ from .cases import (  # noqa: F401
     lid_driven_cavity,
     square_duct_les,
     temporal_boundary_layer,
+    developing_channel,
 )

@@ -120,3 +120,18 @@ def temporal_boundary_layer(ng=(64, 64, 96), visci=2000., **kw):
                   bcvel=tuple(tuple(tuple(r) for r in b) for b in bcv),
                   cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
                   cbcsgs=(('P', 'P', 'N'), ('P', 'P', 'N')), **kw)
+
+
+def developing_channel(ng=(64, 64, 64), visci=500., uin=1.0, **kw):
+    """Spatially developing channel: Dirichlet inflow / Neumann outflow in x,
+    walls in z (dns/developing_channel) — pure BC-driven, no forcing."""
+    # cbcvel[ibound][idir][ivel]
+    lo = (('D', 'N', 'N'), ('P', 'P', 'P'), ('D', 'D', 'D'))
+    hi = (('N', 'N', 'N'), ('P', 'P', 'P'), ('D', 'D', 'D'))
+    bcv = [[[0.] * 3 for _ in range(3)] for _ in range(2)]
+    bcv[0][0][0] = uin  # inflow velocity
+    return Config(ng=ng, l=(12., 3., 1.), visci=visci, inivel='zer',
+                  cbcvel=(lo, hi),
+                  bcvel=tuple(tuple(tuple(r) for r in b) for b in bcv),
+                  cbcpre=(('N', 'P', 'N'), ('D', 'P', 'N')),
+                  cbcsgs=(('N', 'P', 'D'), ('N', 'P', 'D')), **kw)

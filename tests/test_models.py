@@ -13,6 +13,7 @@ BUILDERS = [
     models.channel_dns, models.channel_les, models.channel_wmles,
     models.half_channel, models.couette, models.lid_driven_cavity,
     models.square_duct_les, models.temporal_boundary_layer,
+    models.developing_channel,
 ]
 
 
@@ -24,6 +25,7 @@ def test_case_validates(builder):
 @pytest.mark.parametrize("builder", [
     models.taylor_green_3d, models.half_channel, models.lid_driven_cavity,
     models.square_duct_les, models.temporal_boundary_layer, models.couette,
+    models.developing_channel,
 ], ids=lambda b: b.__name__)
 def test_case_steps(builder):
     cfg = builder(ng=(12, 10, 12), dtype='float64')
