@@ -15,12 +15,21 @@ Explicit-diffusion path only (the LES production configuration); the
 implicit-split variants fall back to the XLA expression path.
 
 STATUS (round 1): numerically validated against the XLA path (interpret mode,
-tests/test_pallas_kernels.py) but NOT enabled in the production step: the
-Mosaic compile of the full fused expression did not complete within ~20 min
-through this environment's remote TPU compile service at 512^3-class shapes.
-Round-2 plan: split the body into per-component kernels, hoist common
-subexpressions, and re-time; the projected win is ~3x fewer HBM passes over
-the momentum+update region.
+tests/test_pallas_kernels.py) but NOT enabled in the production step.
+Findings from on-device experiments (keep for round 2):
+  * Mosaic requires DMA slice shapes tile-aligned in the last two dims —
+    halo windows over (n+2)-padded arrays are rejected ("must be aligned to
+    tiling (8)").  The viable design for periodic-x/y configs (the headline
+    channel bench): z-extended-only arrays (nz+2, ny, nx) — aligned — with
+    z-tiled windows and in-VMEM `pltpu.roll` for the periodic x/y shifts.
+  * A u-component-only kernel in that design compiles in ~157 s, is
+    bit-exact vs the XLA expression, and runs 2.14 ms vs XLA's 2.24 ms at
+    (256,128,128) — i.e. the single-output kernel has no advantage (XLA
+    already fuses one output well); the payoff is the multi-output fused
+    kernel (u,v,w + updates in one read of the 5 input fields), whose
+    Mosaic compile time grows superlinearly with expression size (>20 min
+    for the 3-component body).  Round-2: two-component split or
+    common-subexpression hoisting to get compile time tractable.
 """
 from __future__ import annotations
 
