@@ -143,3 +143,27 @@ def test_restart_continuation(tmp_path):
     np.testing.assert_allclose(np.asarray(sC.u), np.asarray(sA.u), atol=1e-12)
     np.testing.assert_allclose(np.asarray(sC.w), np.asarray(sA.w), atol=1e-12)
     assert int(sC.istep) == int(sA.istep) == 6
+
+
+def test_out1d_directions(tmp_path):
+    """Generic profile output in all three directions (out1d,
+    output.f90:50-162)."""
+    from cales_tpu.io import output as outp
+    cfg = Config(ng=(6, 5, 8), l=(1., 1., 2.), gtype=1, gr=0.8, dtype='float64')
+    grid = make_grid_from_config(cfg)
+    rng = np.random.default_rng(0)
+    f = rng.standard_normal((8, 5, 6))
+    for idir in (0, 1, 2):
+        fn = tmp_path / f'prof{idir}.out'
+        outp.out1d(fn, grid, idir, f)
+        d = np.loadtxt(fn)
+        n_expected = {0: 6, 1: 5, 2: 8}[idir]
+        assert d.shape == (n_expected, 2)
+    # z profile is the plain plane mean
+    d = np.loadtxt(tmp_path / 'prof2.out')
+    np.testing.assert_allclose(d[:, 1], f.mean(axis=(1, 2)))
+    # y profile is dzf-weighted (output.f90:115-131)
+    d = np.loadtxt(tmp_path / 'prof1.out')
+    w = grid.dzf[1:9]
+    expect = (f * w[:, None, None]).sum(axis=(0, 2)) / (6 * grid.lz)
+    np.testing.assert_allclose(d[:, 1], expect)
