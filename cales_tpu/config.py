@@ -113,6 +113,14 @@ class Config:
     # --- numerics switches (reference compile-time flags -> runtime) ---
     impdiff: bool = False                  # _IMPDIFF
     impdiff_1d: bool = False               # _IMPDIFF_1D (implies impdiff)
+    # exclude boundary-adjacent cells of non-periodic directions from the
+    # divergence abort check (the reference's _MASK_DIVERGENCE_CHECK build
+    # flag, configs/flags.mk.example:129-131; for inflow/outflow cases whose
+    # outflow cell is not divergence-free by construction)
+    mask_divergence_check: bool = False
+    # out3d decimation (the nskip argument of write_visu_3d, out3d.h90 /
+    # output.f90:191-242), logical (x, y, z) order
+    nskip_out3d: tuple[int, int, int] = (1, 1, 1)
     dtype: str = 'float32'                 # _SINGLE_PRECISION analogue ('float32'|'float64')
     zsolver: str = 'eig'                   # z direct solver: 'eig' (MXU matmul
                                            # diagonalization) | 'thomas' (scan)

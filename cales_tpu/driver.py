@@ -43,11 +43,8 @@ def run(cfg: Config, datadir='data', mesh=None, verbose=True,
     datadir = Path(datadir)
     datadir.mkdir(parents=True, exist_ok=True)
     grid = make_grid_from_config(cfg)
-    # wall-model height must sit between first and last cell centers
-    # (sanity.f90:233-241)
-    if any(cfg.lwm[ib][2] != 0 for ib in range(2)):
-        if not (grid.zc[1] < cfg.hwm < grid.zc[cfg.ng[2]]):
-            raise ValueError('hwm outside the first..last cell-center band')
+    # hwm band validity for every wall-modeled direction is enforced in
+    # wallmodel.find_index_wm (sanity.f90:233-241), called by Simulation
 
     if mesh is None and cfg.dims[0] * cfg.dims[1] > 1:
         # namelist-driven decomposition (initmpi.f90:56-73): dims = (gy, gx)
@@ -65,6 +62,17 @@ def run(cfg: Config, datadir='data', mesh=None, verbose=True,
         u, v, w, p, t0, istep0 = ckpt.load_checkpoint(
             datadir / 'fld.bin', cfg.ng, cfg.np_dtype)
         state = sim.initial_state(u, v, w, p)
+        if cfg.scalar:
+            # scalar state lives in a sidecar (fld.bin stays
+            # reference-compatible); restarting without it would silently
+            # reset s to the initial profile
+            spath = datadir / 'scal.bin'
+            if not spath.exists():
+                raise FileNotFoundError(
+                    'restart with scalar=True requires data/scal.bin '
+                    '(scalar sidecar checkpoint)')
+            s, _, _ = ckpt.load_scalar(spath, cfg.ng, cfg.np_dtype)
+            state = state._replace(s=jax.numpy.asarray(s, dtype=cfg.np_dtype))
         state = state._replace(time=state.time + t0,
                                istep=state.istep + istep0)
         log(verbose, f'*** Checkpoint loaded at time = {t0}, step = {istep0} ***')
@@ -94,14 +102,21 @@ def run(cfg: Config, datadir='data', mesh=None, verbose=True,
     chunk = max(reduce(math.gcd, cadences) if cadences else 1, 1)
     if max_steps is not None:
         chunk = max(math.gcd(chunk, max_steps), 1)
-    if cfg.stop_type[1] or cfg.stop_type[2]:
-        chunk = 1  # time-based stopping needs per-step time checks
 
     while not is_done:
         t_step = _time.perf_counter()
-        if chunk > 1:
-            state = sim.multi_step(state, dt, chunk - 1)
-            nsteps_done += chunk - 1
+        # time_max stopping: predict remaining steps from dt and fall back to
+        # per-step advances for the tail, so production time_max runs keep the
+        # multi-step dispatch (the reference loop has no such cliff)
+        chunk_now = chunk
+        if cfg.stop_type[1] and dt > 0:
+            steps_left = max(int(math.ceil((cfg.time_max - float(state.time))
+                                           / dt - 1e-9)), 1)
+            if steps_left < chunk_now:
+                chunk_now = 1
+        if chunk_now > 1:
+            state = sim.multi_step(state, dt, chunk_now - 1)
+            nsteps_done += chunk_now - 1
         state, dpdl = sim.step(state, dt)
         istep = int(state.istep)
         tnow = float(state.time)
@@ -157,15 +172,17 @@ def run(cfg: Config, datadir='data', mesh=None, verbose=True,
                 # when y is also wall-bounded (output.f90:509, 406)
                 from .io import stats as st_io
                 if cfg.cbc_pre(1) == 'PP':
+                    padded = sim.padded_state(state)
                     st_io.single_point_chan(
                         datadir / f'stats_{istep:07d}', cfg, grid,
                         np.asarray(state.u), np.asarray(state.v),
                         np.asarray(state.w), np.asarray(state.p),
-                        np.asarray(state.visct))
+                        np.asarray(state.visct), padded=padded)
                     st_io.reystr_budget_chan(
                         datadir / f'stats_{istep:07d}', cfg, grid,
                         np.asarray(state.u), np.asarray(state.v),
-                        np.asarray(state.w), np.asarray(state.p))
+                        np.asarray(state.w), np.asarray(state.p),
+                        padded=padded)
                 else:
                     st_io.duct_stats_2d(
                         datadir / f'stats2d_{istep:07d}', cfg, grid,
@@ -188,12 +205,13 @@ def run(cfg: Config, datadir='data', mesh=None, verbose=True,
             if 'out3d' in hooks:
                 hooks['out3d'](sim, state, istep)
             else:
+                nskip = tuple(cfg.nskip_out3d)
                 for name, f in (('u', state.u), ('v', state.v),
                                 ('w', state.w), ('p', state.p)):
                     fn = datadir / f'{name}_{istep:07d}.bin'
-                    out.write_field_bin(fn, np.asarray(f))
+                    out.write_field_bin(fn, np.asarray(f), nskip=nskip)
                     out.write_log_output(datadir / 'log_visu_3d.out', fn.name,
-                                         name, (1, 1, 1), cfg.ng, (1, 1, 1),
+                                         name, (1, 1, 1), cfg.ng, nskip,
                                          tnow, istep)
 
         # checkpoint (main.f90:590-611)
@@ -211,10 +229,15 @@ def run(cfg: Config, datadir='data', mesh=None, verbose=True,
                               [istep, tnow, savecounter])
                 else:
                     filename = f'fld_{istep:07d}.bin'
-                ckpt_path = datadir / filename
             ckpt.save_checkpoint(datadir / filename, np.asarray(state.u),
                                  np.asarray(state.v), np.asarray(state.w),
                                  np.asarray(state.p), tnow, istep)
+            if cfg.scalar:
+                sname = filename.replace('fld', 'scal')
+                ckpt.save_scalar(datadir / sname, np.asarray(state.s),
+                                 tnow, istep)
+                if not cfg.is_overwrite_save:
+                    ckpt.gen_alias(datadir, sname, alias='scal.bin')
             if not cfg.is_overwrite_save:
                 ckpt.gen_alias(datadir, filename)
             log(verbose, f'*** Checkpoint saved at time = {tnow}, '
@@ -224,7 +247,7 @@ def run(cfg: Config, datadir='data', mesh=None, verbose=True,
         dt_wall = _time.perf_counter() - t_step
         log(verbose, f'step {istep}  t = {tnow:.6e}  dt = {dt:.3e}  '
                      f'wall = {dt_wall:.3f}s'
-                     + (f' ({chunk} steps/dispatch)' if chunk > 1 else ''))
+                     + (f' ({chunk_now} steps/dispatch)' if chunk_now > 1 else ''))
 
     if kill:
         raise SimulationAborted('simulation aborted (see log)')

@@ -53,8 +53,42 @@ def load_checkpoint(path, ng, dtype):
     raw = np.fromfile(path, dtype=dtype)
     fields = [raw[i * n:(i + 1) * n].reshape(nz, ny, nx) for i in range(4)]
     time = float(raw[4 * n])
-    istep = int(raw[4 * n + 1])
+    # nint() parity (load.f90: istep = nint(fldinfo(2))): float32 checkpoints
+    # store istep inexactly beyond 2^24; truncation would restart one step off
+    istep = int(round(float(raw[4 * n + 1])))
     return (*fields, time, istep)
+
+
+def save_scalar(path, s, time: float, istep: int):
+    """Sidecar checkpoint for the passive scalar (keeps fld.bin
+    reference-compatible; the reference does not transport a scalar in its
+    main loop, load.f90:111-151 saves only u,v,w,p)."""
+    s = np.asarray(s)
+    footer = np.array([time, float(istep)], dtype=s.dtype)
+    eng = native.engine()
+    if eng is not None:
+        native.write_fields(eng, path, [s, footer])
+        return
+    with open(path, 'wb') as f:
+        s.tofile(f)
+        footer.tofile(f)
+
+
+def load_scalar(path, ng, dtype):
+    """Read the scalar sidecar; returns (s, time, istep) with the same size
+    validation as load_checkpoint."""
+    nx, ny, nz = ng
+    n = nx * ny * nz
+    itemsize = np.dtype(dtype).itemsize
+    expected = (n + 2) * itemsize
+    actual = os.path.getsize(path)
+    if actual != expected:
+        raise ValueError(
+            f'scalar checkpoint size mismatch: {actual} bytes, expected '
+            f'{expected} for ng={ng} dtype={dtype}')
+    raw = np.fromfile(path, dtype=dtype)
+    s = raw[:n].reshape(nz, ny, nx)
+    return s, float(raw[n]), int(round(float(raw[n + 1])))
 
 
 def gen_alias(datadir, filename, alias='fld.bin'):

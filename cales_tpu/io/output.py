@@ -70,10 +70,14 @@ def out1d_chan(fname, grid, l, u, v, w):
     np.savetxt(fname, cols, fmt='%16.7e')
 
 
-def write_field_bin(fname, f):
-    """Raw binary dump in the reference's global Fortran order
-    (decomp_2d_write_every analogue, output.f90:191-242)."""
-    f = np.ascontiguousarray(np.asarray(f))
+def write_field_bin(fname, f, nskip=(1, 1, 1)):
+    """Raw binary dump in the reference's global Fortran order, keeping every
+    nskip-th point per logical (x, y, z) direction (out3d /
+    decomp_2d_write_every, output.f90:191-242)."""
+    f = np.asarray(f)
+    if f.ndim == 3 and tuple(nskip) != (1, 1, 1):
+        f = f[::nskip[2], ::nskip[1], ::nskip[0]]
+    f = np.ascontiguousarray(f)
     eng = native.engine()
     if eng is not None:
         native.write_fields(eng, fname, [f])

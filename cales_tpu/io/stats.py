@@ -21,10 +21,52 @@ from __future__ import annotations
 import numpy as np
 
 
-def single_point_chan(fname, cfg, grid, u, v, w, p, visct):
-    """u, v, w, p, visct: interior (nz, ny, nx) numpy arrays with the solver's
-    ghost semantics applied on the fly (periodic x/y; one-sided at z walls
-    like the reference's ghost reads)."""
+def solver_padded_fields(cfg, grid, u, v, w, p=None, visct=None):
+    """Ghost-fill fields with the SOLVER's BC semantics (ops/boundary), so the
+    wall-adjacent statistics planes read the same ghost values the reference
+    reads through boundp/bounduvw (output.f90:509-1061) — e.g. at a Dirichlet
+    z wall u(n+1) = 2*bc - u(n), not edge replication, which is what the wall
+    shear at zf(n) is computed from.
+
+    Standalone fallback for when the Simulation isn't available (the driver
+    passes Simulation.padded_state instead, which also carries wall-model
+    Neumann values and retained wall faces)."""
+    from ..config import effective_cbcvel
+    from ..ops import boundary as bnd
+    import jax.numpy as jnp
+
+    cbcvel = effective_cbcvel(cfg)
+    dt = np.asarray(u).dtype
+    bcvel_by_dir = lambda ivel: tuple(
+        tuple(cfg.bcvel[ib][idir][ivel] for ib in range(2)) for idir in range(3))
+    bcu = bnd.make_bc_values(cfg.ng, bcvel_by_dir(0), dt)
+    bcv = bnd.make_bc_values(cfg.ng, bcvel_by_dir(1), dt)
+    bcw = bnd.make_bc_values(cfg.ng, bcvel_by_dir(2), dt)
+    j = lambda a: jnp.asarray(np.asarray(a))
+    up, vp, wp, _ = bnd.pad_velocity(j(u), j(v), j(w), cbcvel, bcu, bcv, bcw,
+                                     cfg.dl, grid.dzc, grid.dzf)
+    out = [np.asarray(up), np.asarray(vp), np.asarray(wp)]
+    if p is not None:
+        cbcp = tuple((cfg.cbcpre[0][d], cfg.cbcpre[1][d]) for d in range(3))
+        bcp = bnd.make_bc_values(
+            cfg.ng, tuple(tuple(cfg.bcpre[ib][d] for ib in range(2))
+                          for d in range(3)), dt)
+        out.append(np.asarray(bnd.pad_scalar(j(p), cbcp, bcp, cfg.dl, grid.dzc)))
+    if visct is not None:
+        cbcs = tuple((cfg.cbcsgs[0][d], cfg.cbcsgs[1][d]) for d in range(3))
+        bcs = bnd.make_bc_values(
+            cfg.ng, tuple(tuple(cfg.bcsgs[ib][d] for ib in range(2))
+                          for d in range(3)), dt)
+        out.append(np.asarray(bnd.pad_scalar(j(visct), cbcs, bcs,
+                                             cfg.dl, grid.dzc)))
+    return tuple(out)
+
+
+def single_point_chan(fname, cfg, grid, u, v, w, p, visct, padded=None):
+    """u, v, w, p, visct: interior (nz, ny, nx) numpy arrays.  padded:
+    optional (up, vp, wp, ppad, sppad) ghost-filled arrays from
+    Simulation.padded_state (exact solver BC semantics incl. wall model);
+    built from the static namelist BCs when absent."""
     u, v, w, p, visct = map(np.asarray, (u, v, w, p, visct))
     nz, ny, nx = u.shape
     dl = cfg.dl
@@ -33,18 +75,9 @@ def single_point_chan(fname, cfg, grid, u, v, w, p, visct):
     zc = grid.zc
     zf = grid.zf
 
-    # padded views (periodic x/y; mirror-free z: use wall BC values 0 at walls
-    # is not needed because every stencil below only reaches k+1<=nz with the
-    # top plane handled via the ghost convention of the solver: we pad with
-    # edge replication which reproduces homogeneous-Neumann reads; Dirichlet
-    # walls only affect the first/last plane of the vorticity/sgs columns).
-    def padp(f):
-        f = np.concatenate([f[:, :, -1:], f, f[:, :, :1]], axis=2)
-        f = np.concatenate([f[:, -1:, :], f, f[:, :1, :]], axis=1)
-        f = np.concatenate([f[:1], f, f[-1:]], axis=0)
-        return f
-
-    up, vp, wp, pp, sp = map(padp, (u, v, w, p, visct))
+    if padded is None:
+        padded = solver_padded_fields(cfg, grid, u, v, w, p, visct)
+    up, vp, wp, pp, sp = map(np.asarray, padded)
     C = lambda f, k=0, j=0, i=0: f[1 + k:1 + k + nz, 1 + j:1 + j + ny,
                                    1 + i:1 + i + nx]
 
@@ -132,7 +165,7 @@ def duct_stats_2d(fname, cfg, grid, u, v, w):
     return arr
 
 
-def reystr_budget_chan(fname, cfg, grid, u, v, w, p):
+def reystr_budget_chan(fname, cfg, grid, u, v, w, p, padded=None):
     """MKE and Reynolds-stress budget terms, 38 plane-averaged quantities per
     z level (out1d_single_point_chan second block, output.f90:703-1009):
     MKE work/transport terms, uu/vv/ww/uw transport, pressure-strain and
@@ -144,13 +177,9 @@ def reystr_budget_chan(fname, cfg, grid, u, v, w, p):
     dzc = grid.dzc
     dzf = grid.dzf
 
-    def padp(f):
-        f = np.concatenate([f[:, :, -1:], f, f[:, :, :1]], axis=2)
-        f = np.concatenate([f[:, -1:, :], f, f[:, :1, :]], axis=1)
-        f = np.concatenate([f[:1], f, f[-1:]], axis=0)
-        return f
-
-    up, vp, wp, pp = map(padp, (u, v, w, p))
+    if padded is None:
+        padded = solver_padded_fields(cfg, grid, u, v, w, p)
+    up, vp, wp, pp = map(np.asarray, padded[:4])
     C = lambda f, k=0, j=0, i=0: f[1 + k:1 + k + nz, 1 + j:1 + j + ny,
                                    1 + i:1 + i + nx]
     dzc_k = dzc[1:nz + 1][:, None, None]

@@ -237,13 +237,20 @@ def updatep(ppad, p, alpha, impdiff, impdiff_1d, dxi, dyi, dzci, dzfi):
     return p + pp_c + alpha * lap
 
 
-def divergence(up, vp, wp, dxi, dyi, dzfi):
-    """(divtot, divmax) of the velocity field (chkdiv.f90:16-52)."""
+def divergence(up, vp, wp, dxi, dyi, dzfi, mask=(False, False, False)):
+    """(divtot, divmax) of the velocity field (chkdiv.f90:16-52).
+
+    mask: per logical direction (x, y, z), exclude the first/last cell planes
+    from the reductions (_MASK_DIVERGENCE_CHECK analogue for inflow/outflow
+    boundaries whose edge cells are not divergence-free by construction)."""
     nz = up.shape[0] - 2
     dzfi_c = _zb(dzfi, 1, nz + 1)
     div = ((_sh(wp, 0, 0, 0) - _sh(wp, -1, 0, 0)) * dzfi_c
            + (_sh(vp, 0, 0, 0) - _sh(vp, 0, -1, 0)) * dyi
            + (_sh(up, 0, 0, 0) - _sh(up, 0, 0, -1)) * dxi)
+    if any(mask):
+        sl = tuple(slice(1, -1) if mask[d] else slice(None) for d in (2, 1, 0))
+        div = div[sl]
     return jnp.sum(div), jnp.max(jnp.abs(div))
 
 

@@ -23,15 +23,17 @@ def _eps_for(dtype) -> float:
     return float(np.finfo(np.float64).eps)
 
 
-def thomas(a, b, c, rhs, lam=None):
+def thomas(a, b, c, rhs, lam=None, regularize=True):
     """Solve tridiag(a, b + lam, c) x = rhs along axis 0.
 
     a, b, c: (n,) real; rhs: (n, ...) real or complex; lam: broadcastable to
-    rhs[0].shape (or None).  Mirrors dgtsv_homebrewed (solver.f90:153-179),
-    including the eps regularization of the pivots.
+    rhs[0].shape (or None).  Mirrors dgtsv_homebrewed (solver.f90:153-179).
+    regularize=True adds eps to the pivots — needed only for the exactly
+    singular Poisson zero mode (solver.f90:165-169); pass False for
+    well-conditioned Helmholtz solves where the eps is pure bias.
     """
     n = rhs.shape[0]
-    eps = _eps_for(rhs.dtype)
+    eps = _eps_for(rhs.dtype) if regularize else 0.0
     a = jnp.asarray(a, dtype=rhs.real.dtype if jnp.iscomplexobj(rhs) else rhs.dtype)
     b = jnp.asarray(b, dtype=a.dtype)
     c = jnp.asarray(c, dtype=a.dtype)
@@ -61,11 +63,11 @@ def thomas(a, b, c, rhs, lam=None):
     return jnp.concatenate([x_rev[::-1], p[-1:][...]], axis=0)
 
 
-def thomas_periodic(a, b, c, rhs, lam=None):
+def thomas_periodic(a, b, c, rhs, lam=None, regularize=True):
     """Periodic tridiagonal solve along axis 0 (rank-1 corrected two-solve),
     mirroring gaussel_periodic (solver.f90:109-151)."""
     n = rhs.shape[0]
-    eps = _eps_for(rhs.dtype)
+    eps = _eps_for(rhs.dtype) if regularize else 0.0
     rdtype = rhs.real.dtype if jnp.iscomplexobj(rhs) else rhs.dtype
     a_ = jnp.asarray(a, dtype=rdtype)
     b_ = jnp.asarray(b, dtype=rdtype)
@@ -82,7 +84,8 @@ def thomas_periodic(a, b, c, rhs, lam=None):
 
     stacked = jnp.stack([rhs[: n - 1], e], axis=1)     # (n-1, 2, ...)
     lam_b = lam_[None] if lam_.ndim else lam_          # broadcast over the 2-stack
-    sol = thomas(a_[: n - 1], b_[: n - 1], c_[: n - 1], stacked, lam=lam_b)
+    sol = thomas(a_[: n - 1], b_[: n - 1], c_[: n - 1], stacked, lam=lam_b,
+                 regularize=regularize)
     p1 = sol[:, 0]
     p2 = sol[:, 1]
 

@@ -88,9 +88,16 @@ def _z_eigendecomposition(a, b, c, weights, periodic):
         Vr = Q / d[:, None]            # D^{-1/2} Q
     else:
         lam_c, V = np.linalg.eig(T)
+        if np.abs(lam_c.imag).max() > 1e-10 or np.abs(V.imag).max() > 1e-10:
+            # genuinely complex spectrum (e.g. periodic z on a stretched grid):
+            # a real eigendecomposition does not exist — refuse rather than
+            # silently truncate; the caller should use zsolver='thomas'.
+            raise ValueError(
+                "z operator has a complex eigendecomposition (periodic z with "
+                "a stretched grid?); use zsolver='thomas' for this config")
         idx = np.argsort(lam_c.real)
         lamz = lam_c.real[idx]
-        Vr = V.real[:, idx] if np.abs(V.imag).max() < 1e-12 else V[:, idx].real
+        Vr = V.real[:, idx]
         Vl = np.linalg.inv(Vr)
     return Vl, Vr, lamz
 
@@ -135,8 +142,16 @@ def make_solver(cfg: Config, grid: Grid, cbc, c_or_f,
     qz = 1 if (c_or_f[2] == 'f' and cbc[2][1] == 'D') else 0
     nzs = nz - qz
     weights = grid.dzf if c_or_f[2] == 'c' else grid.dzc
-    zVl, zVr, lamz = _z_eigendecomposition(a[:nzs], b[:nzs], c[:nzs],
-                                           weights, cbc[2] == 'PP')
+    zVl = zVr = lamz = None
+    if zsolver == 'eig':
+        try:
+            zVl, zVr, lamz = _z_eigendecomposition(a[:nzs], b[:nzs], c[:nzs],
+                                                   weights, cbc[2] == 'PP')
+        except ValueError:
+            import warnings
+            warnings.warn('z eigendecomposition unavailable for this config; '
+                          "falling back to zsolver='thomas'")
+            zsolver = 'thomas'
     return DirectSolver(ng=cfg.ng, c_or_f=tuple(c_or_f), bcx=cbc[0], bcy=cbc[1],
                         bcz=cbc[2], trx=trx, try_=try_, a=a, b=b, c=c,
                         lamx=lamx, lamy=lamy, zVl=zVl, zVr=zVr, lamz=lamz,
@@ -216,11 +231,13 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None):
             c = c * alpha
             lam = lamxy * alpha
         lam_j = jnp.asarray(lam, dtype=rdt)
+        # eps pivots only for the exactly singular pure-Poisson mode
+        reg = alpha is None
         if sv.bcz == 'PP':
-            zsol = thomas_periodic(a, b, c, zbody, lam=lam_j)
+            zsol = thomas_periodic(a, b, c, zbody, lam=lam_j, regularize=reg)
         else:
             zsol = thomas(a[: nz - qz], b[: nz - qz], c[: nz - qz], zbody,
-                          lam=lam_j)
+                          lam=lam_j, regularize=reg)
     body = jnp.concatenate([zsol, body[nz - qz:]], axis=0) if qz else zsol
 
     # inverse transforms: y then x
@@ -262,9 +279,10 @@ def solve_z_only(sv: DirectSolver, p, alpha):
         b = sv.b * alpha + 1.0
         c = sv.c * alpha
         if sv.bcz == 'PP':
-            zsol = thomas_periodic(a, b, c, zbody)
+            zsol = thomas_periodic(a, b, c, zbody, regularize=False)
         else:
-            zsol = thomas(a[: nz - qz], b[: nz - qz], c[: nz - qz], zbody)
+            zsol = thomas(a[: nz - qz], b[: nz - qz], c[: nz - qz], zbody,
+                          regularize=False)
     return jnp.concatenate([zsol, p[nz - qz:]], axis=0) if qz else zsol
 
 

@@ -378,13 +378,32 @@ class Simulation:
         eps = float(np.finfo(self.dtype).eps)
         dt_cfl = st.cfl_dt(up, vp, wp, sp, cfg.visc, cfg.dl, self.grid.dzci,
                            self.grid.dzfi, cfg.impdiff, cfg.impdiff_1d, eps)
+        mask = (False,) * 3
+        if cfg.mask_divergence_check:
+            mask = tuple(cfg.cbc_pre(d) != 'PP' for d in range(3))
         divtot, divmax = st.divergence(up, vp, wp, cfg.dli[0], cfg.dli[1],
-                                       self.grid.dzfi)
+                                       self.grid.dzfi, mask=mask)
         return dt_cfl, divtot, divmax
 
     def check(self, state: State):
         dt_cfl, divtot, divmax = self._chk(state)
         return float(dt_cfl), float(divtot), float(divmax)
+
+    def padded_state(self, state: State):
+        """Ghost-filled (up, vp, wp, ppad, sppad) with the solver's exact BC
+        semantics (incl. wall-model Neumann values and retained wall faces) —
+        used by the statistics layer, which must read the same ghost values
+        as the reference's out1d routines do through boundp/bounduvw
+        (output.f90:509-1061)."""
+        if not hasattr(self, '_padded_jit'):
+            def impl(state):
+                bcu, bcv, bcw = self._dynamic_bcs(state.u, state.v, state.w)
+                up, vp, wp, _ = self._pad_vel(state.u, state.v, state.w,
+                                              bcu, bcv, bcw,
+                                              vlo=state.vlo, is_correc=True)
+                return up, vp, wp, self._pad_p(state.p), self._pad_s(state.visct)
+            self._padded_jit = jax.jit(impl)
+        return tuple(np.asarray(a) for a in self._padded_jit(state))
 
     def pick_dt(self, dt_cfl: float) -> float:
         cfg = self.cfg

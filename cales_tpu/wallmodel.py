@@ -52,13 +52,22 @@ def _rel(v1, v2, coef, mag):
 
 def find_index_wm(cfg, grid):
     """Interpolation index per wall-modeled face (initbc, bound.f90:812-865):
-    the stored index is the cell *further* from the wall."""
+    the stored index is the cell *further* from the wall.  hwm outside the
+    first..last cell-center band is rejected (sanity.f90:233-241 checks all
+    wall-normal directions, not just z)."""
     nx, ny, nz = cfg.ng
     dl = cfg.dl
     h = cfg.hwm
+
+    def err(d):
+        raise ValueError(f'hwm={h} outside the first..last cell-center band '
+                         f'in direction {d} (sanity.f90:233-241)')
+
     idx = [[0, 0], [0, 0], [0, 0]]
     for ib in range(2):
         if cfg.lwm[ib][0] != 0:
+            if not 0.5 * dl[0] < h < (nx - 0.5) * dl[0]:
+                err('x')
             i = 1 if ib == 0 else nx
             if ib == 0:
                 while (i - 0.5) * dl[0] < h:
@@ -68,6 +77,8 @@ def find_index_wm(cfg, grid):
                     i -= 1
             idx[0][ib] = i
         if cfg.lwm[ib][1] != 0:
+            if not 0.5 * dl[1] < h < (ny - 0.5) * dl[1]:
+                err('y')
             j = 1 if ib == 0 else ny
             if ib == 0:
                 while (j - 0.5) * dl[1] < h:
@@ -77,6 +88,8 @@ def find_index_wm(cfg, grid):
                     j -= 1
             idx[1][ib] = j
         if cfg.lwm[ib][2] != 0:
+            if not grid.zc[1] < h < grid.zc[nz]:
+                err('z')
             k = 1 if ib == 0 else nz
             if ib == 0:
                 while grid.zc[k] < h:
