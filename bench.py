@@ -33,7 +33,13 @@ NSTEPS = 10
 
 
 def main():
+    import jax
     import jax.numpy as jnp
+
+    # persistent executable cache: the Pallas mega-kernels take ~2 min of
+    # Mosaic compile per shape on first use; cached across runs
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.expanduser('~/.jax_cache'))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from cales_tpu.config import Config

@@ -124,6 +124,10 @@ class Config:
     dtype: str = 'float32'                 # _SINGLE_PRECISION analogue ('float32'|'float64')
     zsolver: str = 'eig'                   # z direct solver: 'eig' (MXU matmul
                                            # diagonalization) | 'thomas' (scan)
+    # Pallas mega-kernels for the hot stencils (momentum+RK, static-Smag)
+    # when eligible (TPU, f32, periodic x/y, explicit diffusion, no mesh);
+    # ineligible configurations always fall back to the XLA expression path
+    use_pallas: bool = True
 
     # --- passive scalar (reference ships scal.f90/rk_scal unwired;
     #     here it is an opt-in part of the time loop) ---

@@ -167,6 +167,35 @@ def pad_scalar(p, cbc, bcvals, dl, dzc):
     return q
 
 
+def zpad_scalar(p, cbc_z, bcvals_z, dzc):
+    """z-ghost-only fill for a cell-centered scalar: (nz, ny, nx) ->
+    (nz+2, ny, nx).  The Pallas kernel input format (x/y periodic closed
+    in-kernel; see ops/pallas_kernels.py)."""
+    nz = p.shape[0]
+    dr = (float(dzc[0]), float(dzc[nz]))
+    return _set_centered(p, 0, cbc_z, bcvals_z, dr)
+
+
+def zpad_velocity(u, v, w, cbcvel, bcu, bcv, bcw, dzc, dzf,
+                  vlo=None, is_correc=False):
+    """z-ghost-only fill for the staggered velocity: (nz, ny, nx) ->
+    (nz+2, ny, nx) triple.  Same z semantics as pad_velocity (u, v
+    centered in z; w face-staggered with the vlo/is_correc retention);
+    x/y ghosts are NOT attached (Pallas kernels close them as periodic
+    wraps — callers must gate on periodic x/y)."""
+    nz = u.shape[0]
+    dr_par = (float(dzc[0]), float(dzc[nz]))
+    dr_nrm = (float(dzf[0]), float(dzf[nz]))
+    lts = lambda ivel: (cbcvel[0][2][ivel], cbcvel[1][2][ivel])
+    uq = _set_centered(u, 0, lts(0), bcu[2], dr_par)
+    vq = _set_centered(v, 0, lts(1), bcv[2], dr_par)
+    lw = lts(2)
+    keep = is_correc and lw[0] != 'P' and vlo is not None
+    wq = _set_face(w, 0, lw, bcw[2], dr_nrm,
+                   lo_keep=vlo[2] if keep else None, keep=keep)
+    return uq, vq, wq
+
+
 def pad_velocity(u, v, w, cbcvel, bcu, bcv, bcw, dl, dzc, dzf,
                  vlo=None, is_correc=False):
     """Ghost fill for the staggered velocity (bounduvw, bound.f90:18-154).

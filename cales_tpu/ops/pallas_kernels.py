@@ -1,157 +1,326 @@
 """Pallas TPU mega-kernels for the hot stencil path.
 
-``fused_mom_update`` fuses the momentum RHS (mom.f90:17-309) with the RK3
-velocity update (rk.f90:77-94) into a single pass over HBM: each (TZ, TY)
-tile DMAs halo-inclusive windows of the padded velocity/eddy-viscosity/
-pressure fields from HBM into VMEM scratch (manual async copies — halo
-windows are unaligned, which BlockSpec pipelining does not allow), evaluates
-the full staggered stencil there with the same jnp expressions as
-ops.stencil.momentum_rhs, and writes the updated velocities plus the stored
-RHS (the low-storage scheme's ``rhs_old``) through aligned output blocks.
-XLA's own fusion splits this region into several multi-pass fusions re-reading
-the padded fields; the kernel reads each field once.
+Motivation (measured, round 2): XLA's TPU loop-fusion emitter streams every
+distinct shifted-slice operand of a stencil expression from HBM separately —
+the fused momentum region costs ~68 field passes/substep and the strain-rate
+region ~30, versus ~14 and ~4 structurally necessary.  These kernels load
+each field into VMEM once per tile and take all stencil shifts from VMEM.
 
-Explicit-diffusion path only (the LES production configuration); the
-implicit-split variants fall back to the XLA expression path.
+Design (validated by on-device probes, see git history):
+  * Mosaic DMA slices must have offsets AND sizes aligned to the (8, 128)
+    f32 tile in the last two dims; leading-dim slices are unconstrained.
+    Hence kernel inputs are **z-padded only** arrays (nz+2, ny, nx) — the
+    two z ghost planes carry the z BCs (any BC letter); x and y must be
+    periodic (the headline channel/triperiodic configurations) and are
+    closed in-kernel: y by three aligned wrap DMAs assembling a
+    (TZ+2, TY+16, nx) halo window, x by `pltpu.roll` on VMEM planes.
+  * The kernel body is a `fori_loop` over the TZ output z-planes with all
+    math on 2D (TY, nx) planes — this keeps the Mosaic vector IR small (the
+    round-1 fully-3D body took >20 min to compile; this design compiles in
+    ~0.5-2 min) — and shares the EXACT discretization with the XLA path via
+    `stencil.momentum_rhs_core` / `strain_rate_core` (accessor interface).
+  * No manual double buffering: measured ~600+ GB/s with the grid-sequential
+    DMAs (the next tile's DMA issue overlaps the previous tile's writeback).
 
-STATUS (round 1): numerically validated against the XLA path (interpret mode,
-tests/test_pallas_kernels.py) but NOT enabled in the production step.
-Findings from on-device experiments (keep for round 2):
-  * Mosaic requires DMA slice shapes tile-aligned in the last two dims —
-    halo windows over (n+2)-padded arrays are rejected ("must be aligned to
-    tiling (8)").  The viable design for periodic-x/y configs (the headline
-    channel bench): z-extended-only arrays (nz+2, ny, nx) — aligned — with
-    z-tiled windows and in-VMEM `pltpu.roll` for the periodic x/y shifts.
-  * A u-component-only kernel in that design compiles in ~157 s, is
-    bit-exact vs the XLA expression, and runs 2.14 ms vs XLA's 2.24 ms at
-    (256,128,128) — i.e. the single-output kernel has no advantage (XLA
-    already fuses one output well); the payoff is the multi-output fused
-    kernel (u,v,w + updates in one read of the 5 input fields), whose
-    Mosaic compile time grows superlinearly with expression size (>20 min
-    for the 3-component body).  Round-2: two-component split or
-    common-subexpression hoisting to get compile time tractable.
+Kernels:
+  * fused_mom_rk  — momentum RHS (mom.f90:17-309) + RK3 update with pressure
+    gradient and body force (rk.f90:77-94) in one pass: reads u,v,w,visct,p
+    (+rhs_old), writes u*,v*,w* and the stored RHS.
+  * fused_smag    — strain rate (sgs.f90:1019-1110) + van Driest static
+    Smagorinsky (sgs.f90:69-152) for z-wall/no-wall configs in one pass.
+
+Explicit-diffusion path only; the implicit splits and non-periodic-x/y
+configurations fall back to the XLA expression path (timeloop dispatches).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import stencil as st
 
 
-def _make_kernel(tz, ty, nxp, nz):
-    def kernel(sc, dzci_r, dzfi_r,
-               up_h, vp_h, wp_h, sp_h, pp_h, ruo, rvo, rwo,
+def _roll_xp(p):
+    """value at i+1 (periodic x): roll lanes left by 1."""
+    return pltpu.roll(p, p.shape[-1] - 1, len(p.shape) - 1)
+
+
+def _roll_xm(p):
+    """value at i-1 (periodic x)."""
+    return pltpu.roll(p, 1, len(p.shape) - 1)
+
+
+def _np_roll_variant(p, i):
+    if i == 0:
+        return p
+    return jnp.roll(p, -i, axis=-1)
+
+
+def _mk_window_dmas(hbm, scr, sem, z0, y0, ny, tz, ty):
+    """Three aligned DMAs assembling the (tz+2, ty+16, nx) halo window:
+    8 wrap rows below, ty interior rows, 8 wrap rows above (periodic y)."""
+    ylo = pl.multiple_of((y0 - 8) % ny, 8)
+    yhi = pl.multiple_of((y0 + ty) % ny, 8)
+    y0a = pl.multiple_of(y0, 8)
+    return [
+        pltpu.make_async_copy(hbm.at[pl.ds(z0, tz + 2), pl.ds(ylo, 8)],
+                              scr.at[:, 0:8], sem.at[0]),
+        pltpu.make_async_copy(hbm.at[pl.ds(z0, tz + 2), pl.ds(y0a, ty)],
+                              scr.at[:, 8:8 + ty], sem.at[1]),
+        pltpu.make_async_copy(hbm.at[pl.ds(z0, tz + 2), pl.ds(yhi, 8)],
+                              scr.at[:, 8 + ty:8 + ty + 8], sem.at[2]),
+    ]
+
+
+class _PlaneAccessor:
+    """V/M accessor over VMEM halo windows for one output z-plane.
+
+    Window layout: rows [0:8) wrap-lo, [8:8+ty) interior tile, [8+ty:+8)
+    wrap-hi; the interior tile's row r corresponds to window row 8+r.
+    x shifts are periodic rolls, cached per (field, dk, di).
+    """
+
+    def __init__(self, windows, kk, ty, interpret=False):
+        self.win = windows            # dict: field key -> scratch ref
+        self.kk = kk
+        self.ty = ty
+        self.interpret = interpret
+        self._cache = {}
+
+    def plane(self, f, dk, di):
+        key = (id(f), dk, di)
+        if key not in self._cache:
+            base_key = (id(f), dk, 0)
+            if base_key not in self._cache:
+                self._cache[base_key] = self.win[id(f)][self.kk + 1 + dk]
+            p = self._cache[base_key]
+            if di == 1:
+                p = (_np_roll_variant(p, 1) if self.interpret else _roll_xp(p))
+            elif di == -1:
+                p = (_np_roll_variant(p, -1) if self.interpret else _roll_xm(p))
+            self._cache[key] = p
+        return self._cache[key]
+
+    def V(self, f, k=0, j=0, i=0):
+        return self.plane(f, k, i)[8 + j:8 + j + self.ty]
+
+
+def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret):
+    def kernel(sc, dzci_s, dzfi_s, uq, vq, wq, sq, pq, ruo, rvo, rwo,
                u_o, v_o, w_o, ru_o, rv_o, rw_o,
                su, sv, sw, ss, sp_, sems):
         k = pl.program_id(0)
         j = pl.program_id(1)
         z0 = k * tz
         y0 = j * ty
-
-        cps = []
-        for src, dst, m in ((up_h, su, 0), (vp_h, sv, 1), (wp_h, sw, 2),
-                            (sp_h, ss, 3), (pp_h, sp_, 4)):
-            c = pltpu.make_async_copy(
-                src.at[pl.ds(z0, tz + 2), pl.ds(y0, ty + 2), :],
-                dst, sems.at[m])
+        cs = []
+        for src, dst, m in ((uq, su, 0), (vq, sv, 1), (wq, sw, 2),
+                            (sq, ss, 3), (pq, sp_, 4)):
+            cs += _mk_window_dmas(src, dst, sems.at[m], z0, y0, ny, tz, ty)
+        for c in cs:
             c.start()
-            cps.append(c)
-        for c in cps:
+        for c in cs:
             c.wait()
 
         f1 = sc[0, 0]
         f2 = sc[0, 1]
-        visc = sc[0, 2]
-        dxi = sc[0, 3]
-        dyi = sc[0, 4]
         f12 = f1 + f2
 
-        dzci = dzci_r[pl.ds(z0, tz + 2), 0]
-        dzfi = dzfi_r[pl.ds(z0, tz + 2), 0]
+        def body(kk, _):
+            kz = z0 + kk + 1          # padded z index (Fortran k)
+            acc = _PlaneAccessor(
+                {id(su): su, id(sv): sv, id(sw): sw, id(ss): ss, id(sp_): sp_},
+                kk, ty, interpret=interpret)
+            metrics = {
+                'dzci_c': dzci_s[kz, 0],
+                'dzci_m': dzci_s[kz - 1, 0],
+                'dzfi_c': dzfi_s[kz, 0],
+                'dzfi_p': dzfi_s[kz + 1, 0],
+            }
+            (eu, exyu, ezu), (ev, exyv, ezv), (ew, exyw, ezw) = \
+                st.momentum_rhs_core(acc.V, metrics.__getitem__,
+                                     su, sv, sw, ss, visc, dxi, dyi)
+            ru = eu + exyu + ezu
+            rv = ev + exyv + ezv
+            rw = ew + exyw + ezw
+            pc = acc.V(sp_)
+            gpx = dxi * (acc.V(sp_, i=1) - pc)
+            gpy = dyi * (acc.V(sp_, j=1) - pc)
+            gpz = metrics['dzci_c'] * (acc.V(sp_, k=1) - pc)
+            u_o[kk] = acc.V(su) + f1 * ru + f2 * ruo[kk] + f12 * (bforce[0] - gpx)
+            v_o[kk] = acc.V(sv) + f1 * rv + f2 * rvo[kk] + f12 * (bforce[1] - gpy)
+            w_o[kk] = acc.V(sw) + f1 * rw + f2 * rwo[kk] + f12 * (bforce[2] - gpz)
+            ru_o[kk] = ru
+            rv_o[kk] = rv
+            rw_o[kk] = rw
+            return 0
 
-        (eu, exyu, ezu), (ev, exyv, ezv), (ew, exyw, ezw) = st.momentum_rhs(
-            su[:], sv[:], sw[:], ss[:], visc, dxi, dyi, dzci, dzfi)
-        ru = eu + exyu + ezu
-        rv = ev + exyv + ezv
-        rw = ew + exyw + ezw
-
-        pp = sp_[:]
-        pc = pp[1:-1, 1:-1, 1:-1]
-        gpx = dxi * (pp[1:-1, 1:-1, 2:] - pc)
-        gpy = dyi * (pp[1:-1, 2:, 1:-1] - pc)
-        gpz = dzci[1:-1][:, None, None] * (pp[2:, 1:-1, 1:-1] - pc)
-
-        u_o[:] = su[1:-1, 1:-1, 1:-1] + f1 * ru + f2 * ruo[:] \
-            + f12 * (sc[0, 5] - gpx)
-        v_o[:] = sv[1:-1, 1:-1, 1:-1] + f1 * rv + f2 * rvo[:] \
-            + f12 * (sc[0, 6] - gpy)
-        w_o[:] = sw[1:-1, 1:-1, 1:-1] + f1 * rw + f2 * rwo[:] \
-            + f12 * (sc[0, 7] - gpz)
-        ru_o[:] = ru
-        rv_o[:] = rv
-        rw_o[:] = rw
+        jax.lax.fori_loop(0, tz, body, 0)
     return kernel
 
 
-def pick_tiles(nz, ny, nxp, itemsize, vmem_budget_mb=100.0):
-    """largest (TZ, TY) dividing (nz, ny) whose working set fits VMEM
-    (5 halo windows + 9 interior tiles + expression temporaries)."""
-    best = None
-    for tz in (8, 4, 2):
-        if nz % tz:
+def pick_tiles(nz, ny, itemsize, nx):
+    """(TZ, TY) fitting the 5 halo windows + pipelined outputs in VMEM."""
+    if ny < 8 or ny % 8:
+        return None
+    for tz, ty in ((8, 32), (8, 16), (4, 16), (4, 8), (2, 8)):
+        if nz % tz or ny % ty:
             continue
-        for ty in (128, 64, 32, 16, 8):
-            if ny % ty:
-                continue
-            win = (tz + 2) * (ty + 2) * nxp * itemsize
-            out = tz * ty * (nxp - 2) * itemsize
-            tot = 5 * win + 9 * out
-            # leave ~2/3 of the 16MB core VMEM for Mosaic temporaries
-            if tot < 5.5 * 1024 * 1024:
-                return tz, ty
-    return best
+        win = (tz + 2) * (ty + 16) * nx * itemsize
+        outs = tz * ty * nx * itemsize
+        tot = 5 * win + 2 * 9 * outs      # 5 windows + 2-slot in/out pipeline
+        if tot < 11 * 1024 * 1024:
+            return tz, ty
+    return None
 
 
-def fused_mom_update(up, vp, wp, sp, ppad, ruo, rvo, rwo, dzci, dzfi,
-                     f1, f2, visc, dxi, dyi, bforce, interpret=False):
-    """Returns (u_new, v_new, w_new, ru, rv, rw), or None when no valid
-    tiling exists (caller falls back to the XLA expression path)."""
-    nzp, nyp, nxp = up.shape
-    nz, ny, nx = nzp - 2, nyp - 2, nxp - 2
-    tiles = pick_tiles(nz, ny, nxp, up.dtype.itemsize)
+def fused_mom_rk(uq, vq, wq, sq, pq, ruo, rvo, rwo, dzci, dzfi,
+                 f1, f2, visc, dxi, dyi, bforce, interpret=False):
+    """Momentum RHS + RK3 update in one HBM pass.
+
+    uq..pq: z-padded (nz+2, ny, nx) fields (x, y periodic); ruo..rwo:
+    (nz, ny, nx) previous explicit RHS; f1, f2: traced RK factors.
+    Returns (u, v, w, ru, rv, rw) interiors, or None if no tiling fits
+    (caller falls back to the XLA path)."""
+    nzp, ny, nx = uq.shape
+    nz = nzp - 2
+    dt = uq.dtype
+    if nx % 128 or ny % 8:
+        return None
+    tiles = pick_tiles(nz, ny, dt.itemsize, nx)
     if tiles is None:
         return None
     tz, ty = tiles
+
+    sc = jnp.stack([jnp.asarray(f1, dt), jnp.asarray(f2, dt)]).reshape(1, 2)
+    dzci_s = jnp.asarray(dzci, dt).reshape(-1, 1)
+    dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
+
     grid = (nz // tz, ny // ty)
-    dt = up.dtype
-
-    sc = jnp.stack([f1 + 0.0 * f1, f2, jnp.asarray(visc, dt),
-                    jnp.asarray(dxi, dt), jnp.asarray(dyi, dt),
-                    jnp.asarray(bforce[0], dt), jnp.asarray(bforce[1], dt),
-                    jnp.asarray(bforce[2], dt)]).astype(dt).reshape(1, 8)
-    dzci_a = jnp.asarray(dzci, dtype=dt).reshape(-1, 1)
-    dzfi_a = jnp.asarray(dzfi, dtype=dt).reshape(-1, 1)
-
-    hbm = pltpu.ANY if hasattr(pltpu, 'ANY') else pltpu.HBM
-    halo_spec = pl.BlockSpec(memory_space=hbm)
     int_spec = pl.BlockSpec((tz, ty, nx), lambda k, j: (k, j, 0))
-    sc_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    z_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    out_shape = [jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 6
-    kern = _make_kernel(tz, ty, nxp, nz)
+    kern = _mom_kernel(tz, ty, nz, ny, nx, float(visc), float(dxi), float(dyi),
+                       tuple(float(b) for b in bforce), interpret)
     outs = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[sc_spec, z_spec, z_spec] + [halo_spec] * 5 + [int_spec] * 3,
+        in_specs=[smem_spec, smem_spec, smem_spec] + [any_spec] * 5
+                 + [int_spec] * 3,
         out_specs=[int_spec] * 6,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((tz + 2, ty + 2, nxp), dt) for _ in range(5)
-        ] + [pltpu.SemaphoreType.DMA((5,))],
+        out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 6,
+        scratch_shapes=[pltpu.VMEM((tz + 2, ty + 16, nx), dt)
+                        for _ in range(5)] + [pltpu.SemaphoreType.DMA((5, 3))],
         interpret=interpret,
-    )(sc, dzci_a, dzfi_a, up, vp, wp, sp, ppad, ruo, rvo, rwo)
+    )(sc, dzci_s, dzfi_s, uq, vq, wq, sq, pq, ruo, rvo, rwo)
     return outs
+
+
+def _smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls, interpret):
+    """strain rate + nu_t = (Cs*Delta(z)*fd)^2 |S| in one pass.
+
+    van Driest damping for the z-walls-only case (channel/Couette class,
+    sgs.f90:104-149): fd = 1 - exp(-dw(z) sqrt(0.5 visc tauw(y,x)) / visc
+    / 25) with tauw selected from the nearer wall's plane by a 1D z mask.
+    have_zwalls=False skips fd (fd=1, tri-periodic class).
+    """
+    def kernel(csd2_s, dw_s, msk_s, dzci_s, dzfi_s, uq, vq, wq,
+               tlo, thi, s_o, su, sv, sw, sems):
+        k = pl.program_id(0)
+        j = pl.program_id(1)
+        z0 = k * tz
+        y0 = j * ty
+        cs = []
+        for src, dst, m in ((uq, su, 0), (vq, sv, 1), (wq, sw, 2)):
+            cs += _mk_window_dmas(src, dst, sems.at[m], z0, y0, ny, tz, ty)
+        for c in cs:
+            c.start()
+        for c in cs:
+            c.wait()
+
+        def body(kk, _):
+            kz = z0 + kk + 1
+            acc = _PlaneAccessor({id(su): su, id(sv): sv, id(sw): sw},
+                                 kk, ty, interpret=interpret)
+            metrics = {
+                'dzci_c': dzci_s[kz, 0],
+                'dzci_m': dzci_s[kz - 1, 0],
+                'dzfi_c': dzfi_s[kz, 0],
+            }
+            s0 = st.strain_rate_core(acc.V, metrics.__getitem__,
+                                     su, sv, sw, dxi, dyi)
+            if have_zwalls:
+                tauw = jnp.where(msk_s[kz, 0] > 0.5, tlo[0], thi[0])
+                tauw_s = 0.5 * visc * tauw
+                dw_plus = dw_s[kz, 0] * jnp.sqrt(tauw_s) / visc
+                fd = 1.0 - jnp.exp(-dw_plus / 25.0)
+                s_o[kk] = csd2_s[kz, 0] * fd * fd * s0
+            else:
+                s_o[kk] = csd2_s[kz, 0] * s0
+            return 0
+
+        jax.lax.fori_loop(0, tz, body, 0)
+    return kernel
+
+
+def fused_smag(uq, vq, wq, dzci, dzfi, dxi, dyi, visc, cs_delta2_1d,
+               dw_1d=None, nearlo_1d=None, tauw_lo=None, tauw_hi=None,
+               interpret=False):
+    """Static Smagorinsky nu_t in one pass (z walls or no walls).
+
+    uq, vq, wq: z-padded (nz+2, ny, nx); cs_delta2_1d: (Cs*Delta(z))^2
+    profile (nz,); dw_1d: nearest-z-wall distance profile; nearlo_1d: 1 where
+    the lower wall is nearer; tauw_lo/hi: |grad u_par| wall planes (ny, nx)
+    (the sgs.f90:117-143 one-sided estimates, computed by the caller from
+    the wall-adjacent slices).  Returns (nz, ny, nx) nu_t or None."""
+    nzp, ny, nx = uq.shape
+    nz = nzp - 2
+    dt = uq.dtype
+    if nx % 128 or ny % 8:
+        return None
+    tiles = pick_tiles(nz, ny, dt.itemsize, nx)
+    if tiles is None:
+        return None
+    tz, ty = tiles
+    have_zwalls = dw_1d is not None
+
+    def prof(p):
+        return jnp.zeros((nz + 2,), dt).at[1:nz + 1].set(
+            jnp.asarray(p, dt)).reshape(-1, 1)
+
+    csd2 = prof(cs_delta2_1d)
+    dw = prof(dw_1d if have_zwalls else np.zeros(nz))
+    msk = prof(nearlo_1d if have_zwalls else np.zeros(nz))
+    dzci_s = jnp.asarray(dzci, dt).reshape(-1, 1)
+    dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
+    if tauw_lo is None:
+        tauw_lo = jnp.zeros((1, ny, nx), dt)
+        tauw_hi = jnp.zeros((1, ny, nx), dt)
+    else:
+        tauw_lo = jnp.asarray(tauw_lo, dt).reshape(1, ny, nx)
+        tauw_hi = jnp.asarray(tauw_hi, dt).reshape(1, ny, nx)
+
+    grid = (nz // tz, ny // ty)
+    int_spec = pl.BlockSpec((tz, ty, nx), lambda k, j: (k, j, 0))
+    plane_spec = pl.BlockSpec((1, ty, nx), lambda k, j: (0, j, 0))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    kern = _smag_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
+                        float(visc), have_zwalls, interpret)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[smem_spec] * 5 + [any_spec] * 3 + [plane_spec] * 2,
+        out_specs=int_spec,
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
+        scratch_shapes=[pltpu.VMEM((tz + 2, ty + 16, nx), dt)
+                        for _ in range(3)] + [pltpu.SemaphoreType.DMA((3, 3))],
+        interpret=interpret,
+    )(csd2, dw, msk, dzci_s, dzfi_s, uq, vq, wq, tauw_lo, tauw_hi)

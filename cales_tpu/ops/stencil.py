@@ -46,13 +46,31 @@ def momentum_rhs(up, vp, wp, sp, visc, dxi, dyi, dzci, dzfi):
     reference's _IMPDIFF/_IMPDIFF_1D compile branches, mom.f90:277-303).
     """
     nz = up.shape[0] - 2
-    dzci_c = _zb(dzci, 1, nz + 1)   # dzci(k)
-    dzci_m = _zb(dzci, 0, nz)       # dzci(k-1)
-    dzfi_c = _zb(dzfi, 1, nz + 1)   # dzfi(k)
-    dzfi_p = _zb(dzfi, 2, nz + 2)   # dzfi(k+1)
+    metrics = {
+        'dzci_c': _zb(dzci, 1, nz + 1),   # dzci(k)
+        'dzci_m': _zb(dzci, 0, nz),       # dzci(k-1)
+        'dzfi_c': _zb(dzfi, 1, nz + 1),   # dzfi(k)
+        'dzfi_p': _zb(dzfi, 2, nz + 2),   # dzfi(k+1)
+    }
 
     def V(P, k=0, j=0, i=0):
         return _sh(P, k, j, i)
+
+    return momentum_rhs_core(V, metrics.__getitem__, up, vp, wp, sp,
+                             visc, dxi, dyi)
+
+
+def momentum_rhs_core(V, M, up, vp, wp, sp, visc, dxi, dyi):
+    """The discretization itself, written against an accessor interface so
+    the XLA expression path and the Pallas VMEM-window kernel share the SAME
+    formulas (mom.f90:17-309):
+      V(field, k=, j=, i=) -> interior-shifted view;
+      M(name) -> z metric broadcast ('dzci_c','dzci_m','dzfi_c','dzfi_p').
+    """
+    dzci_c = M('dzci_c')
+    dzci_m = M('dzci_m')
+    dzfi_c = M('dzfi_c')
+    dzfi_p = M('dzfi_p')
 
     u_ccc, v_ccc, w_ccc, s_ccc = V(up), V(vp), V(wp), V(sp)
 
@@ -305,12 +323,25 @@ def strain_rate(up, vp, wp, dzci, dzfi, dxi, dyi, with_sij=False):
     """Cell-centered S_ij and |S| = sqrt(2 S_ij S_ij) (sgs.f90:1019-1110):
     diagonal terms exact at centers, off-diagonals edge-averaged (.125)."""
     nz = up.shape[0] - 2
-    dzci_c = _zb(dzci, 1, nz + 1)
-    dzci_m = _zb(dzci, 0, nz)
-    dzfi_c = _zb(dzfi, 1, nz + 1)
+    metrics = {
+        'dzci_c': _zb(dzci, 1, nz + 1),
+        'dzci_m': _zb(dzci, 0, nz),
+        'dzfi_c': _zb(dzfi, 1, nz + 1),
+    }
 
     def V(P, k=0, j=0, i=0):
         return _sh(P, k, j, i)
+
+    return strain_rate_core(V, metrics.__getitem__, up, vp, wp, dxi, dyi,
+                            with_sij=with_sij)
+
+
+def strain_rate_core(V, M, up, vp, wp, dxi, dyi, with_sij=False):
+    """strain_rate discretization against the (V, M) accessor interface
+    (shared by the XLA path and the Pallas SGS kernel)."""
+    dzci_c = M('dzci_c')
+    dzci_m = M('dzci_m')
+    dzfi_c = M('dzfi_c')
 
     s11 = (V(up) - V(up, i=-1)) * dxi
     s22 = (V(vp) - V(vp, j=-1)) * dyi

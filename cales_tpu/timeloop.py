@@ -41,6 +41,8 @@ class State(NamedTuple):
     istep: Any
     s: Any = None         # optional passive scalar (scal.f90)
     dsdt_old: Any = None  # previous-substep scalar RHS (rk.f90:149-150)
+    zq: Any = None        # Pallas-path cache: z-padded (uq, vq, wq) of the
+                          # current velocity (the post-correc ghost fill)
 
 
 class Simulation:
@@ -105,6 +107,33 @@ class Simulation:
         # copies around the FFT stages (~15% of step time at 512^3-class)
         self._use_layout_pin = (mesh is None
                                 and jax.default_backend() not in ('cpu',))
+
+        # Pallas mega-kernel eligibility (ops/pallas_kernels.py): the hot
+        # stencils read each field from HBM once instead of once per shifted
+        # slice (measured 68 -> ~18 passes/substep over momentum+RK)
+        import os as _os
+        from .ops import pallas_kernels as pk
+        self._pallas_interpret = _os.environ.get(
+            'CALES_PALLAS_INTERPRET', '') == '1'
+        on_tpu = jax.default_backend() == 'tpu'
+        xy_periodic = (
+            all(cfg.cbc_vel(d, iv) == 'PP' for d in (0, 1) for iv in range(3))
+            and all(cfg.cbc_pre(d) == 'PP' for d in (0, 1))
+            and all(cfg.cbcsgs[0][d] + cfg.cbcsgs[1][d] == 'PP' for d in (0, 1)))
+        nx, ny, nz = cfg.ng
+        tiles_ok = (nx % 128 == 0 and
+                    pk.pick_tiles(nz, ny, np.dtype(self.dtype).itemsize, nx)
+                    is not None)
+        self.use_pallas_mom = bool(
+            cfg.use_pallas and mesh is None and not cfg.impdiff
+            and not cfg.scalar and xy_periodic and tiles_ok
+            and (on_tpu and cfg.dtype == 'float32' or self._pallas_interpret))
+        walls_z_only = not any(
+            effective_cbcvel(cfg)[ib][d][d] == 'D' for ib in range(2)
+            for d in (0, 1)) and not any(cfg.lwm[ib][d] != 0 for ib in range(2)
+                                         for d in (0, 1))
+        self.use_pallas_smag = (self.use_pallas_mom and cfg.sgstype == 'smag'
+                                and walls_z_only)
         self._step = jax.jit(self._step_impl)
         self._chk = jax.jit(self._chk_impl)
         self._init_jit = jax.jit(self._init_impl)
@@ -138,8 +167,12 @@ class Simulation:
             u, v, w, self.cbcvel, bcu, bcv, bcw, self.cfg.dl, self.grid.dzc,
             self.grid.dzf, vlo=None, is_correc=False)
         visct = self._compute_sgs(up, vp, wp)
+        zq = None
+        if self.use_pallas_mom:
+            zq = (up[:, 1:-1, 1:-1], vp[:, 1:-1, 1:-1], wp[:, 1:-1, 1:-1])
         return st0._replace(u=up[1:-1, 1:-1, 1:-1], v=vp[1:-1, 1:-1, 1:-1],
-                            w=wp[1:-1, 1:-1, 1:-1], vlo=vlo, visct=visct)
+                            w=wp[1:-1, 1:-1, 1:-1], vlo=vlo, visct=visct,
+                            zq=zq)
 
     # ------------------------------------------------------------------
     def _dynamic_bcs(self, u, v, w):
@@ -174,6 +207,78 @@ class Simulation:
     def _pad_s(self, s):
         cbcs = tuple((self.cfg.cbcsgs[0][d], self.cfg.cbcsgs[1][d]) for d in range(3))
         return bnd.pad_scalar(s, cbcs, self.bcs_vals, self.cfg.dl, self.grid.dzc)
+
+    # --- z-ghost-only fills (Pallas kernel input format) ---
+    def _zpad_vel(self, u, v, w, bcu, bcv, bcw, vlo=None, is_correc=False):
+        return bnd.zpad_velocity(u, v, w, self.cbcvel, bcu, bcv, bcw,
+                                 self.grid.dzc, self.grid.dzf,
+                                 vlo=vlo, is_correc=is_correc)
+
+    def _zpad_p(self, p):
+        return bnd.zpad_scalar(p, self.cbcpre[2], self.bcp_vals[2],
+                               self.grid.dzc)
+
+    def _zpad_s(self, s):
+        cbc_z = (self.cfg.cbcsgs[0][2], self.cfg.cbcsgs[1][2])
+        return bnd.zpad_scalar(s, cbc_z, self.bcs_vals[2], self.grid.dzc)
+
+    def _compute_sgs_kernel(self, uq, vq, wq):
+        """Static Smagorinsky via the fused Pallas kernel (z-walls/no-walls
+        configs; gated by use_pallas_smag).  Inputs: z-padded velocity."""
+        from .ops import pallas_kernels as pk
+        from .config import C_SMAG
+        cfg, grid, setup = self.cfg, self.grid, self.sgs_setup
+        nz = cfg.ng[2]
+        # lwm z walls: one-sided ghost extrapolation (sgs.f90:682-767), a
+        # ghost-plane swap on the z-padded arrays (w's own face dir: skipped)
+        if setup.lwm_flags.get((0, 2)) or setup.lwm_flags.get((1, 2)):
+            f0, f1 = setup.fac_lwm
+            lo_on = bool(setup.lwm_flags.get((0, 2)))
+            hi_on = bool(setup.lwm_flags.get((1, 2)))
+
+            def swap(q):
+                lo = (1.0 + f0) * q[1] - f0 * q[2] if lo_on else q[0]
+                hi = (1.0 + f1) * q[-2] - f1 * q[-3] if hi_on else q[-1]
+                return jnp.concatenate([lo[None], q[1:-1], hi[None]], axis=0)
+            uq_s, vq_s = swap(uq), swap(vq)
+        else:
+            uq_s, vq_s = uq, vq
+        csd2 = (C_SMAG * setup.delta) ** 2
+        lo_wall, hi_wall = setup.is_wall6[4], setup.is_wall6[5]
+        if not (lo_wall or hi_wall):
+            out = pk.fused_smag(uq_s, vq_s, wq, grid.dzci, grid.dzfi,
+                                cfg.dli[0], cfg.dli[1], cfg.visc, csd2,
+                                interpret=self._pallas_interpret)
+        else:
+            # one-sided |grad u_par| at the z walls via periodic x/y rolls
+            # (sgs.f90:117-143 z rows); *dzci metric folded in here
+            dzci = grid.dzci
+            A = uq_s[1] - uq_s[0]
+            B = vq_s[1] - vq_s[0]
+            t1 = A + jnp.roll(A, 1, axis=1)
+            t2 = B + jnp.roll(B, 1, axis=0)
+            tauw_lo = jnp.sqrt(t1 ** 2 + t2 ** 2) * dzci[0]
+            A = uq_s[-2] - uq_s[-1]
+            B = vq_s[-2] - vq_s[-1]
+            t1 = A + jnp.roll(A, 1, axis=1)
+            t2 = B + jnp.roll(B, 1, axis=0)
+            tauw_hi = jnp.sqrt(t1 ** 2 + t2 ** 2) * dzci[nz]
+            zc = grid.zc[1:nz + 1]
+            dw_lo = zc if lo_wall else np.full(nz, np.inf)
+            dw_hi = (cfg.l[2] - zc) if hi_wall else np.full(nz, np.inf)
+            nearlo = (dw_lo <= dw_hi).astype(np.float64)
+            dw_1d = np.minimum(dw_lo, dw_hi)
+            if not lo_wall:
+                tauw_lo = tauw_hi
+            if not hi_wall:
+                tauw_hi = tauw_lo
+            out = pk.fused_smag(uq_s, vq_s, wq, grid.dzci, grid.dzfi,
+                                cfg.dli[0], cfg.dli[1], cfg.visc, csd2,
+                                dw_1d=dw_1d, nearlo_1d=nearlo,
+                                tauw_lo=tauw_lo, tauw_hi=tauw_hi,
+                                interpret=self._pallas_interpret)
+        assert out is not None, 'fused_smag gating inconsistency'
+        return out
 
     def _pad_scal(self, s):
         cfg = self.cfg
@@ -215,52 +320,74 @@ class Simulation:
             u, v, w, p, visct = map(self.hints.field, (u, v, w, p, visct))
         u, v, w, p, visct = map(self._lc, (u, v, w, p, visct))
 
-        # ghosts of the current state (same fill the previous substep left)
-        bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
-        up, vp, wp, _ = self._pad_vel(u, v, w, bcu, bcv, bcw,
-                                      vlo=state.vlo, is_correc=True)
-        ppad = self._pad_p(p)
-        sp = self._pad_s(visct)
-
-        # momentum RHS + explicit/implicit split (rk.f90:74-75, mom.f90:277-303)
-        with jax.named_scope('momentum_rhs'):
-            (eu, exyu, ezu), (ev, exyv, ezv), (ew, exyw, ezw) = st.momentum_rhs(
-                up, vp, wp, sp, visc, dxi, dyi, dzci, dzfi)
-        if not cfg.impdiff:
-            ru, rv, rw = eu + exyu + ezu, ev + exyv + ezv, ew + exyw + ezw
-            rud = rvd = rwd = None
-        elif cfg.impdiff_1d:
-            ru, rv, rw = eu + exyu, ev + exyv, ew + exyw
-            rud, rvd, rwd = ezu, ezv, ezw
-        else:
-            ru, rv, rw = eu, ev, ew
-            rud, rvd, rwd = exyu + ezu, exyv + ezv, exyw + ezw
-
-        # passive scalar advance with the beginning-of-substep velocity
-        # (rk_scal, rk.f90:123-195)
         scal_state = None
-        if cfg.scalar:
-            spad = self._pad_scal(state.s)
-            dsdt = scalmod.scalar_rhs(up, vp, wp, spad, cfg.visc / cfg.pr,
-                                      dxi, dyi, dzci, dzfi)
-            s_new = state.s + f1 * dsdt + f2 * state.dsdt_old + f12 * cfg.ssource
-            if cfg.is_sforced:
-                s_new = s_new + (cfg.scalf - st.bulk_mean(s_new, self.gvr_f))
-            scal_state = (s_new, dsdt)
+        if self.use_pallas_mom:
+            # fused momentum+RK Pallas path: the z-padded ghost cache from the
+            # previous substep's post-correc fill is the kernel input (the
+            # reference reads the same ghosts, bound.f90:117-123 reuse)
+            from .ops import pallas_kernels as pk
+            if state.zq is not None:
+                uq, vq, wq = state.zq
+            else:
+                bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
+                uq, vq, wq = self._zpad_vel(u, v, w, bcu, bcv, bcw,
+                                            vlo=state.vlo, is_correc=True)
+            pq = self._zpad_p(p)
+            sq = self._zpad_s(visct)
+            with jax.named_scope('momentum_rk_pallas'):
+                u, v, w, ru, rv, rw = pk.fused_mom_rk(
+                    uq, vq, wq, sq, pq, ru_o, rv_o, rw_o, dzci, dzfi,
+                    f1, f2, visc, dxi, dyi, cfg.bforce,
+                    interpret=self._pallas_interpret)
+            rhs_old = (ru, rv, rw)
+        else:
+            # ghosts of the current state (same fill the previous substep left)
+            bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
+            up, vp, wp, _ = self._pad_vel(u, v, w, bcu, bcv, bcw,
+                                          vlo=state.vlo, is_correc=True)
+            ppad = self._pad_p(p)
+            sp = self._pad_s(visct)
 
-        # RK update with pressure gradient + body force (rk.f90:77-94)
-        dzci_c = jnp.asarray(dzci[1:u.shape[0] + 1])[:, None, None]
-        gpx = dxi * (ppad[1:-1, 1:-1, 2:] - ppad[1:-1, 1:-1, 1:-1])
-        gpy = dyi * (ppad[1:-1, 2:, 1:-1] - ppad[1:-1, 1:-1, 1:-1])
-        gpz = dzci_c * (ppad[2:, 1:-1, 1:-1] - ppad[1:-1, 1:-1, 1:-1])
-        u = u + f1 * ru + f2 * ru_o + f12 * (cfg.bforce[0] - gpx)
-        v = v + f1 * rv + f2 * rv_o + f12 * (cfg.bforce[1] - gpy)
-        w = w + f1 * rw + f2 * rw_o + f12 * (cfg.bforce[2] - gpz)
-        if cfg.impdiff:
-            u = u + f12 * rud
-            v = v + f12 * rvd
-            w = w + f12 * rwd
-        rhs_old = (ru, rv, rw)
+            # momentum RHS + explicit/implicit split (rk.f90:74-75,
+            # mom.f90:277-303)
+            with jax.named_scope('momentum_rhs'):
+                (eu, exyu, ezu), (ev, exyv, ezv), (ew, exyw, ezw) = \
+                    st.momentum_rhs(up, vp, wp, sp, visc, dxi, dyi, dzci, dzfi)
+            if not cfg.impdiff:
+                ru, rv, rw = eu + exyu + ezu, ev + exyv + ezv, ew + exyw + ezw
+                rud = rvd = rwd = None
+            elif cfg.impdiff_1d:
+                ru, rv, rw = eu + exyu, ev + exyv, ew + exyw
+                rud, rvd, rwd = ezu, ezv, ezw
+            else:
+                ru, rv, rw = eu, ev, ew
+                rud, rvd, rwd = exyu + ezu, exyv + ezv, exyw + ezw
+
+            # passive scalar advance with the beginning-of-substep velocity
+            # (rk_scal, rk.f90:123-195)
+            if cfg.scalar:
+                spad = self._pad_scal(state.s)
+                dsdt = scalmod.scalar_rhs(up, vp, wp, spad, cfg.visc / cfg.pr,
+                                          dxi, dyi, dzci, dzfi)
+                s_new = state.s + f1 * dsdt + f2 * state.dsdt_old \
+                    + f12 * cfg.ssource
+                if cfg.is_sforced:
+                    s_new = s_new + (cfg.scalf - st.bulk_mean(s_new, self.gvr_f))
+                scal_state = (s_new, dsdt)
+
+            # RK update with pressure gradient + body force (rk.f90:77-94)
+            dzci_c = jnp.asarray(dzci[1:u.shape[0] + 1])[:, None, None]
+            gpx = dxi * (ppad[1:-1, 1:-1, 2:] - ppad[1:-1, 1:-1, 1:-1])
+            gpy = dyi * (ppad[1:-1, 2:, 1:-1] - ppad[1:-1, 1:-1, 1:-1])
+            gpz = dzci_c * (ppad[2:, 1:-1, 1:-1] - ppad[1:-1, 1:-1, 1:-1])
+            u = u + f1 * ru + f2 * ru_o + f12 * (cfg.bforce[0] - gpx)
+            v = v + f1 * rv + f2 * rv_o + f12 * (cfg.bforce[1] - gpy)
+            w = w + f1 * rw + f2 * rw_o + f12 * (cfg.bforce[2] - gpz)
+            if cfg.impdiff:
+                u = u + f12 * rud
+                v = v + f12 * rvd
+                w = w + f12 * rwd
+            rhs_old = (ru, rv, rw)
 
         # bulk-velocity forcing controller (rk.f90:197-222 + mom.f90:311-335)
         f = [jnp.zeros((), u.dtype)] * 3
@@ -317,10 +444,18 @@ class Simulation:
         u, v, w, vlo = st.correc(up, vp, wp, pppad, dtrk, dxi, dyi, dzci)
 
         # post-correction BC fill, keeping corrected wall-normal values
-        # (main.f90:500-501, is_correc=.true.)
-        bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
-        up, vp, wp, vlo = self._pad_vel(u, v, w, bcu, bcv, bcw,
-                                        vlo=vlo, is_correc=True)
+        # (main.f90:500-501, is_correc=.true.).  Kernel mode reuses the
+        # prediction-fill BC planes (the reference's is_updt_wm=.false. reuse,
+        # bound.f90:117-123) and fills z ghosts only; x/y are periodic wraps
+        # closed inside the kernels.
+        zq_new = None
+        if self.use_pallas_mom:
+            zq_new = self._zpad_vel(u, v, w, bcu, bcv, bcw,
+                                    vlo=vlo, is_correc=True)
+        else:
+            bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
+            up, vp, wp, vlo = self._pad_vel(u, v, w, bcu, bcv, bcw,
+                                            vlo=vlo, is_correc=True)
 
         # pressure update (main.f90:502-503)
         p = st.updatep(pppad, p, alpha, cfg.impdiff, cfg.impdiff_1d,
@@ -328,9 +463,20 @@ class Simulation:
 
         # SGS eddy viscosity (main.f90:504-506)
         with jax.named_scope('sgs'):
-            visct = self._compute_sgs(up, vp, wp)
+            if self.use_pallas_mom:
+                if cfg.sgstype == 'none':
+                    visct = jnp.zeros_like(u)
+                elif self.use_pallas_smag:
+                    visct = self._compute_sgs_kernel(*zq_new)
+                else:
+                    up, vp, wp, _ = self._pad_vel(u, v, w, bcu, bcv, bcw,
+                                                  vlo=vlo, is_correc=True)
+                    visct = self._compute_sgs(up, vp, wp)
+            else:
+                visct = self._compute_sgs(up, vp, wp)
 
-        upd = dict(u=u, v=v, w=w, p=p, visct=visct, vlo=vlo, rhs_old=rhs_old)
+        upd = dict(u=u, v=v, w=w, p=p, visct=visct, vlo=vlo, rhs_old=rhs_old,
+                   zq=zq_new)
         if cfg.scalar:
             upd['s'], upd['dsdt_old'] = scal_state
         return state._replace(**upd), dpdl

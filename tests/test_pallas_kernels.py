@@ -1,43 +1,194 @@
 """Pallas mega-kernel parity vs the XLA expression path (interpret mode on
-CPU; the compiled TPU path is experimental — see the module docstring)."""
+CPU; the formulas are shared via stencil.momentum_rhs_core /
+strain_rate_core, so agreement must be bitwise up to roll-vs-slice
+equivalence)."""
 import numpy as np
 import jax.numpy as jnp
 
 from cales_tpu.config import Config
 from cales_tpu.grid import make_grid_from_config
 from cales_tpu.ops import stencil as st
-from cales_tpu.ops.pallas_kernels import fused_mom_update
+from cales_tpu.ops.pallas_kernels import fused_mom_rk, fused_smag
 
 
-def test_fused_mom_update_matches_xla():
-    ng = (32, 16, 16)
+def _wrap_xy(zq):
+    """full-padded view of a z-padded (nz+2, ny, nx) array with periodic
+    x/y ghosts (what the kernel's wrap DMAs + rolls implement)."""
+    a = np.asarray(zq)
+    a = np.concatenate([a[:, -1:, :], a, a[:, :1, :]], axis=1)
+    a = np.concatenate([a[:, :, -1:], a, a[:, :, :1]], axis=2)
+    return jnp.asarray(a)
+
+
+def test_fused_mom_rk_matches_xla():
+    ng = (128, 32, 16)    # (nx, ny, nz): nx mult of 128, ny mult of 8
     cfg = Config(ng=ng, l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=1.0,
                  dtype='float64')
     grid = make_grid_from_config(cfg)
-    nz, ny, nx = 16, 16, 32
+    nx, ny, nz = ng
     rng = np.random.default_rng(0)
-    up, vp, wp, sp, ppad = (jnp.asarray(rng.standard_normal(
-        (nz + 2, ny + 2, nx + 2))) for _ in range(5))
+    uq, vq, wq, sq, pq = (jnp.asarray(rng.standard_normal(
+        (nz + 2, ny, nx))) for _ in range(5))
     ruo, rvo, rwo = (jnp.asarray(rng.standard_normal((nz, ny, nx)))
                      for _ in range(3))
     f1, f2, visc = 0.5e-3, -0.2e-3, 0.01
     dxi, dyi = float(ng[0] / cfg.l[0]), float(ng[1] / cfg.l[1])
     bforce = (0.1, 0.0, 0.0)
-    out = fused_mom_update(up, vp, wp, sp, ppad, ruo, rvo, rwo,
-                           grid.dzci, grid.dzfi, f1, f2, visc, dxi, dyi,
-                           bforce, interpret=True)
+
+    out = fused_mom_rk(uq, vq, wq, sq, pq, ruo, rvo, rwo,
+                       grid.dzci, grid.dzfi, f1, f2, visc, dxi, dyi,
+                       bforce, interpret=True)
     assert out is not None
     u_n, v_n, w_n, ru, rv, rw = out
+
+    up, vp, wp, sp, ppad = map(_wrap_xy, (uq, vq, wq, sq, pq))
     (eu, exy, ez), (ev, exyv, ezv), (ew, exyw, ezw) = st.momentum_rhs(
         up, vp, wp, sp, visc, dxi, dyi, grid.dzci, grid.dzfi)
     f12 = f1 + f2
     pc = ppad[1:-1, 1:-1, 1:-1]
     u_ref = up[1:-1, 1:-1, 1:-1] + f1 * (eu + exy + ez) + f2 * ruo \
         + f12 * (bforce[0] - dxi * (ppad[1:-1, 1:-1, 2:] - pc))
+    v_ref = vp[1:-1, 1:-1, 1:-1] + f1 * (ev + exyv + ezv) + f2 * rvo \
+        + f12 * (bforce[1] - dyi * (ppad[1:-1, 2:, 1:-1] - pc))
     w_ref = wp[1:-1, 1:-1, 1:-1] + f1 * (ew + exyw + ezw) + f2 * rwo \
         + f12 * (bforce[2] - grid.dzci[1:nz + 1][:, None, None]
                  * (ppad[2:, 1:-1, 1:-1] - pc))
     np.testing.assert_allclose(np.asarray(u_n), np.asarray(u_ref), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(v_n), np.asarray(v_ref), atol=1e-13)
     np.testing.assert_allclose(np.asarray(w_n), np.asarray(w_ref), atol=1e-13)
-    np.testing.assert_allclose(np.asarray(rv), np.asarray(ev + exyv + ezv),
+    np.testing.assert_allclose(np.asarray(ru), np.asarray(eu + exy + ez),
                                atol=1e-11)
+    np.testing.assert_allclose(np.asarray(rw), np.asarray(ew + exyw + ezw),
+                               atol=1e-11)
+
+
+def test_fused_smag_matches_xla_channel():
+    """van Driest static Smagorinsky on a channel (z walls): kernel vs the
+    sgs.smag_visct XLA path."""
+    from cales_tpu import sgs as sgsmod
+    from cales_tpu.config import effective_cbcvel, C_SMAG
+
+    ng = (128, 32, 16)
+    cfg = Config(ng=ng, l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=0.9,
+                 visci=1000.0, dtype='float64',
+                 cbcvel=((('P', 'P', 'D'),) * 3, (('P', 'P', 'D'),) * 3),
+                 cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
+                 cbcsgs=(('P', 'P', 'N'), ('P', 'P', 'N')))
+    grid = make_grid_from_config(cfg)
+    nx, ny, nz = ng
+    rng = np.random.default_rng(1)
+    uq, vq, wq = (jnp.asarray(rng.standard_normal((nz + 2, ny, nx)))
+                  for _ in range(3))
+    up, vp, wp = map(_wrap_xy, (uq, vq, wq))
+
+    setup = sgsmod.SGSSetup(cfg, grid, effective_cbcvel(cfg))
+    ref = sgsmod.smag_visct(setup, cfg, grid, up, vp, wp)
+
+    # kernel-path auxiliary inputs (what timeloop computes)
+    dxi, dyi = cfg.dli[0], cfg.dli[1]
+    tauw6 = sgsmod._wall_tauw_planes(setup, up, vp, wp, dxi, dyi,
+                                     grid.dzci, cfg.visc)
+    tauw_lo = tauw6[4][0]          # (ny, nx)
+    tauw_hi = tauw6[5][0]
+    zc = grid.zc[1:nz + 1]
+    dw_lo, dw_hi = zc, cfg.l[2] - zc
+    nearlo = (dw_lo <= dw_hi).astype(np.float64)
+    dw_1d = np.minimum(dw_lo, dw_hi)
+    csd2 = (C_SMAG * setup.delta) ** 2
+
+    out = fused_smag(uq, vq, wq, grid.dzci, grid.dzfi, dxi, dyi, cfg.visc,
+                     csd2, dw_1d=dw_1d, nearlo_1d=nearlo,
+                     tauw_lo=tauw_lo, tauw_hi=tauw_hi, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_fused_smag_no_walls():
+    """Tri-periodic: fd == 1, nu_t = (Cs Delta)^2 |S|."""
+    from cales_tpu import sgs as sgsmod
+    from cales_tpu.config import effective_cbcvel, C_SMAG
+
+    ng = (128, 16, 8)
+    P3 = (('P',) * 3,) * 3
+    cfg = Config(ng=ng, l=(1., 1., 1.), visci=100.0, dtype='float64',
+                 cbcvel=(P3, P3), cbcpre=(('P',) * 3, ('P',) * 3),
+                 cbcsgs=(('P',) * 3, ('P',) * 3))
+    grid = make_grid_from_config(cfg)
+    nx, ny, nz = ng
+    rng = np.random.default_rng(2)
+    # periodic z too: z ghosts are wraps
+    ui = [rng.standard_normal((nz, ny, nx)) for _ in range(3)]
+    zpad = lambda a: jnp.asarray(np.concatenate([a[-1:], a, a[:1]], axis=0))
+    uq, vq, wq = map(zpad, ui)
+    up, vp, wp = map(_wrap_xy, (uq, vq, wq))
+
+    setup = sgsmod.SGSSetup(cfg, grid, effective_cbcvel(cfg))
+    ref = sgsmod.smag_visct(setup, cfg, grid, up, vp, wp)
+    csd2 = (C_SMAG * setup.delta) ** 2
+    out = fused_smag(uq, vq, wq, grid.dzci, grid.dzfi, cfg.dli[0], cfg.dli[1],
+                     cfg.visc, csd2, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_pallas_step_integration_matches_xla(monkeypatch):
+    """Full Simulation steps with the Pallas kernel path (interpret mode)
+    vs the XLA expression path: channel LES, 3 steps, near-bitwise."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    base = dict(ng=(128, 16, 16), l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=0.9,
+                visci=2000.0, inivel='log', is_wallturb=True, dtype='float64',
+                is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
+                sgstype='smag')
+    cfgs = [Config(**base, use_pallas=False), Config(**base, use_pallas=True)]
+    results = []
+    for cfg in cfgs:
+        grid = make_grid_from_config(cfg)
+        sim = Simulation(cfg, grid)
+        if cfg.use_pallas:
+            assert sim.use_pallas_mom and sim.use_pallas_smag
+        s = sim.initial_state(*initflow(cfg, grid))
+        for _ in range(3):
+            s, _ = sim.step(s, 1e-3)
+        results.append(s)
+    a, b = results
+    np.testing.assert_allclose(np.asarray(b.u), np.asarray(a.u), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(b.v), np.asarray(a.v), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(b.w), np.asarray(a.w), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(b.p), np.asarray(a.p), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(b.visct), np.asarray(a.visct),
+                               atol=1e-13)
+
+
+def test_pallas_step_integration_wmles(monkeypatch):
+    """Kernel path on a wall-modeled channel (log-law z walls): exercises the
+    lwm z extrapolation swap + wall-model Neumann planes through zpad."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    base = dict(ng=(128, 16, 16), l=(12.8, 4.8, 2.0), gtype=6, visci=125000.0,
+                inivel='poi', is_wallturb=True, dtype='float64',
+                is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
+                sgstype='smag', lwm=((0, 0, 1), (0, 0, 1)), hwm=0.1,
+                cbcvel=((('P', 'P', 'D'),) * 3, (('P', 'P', 'D'),) * 3),
+                cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
+                cbcsgs=(('P', 'P', 'N'), ('P', 'P', 'N')))
+    results = []
+    for up_ in (False, True):
+        cfg = Config(**base, use_pallas=up_)
+        grid = make_grid_from_config(cfg)
+        sim = Simulation(cfg, grid)
+        s = sim.initial_state(*initflow(cfg, grid))
+        for _ in range(2):
+            s, _ = sim.step(s, 1e-3)
+        results.append(s)
+    a, b = results
+    np.testing.assert_allclose(np.asarray(b.u), np.asarray(a.u), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(b.w), np.asarray(a.w), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(b.visct), np.asarray(a.visct),
+                               atol=1e-13)
