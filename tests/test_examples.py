@@ -1,4 +1,9 @@
-"""Every shipped example must parse, validate, and take a first step."""
+"""Every shipped example must parse, validate, and take a few steps.
+
+The example set mirrors the reference's examples/dns + examples/les
+configurations (BC-combination coverage; each exercises a different path
+through the BC layer, transform selection, and forcing logic).
+"""
 from pathlib import Path
 
 import numpy as np
@@ -17,9 +22,14 @@ def test_example_validates(nml):
     validate(cfg)
 
 
-def test_example_runs_one_step(tmp_path):
-    nml = [p for p in EXAMPLES if p.parent.name == 'taylor_green_vortex_2d'][0]
-    cfg = config_from_nml(str(nml), dtype='float64', ng=(16, 16, 4))
+@pytest.mark.parametrize("nml", EXAMPLES, ids=lambda p: p.parent.name)
+def test_example_steps(nml, tmp_path):
+    """Each example advances 2 steps at reduced resolution with finite
+    fields (the reference's de-facto acceptance: icheck divergence/NaN
+    aborts would fire otherwise, main.f90:523-544)."""
+    cfg = config_from_nml(str(nml), dtype='float64', ng=(16, 16, 16),
+                          icheck=1)
     sim, state = run(cfg, datadir=tmp_path, max_steps=2, verbose=False)
-    assert np.isfinite(np.asarray(state.u)).all()
+    for f in (state.u, state.v, state.w, state.p):
+        assert np.isfinite(np.asarray(f)).all()
     assert (tmp_path / 'grid.out').exists()
