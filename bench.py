@@ -19,7 +19,12 @@ constant below is our documented estimate of CaLES-on-A100 for this class of
 configuration, 0.25 ns/cell/substep (bandwidth model: ~45 full-field HBM
 passes per substep at ~1.55 TB/s effective).  vs_baseline > 1 means faster
 than that estimate; superseded by a measured number when one exists.
+
+Multi-chip: ``python bench.py --mesh 2x4 [--ng 1024x512x512]`` runs the same
+benchmark sharded over a ('gy','gx') device mesh — the BASELINE.json
+north-star configuration on a v5e-8.  Requires gy*gx attached devices.
 """
+import argparse
 import json
 import os
 import sys
@@ -32,7 +37,16 @@ NG = (512, 256, 256)
 NSTEPS = 10
 
 
-def main():
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--mesh', default=None,
+                    help="device mesh as GYxGX (e.g. 2x4); default single-chip")
+    ap.add_argument('--ng', default=None,
+                    help="grid as NXxNYxNZ; default 512x256x256 "
+                         "(1024x512x512 with --mesh 2x4)")
+    ap.add_argument('--nsteps', type=int, default=NSTEPS)
+    args = ap.parse_args(argv)
+
     import jax
     import jax.numpy as jnp
 
@@ -47,15 +61,34 @@ def main():
     from cales_tpu.initflow import initflow
     from cales_tpu.timeloop import Simulation
 
-    cfg = Config(ng=NG, l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=1.0,
+    mesh = None
+    if args.mesh:
+        from cales_tpu.parallel.mesh import make_mesh
+        dims = tuple(int(v) for v in args.mesh.split('x'))
+        mesh = make_mesh(dims)
+    ng = NG
+    if args.ng:
+        ng = tuple(int(v) for v in args.ng.split('x'))
+    elif mesh is not None:
+        ng = (1024, 512, 512)  # BASELINE.json north star on 8 chips
+
+    cfg = Config(ng=ng, l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=1.0,
                  visci=20_000.0, inivel='log', is_wallturb=True,
                  is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
                  sgstype='smag', dtype='float32')
     grid = make_grid_from_config(cfg)
-    sim = Simulation(cfg, grid)
+    sim = Simulation(cfg, grid, mesh=mesh)
     u, v, w, p = initflow(cfg, grid)
     state = sim.initial_state(u, v, w, p)
+    if mesh is not None:
+        from cales_tpu.parallel.mesh import field_sharding
+        sh = field_sharding(mesh)
+        state = state._replace(
+            u=jax.device_put(state.u, sh), v=jax.device_put(state.v, sh),
+            w=jax.device_put(state.w, sh), p=jax.device_put(state.p, sh),
+            visct=jax.device_put(state.visct, sh))
     dt = 1e-4
+    nsteps = args.nsteps
 
     def timed_advance(st, n):
         # multi_step donates its input state; always use the returned state
@@ -70,17 +103,19 @@ def main():
 
     # compile both step counts + warm the pipeline
     state, _ = timed_advance(state, 1)
-    state, _ = timed_advance(state, NSTEPS)
+    state, _ = timed_advance(state, nsteps)
     # measure
     state, t1 = timed_advance(state, 1)
-    state, tN = timed_advance(state, NSTEPS)
-    per_step = max((tN - t1) / (NSTEPS - 1), 1e-9)
+    state, tN = timed_advance(state, nsteps)
+    per_step = max((tN - t1) / (nsteps - 1), 1e-9)
 
-    ncell = NG[0] * NG[1] * NG[2]
+    ncell = ng[0] * ng[1] * ng[2]
     ns_per_cell_substep = per_step / 3.0 / ncell * 1e9
+    tag = f'{ng[0]}x{ng[1]}x{ng[2]} f32'
+    if mesh is not None:
+        tag += f', mesh {args.mesh}'
     out = {
-        "metric": "channel LES (smag) ns/cell/RK3-substep, "
-                  f"{NG[0]}x{NG[1]}x{NG[2]} f32",
+        "metric": f"channel LES (smag) ns/cell/RK3-substep, {tag}",
         "value": round(ns_per_cell_substep, 4),
         "unit": "ns/cell/substep",
         "vs_baseline": round(BASELINE_NS_PER_CELL_SUBSTEP / ns_per_cell_substep, 3),
