@@ -124,6 +124,11 @@ class Config:
     dtype: str = 'float32'                 # _SINGLE_PRECISION analogue ('float32'|'float64')
     zsolver: str = 'eig'                   # z direct solver: 'eig' (MXU matmul
                                            # diagonalization) | 'thomas' (scan)
+    # periodic-direction transform implementation: 'fft' (jnp.fft.rfft),
+    # 'mat' (real half-complex DFT operator matrix on the MXU), or 'auto'
+    # (mat on TPU for n <= 4096, where XLA's FFT lowering is copy-bound;
+    # fft elsewhere)
+    ptransform: str = 'auto'
     # Pallas mega-kernels for the hot stencils (momentum+RK, static-Smag)
     # when eligible (TPU, f32, periodic x/y, explicit diffusion, no mesh);
     # ineligible configurations always fall back to the XLA expression path
@@ -249,3 +254,5 @@ def validate(cfg: Config) -> None:
         raise ValueError(f'unknown SGS model {cfg.sgstype!r}')
     if cfg.dsmag_avg not in ('dit', 'channel', 'duct', 'cavity'):
         raise ValueError(f'unknown dsmag averaging {cfg.dsmag_avg!r}')
+    if cfg.ptransform not in ('auto', 'fft', 'mat'):
+        raise ValueError(f'unknown periodic transform {cfg.ptransform!r}')

@@ -71,17 +71,36 @@ def _basis_matrix(n: int, func) -> np.ndarray:
     return func(k, i)
 
 
-def make_transform(bc: str, c_or_f: str, n: int) -> Transform1D:
+def make_transform(bc: str, c_or_f: str, n: int,
+                   pp_mat: bool = False) -> Transform1D:
     """Build the transform pair + eigenvalues for one direction.
 
     bc is the two-letter BC pair ('PP','NN','DD','ND','DN'); c_or_f is 'c'
     (cell-centered) or 'f' (face-centered) staggering of the solved variable.
+
+    pp_mat: apply the periodic transform as a real half-complex DFT operator
+    matrix on the MXU instead of ``jnp.fft.rfft``.  The circulant
+    second-difference operator is diagonalized by the real cos/sin pairs
+    (rows ordered [cos k=0..n/2, sin k=1..ceil(n/2)-1]), so the whole
+    Poisson solve stays real-valued — XLA's TPU FFT lowering spends most of
+    its time on layout copies (measured 17 ms/solve at 512x256x256 vs ~5 ms
+    as matmuls), while a (n, n) matmul at n <= a few thousand is cheap MXU
+    work.  Eigenvalues are returned in matrix row order.
     """
     pi = np.pi
     if bc == 'PP':
-        j = np.arange(n, dtype=np.float64)
-        lam = -2.0 * (1.0 - np.cos(2.0 * pi * j / n))
-        return Transform1D(kind='fft', n=n, nsolve=n, lam=lam)
+        if not pp_mat:
+            j = np.arange(n, dtype=np.float64)
+            lam = -2.0 * (1.0 - np.cos(2.0 * pi * j / n))
+            return Transform1D(kind='fft', n=n, nsolve=n, lam=lam)
+        i = np.arange(n, dtype=np.float64)
+        kc = np.arange(0, n // 2 + 1, dtype=np.float64)         # cos rows
+        ks = np.arange(1, (n - 1) // 2 + 1, dtype=np.float64)   # sin rows
+        T = np.vstack([np.cos(2.0 * pi * np.outer(kc, i) / n),
+                       np.sin(2.0 * pi * np.outer(ks, i) / n)])
+        lam = -2.0 * (1.0 - np.cos(2.0 * pi * np.concatenate([kc, ks]) / n))
+        return Transform1D(kind='mat', n=n, nsolve=n, lam=lam,
+                           fwd_mat=T, bwd_mat=np.linalg.inv(T))
 
     if c_or_f == 'c':
         if bc == 'NN':     # DCT-II
@@ -138,14 +157,19 @@ def _matmul_axis(arr, mat, axis):
     """Contract `mat` (k_out, k_in) with `arr` along `axis` on the MXU."""
     mat = jnp.asarray(mat, dtype=jnp.float32 if arr.dtype in (jnp.float32, jnp.complex64)
                       else jnp.float64)
-    moved = jnp.moveaxis(arr, axis, -1)
+    prec = jax.lax.Precision.HIGHEST
+
+    def apply(real_arr):
+        # moveaxis + minor-dim matmul beats a direct mid-axis dot_general on
+        # TPU (XLA fuses the transposes; measured 4.9 vs 5.8 ms/solve at
+        # 512x256x256), and keeps default layouts for the CPU FFT thunk
+        moved = jnp.moveaxis(real_arr, axis, -1)
+        out = jnp.matmul(moved, mat.T, precision=prec)
+        return jnp.moveaxis(out, -1, axis)
+
     if jnp.iscomplexobj(arr):
-        re = jnp.matmul(moved.real, mat.T, precision=jax.lax.Precision.HIGHEST)
-        im = jnp.matmul(moved.imag, mat.T, precision=jax.lax.Precision.HIGHEST)
-        out = jax.lax.complex(re, im)
-    else:
-        out = jnp.matmul(moved, mat.T, precision=jax.lax.Precision.HIGHEST)
-    return jnp.moveaxis(out, -1, axis)
+        return jax.lax.complex(apply(arr.real), apply(arr.imag))
+    return apply(arr)
 
 
 def fwd(tr: Transform1D, arr, axis: int):

@@ -134,8 +134,15 @@ def make_solver(cfg: Config, grid: Grid, cbc, c_or_f,
     """cbc: per-direction BC pairs [(lo,hi) x 3] as two-letter strings."""
     nx, ny, nz = cfg.ng
     dli = cfg.dli
-    trx = tr.make_transform(cbc[0], c_or_f[0], nx)
-    try_ = tr.make_transform(cbc[1], c_or_f[1], ny)
+
+    def pp_mat(n):
+        mode = getattr(cfg, 'ptransform', 'auto')
+        if mode == 'auto':
+            return jax.default_backend() == 'tpu' and n <= 4096
+        return mode == 'mat'
+
+    trx = tr.make_transform(cbc[0], c_or_f[0], nx, pp_mat=pp_mat(nx))
+    try_ = tr.make_transform(cbc[1], c_or_f[1], ny, pp_mat=pp_mat(ny))
     a, b, c = tridmatrix(cbc[2], nz, grid.dzci, grid.dzfi, c_or_f[2])
     lamx = trx.lam * dli[0] ** 2
     lamy = try_.lam * dli[1] ** 2

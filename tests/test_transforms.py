@@ -83,3 +83,43 @@ def test_fft_complex_path():
     lhs = np.asarray(tr.fwd(t, jnp.asarray(x @ L.T), axis=-1))
     rhs = t.lam * np.asarray(tr.fwd(t, jnp.asarray(x), axis=-1))
     np.testing.assert_allclose(lhs, rhs, atol=1e-10)
+
+
+@pytest.mark.parametrize("n", [8, 13, 16])
+def test_pp_mat_diagonalization_and_roundtrip(n):
+    """The real half-complex DFT operator matrix (PP on the MXU) must
+    diagonalize the circulant second-difference operator and invert exactly."""
+    t = tr.make_transform('PP', 'c', n, pp_mat=True)
+    assert t.kind == 'mat' and t.nsolve == n
+    L = dense_lap_1d('PP', 'c', n)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(t.fwd_mat @ (L @ x), t.lam * (t.fwd_mat @ x),
+                               atol=1e-10)
+    np.testing.assert_allclose(t.bwd_mat @ (t.fwd_mat @ x), x, atol=1e-12)
+
+
+def test_pp_mat_solver_matches_fft():
+    """Full Poisson solve: matmul periodic transforms == rfft transforms."""
+    from cales_tpu.config import Config
+    from cales_tpu.grid import make_grid_from_config
+    from cales_tpu import poisson
+
+    cfg = Config(ng=(16, 12, 10), l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=1.3,
+                 visci=100.0, dtype='float64')
+    grid = make_grid_from_config(cfg)
+    cbc = ('PP', 'PP', 'NN')
+    rng = np.random.default_rng(5)
+    rhs = rng.standard_normal((10, 12, 16))
+    # remove the singular-mode component (dzf-weighted mean)
+    wz = grid.dzf[1:11][:, None, None]
+    rhs -= (rhs * wz).sum() / (wz.sum() * 12 * 16)
+    out = {}
+    for mode in ('fft', 'mat'):
+        sv = poisson.make_solver(cfg.replace(ptransform=mode), grid, 
+                                 (cbc[0], cbc[1], cbc[2]), ('c', 'c', 'c'))
+        assert sv.trx.kind == ('fft' if mode == 'fft' else 'mat')
+        out[mode] = np.asarray(poisson.solve(sv, jnp.asarray(rhs)))
+    a, b = out['fft'], out['mat']
+    a, b = a - a.mean(), b - b.mean()
+    np.testing.assert_allclose(a, b, atol=1e-10)
