@@ -196,6 +196,70 @@ def zpad_velocity(u, v, w, cbcvel, bcu, bcv, bcw, dzc, dzf,
     return uq, vq, wq
 
 
+def _zedge_centered(q, letters, bcvals, dr):
+    """(3, ny, nx) z-edge stack [ghost_lo, padded-row-nz, ghost_hi] for a
+    z-centered variable; padded row nz is the unmodified interior last row."""
+    first, last = q[0], q[-1]
+    if letters[0] == 'P':
+        lo, hi = last, first
+    else:
+        b0 = _bc_plane(bcvals[0], q, 0, q.dtype)
+        b1 = _bc_plane(bcvals[1], q, 0, q.dtype)
+        lo = 2.0 * b0 - first if letters[0] == 'D' else -dr[0] * b0 + first
+        hi = 2.0 * b1 - last if letters[1] == 'D' else dr[1] * b1 + last
+    return jnp.stack([lo, last, hi])
+
+
+def _zedge_face(q, letters, bcvals, dr, lo_keep=None, keep=False):
+    """z-edge stack for the z-face-staggered component (w): the padded row
+    nz entry can be REWRITTEN by the prediction fill (set_bc 'D'/'N',
+    bound.f90:292-293, 365-366), so it travels in the stack instead of
+    mutating the interior array."""
+    first, second_last, last = q[0], q[-2], q[-1]
+    if letters[0] == 'P':
+        return jnp.stack([last, last, first])
+    if keep:
+        hi = second_last if letters[1] == 'D' else last
+        lo = crop_plane(lo_keep, q.shape, 0).astype(q.dtype)
+        return jnp.stack([lo, last, hi])
+    b0 = _bc_plane(bcvals[0], q, 0, q.dtype)
+    b1 = _bc_plane(bcvals[1], q, 0, q.dtype)
+    lo = b0 if letters[0] == 'D' else -dr[0] * b0 + first
+    if letters[1] == 'D':
+        newlast, hi = b1, second_last
+    else:
+        newlast, hi = dr[1] * b1 + second_last, last
+    return jnp.stack([lo, newlast, hi])
+
+
+def zedge_scalar(p, cbc_z, bcvals_z, dzc):
+    """(3, ny, nx) z-edge stack of a cell-centered scalar — the Pallas
+    kernel-input replacement for a full zpad copy: kernels assemble the z
+    window from the interior array plus these rows (ops/pallas_kernels.py)."""
+    nz = p.shape[0]
+    dr = (float(dzc[0]), float(dzc[nz]))
+    return _zedge_centered(p, cbc_z, bcvals_z, dr)
+
+
+def zedge_velocity(u, v, w, cbcvel, bcu, bcv, bcw, dzc, dzf,
+                   vlo=None, is_correc=False):
+    """z-edge stacks (3, ny, nx) for (u, v, w): same z semantics as
+    zpad_velocity but without materializing padded fields.  Rows:
+    [padded row 0, padded row nz (possibly rewritten wall face for w),
+    padded row nz+1]."""
+    nz = u.shape[0]
+    dr_par = (float(dzc[0]), float(dzc[nz]))
+    dr_nrm = (float(dzf[0]), float(dzf[nz]))
+    lts = lambda ivel: (cbcvel[0][2][ivel], cbcvel[1][2][ivel])
+    ue = _zedge_centered(u, lts(0), bcu[2], dr_par)
+    ve = _zedge_centered(v, lts(1), bcv[2], dr_par)
+    lw = lts(2)
+    keep = is_correc and lw[0] != 'P' and vlo is not None
+    we = _zedge_face(w, lw, bcw[2], dr_nrm,
+                     lo_keep=vlo[2] if keep else None, keep=keep)
+    return ue, ve, we
+
+
 def pad_velocity(u, v, w, cbcvel, bcu, bcv, bcw, dl, dzc, dzf,
                  vlo=None, is_correc=False):
     """Ghost fill for the staggered velocity (bounduvw, bound.f90:18-154).

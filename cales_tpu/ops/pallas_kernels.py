@@ -9,32 +9,37 @@ each field into VMEM once per tile and take all stencil shifts from VMEM.
 Design (validated by on-device probes, see git history):
   * Mosaic DMA slices must have offsets AND sizes aligned to the (8, 128)
     f32 tile in the last two dims; leading-dim slices are unconstrained.
-    Hence kernel inputs are **z-padded only** arrays (nz+2, ny, nx) — the
-    two z ghost planes carry the z BCs (any BC letter); x and y must be
-    periodic (the headline channel/triperiodic configurations) and are
-    closed in-kernel: y by three aligned wrap DMAs assembling a
-    (TZ+2, TY+16, nx) halo window, x by `pltpu.roll` on VMEM planes.
+  * Kernel inputs are **interior (nz, ny, nx) arrays plus (3, ny, nx)
+    z-edge stacks** (ops/boundary.zedge_*): rows [padded row 0, padded row
+    nz (the wall-face rewrite slot of set_bc for the staggered component,
+    bound.f90:292-293/365-366), padded row nz+1].  The z halo window is
+    assembled in-kernel from the two sources, so NO full-field padded copy
+    is ever materialized (a zpad concat costs 2 HBM passes per field).
+  * x and y must be periodic (the headline channel/triperiodic classes) and
+    are closed in-kernel: y by three aligned wrap DMAs assembling a
+    (TZ+2, TY+16, nx) halo window — Mosaic requires 8/128-aligned DMA
+    offsets AND sizes in the last two dims; x by `pltpu.roll` on VMEM
+    planes.  Any BC letter is supported in z via the edge stacks.
   * The kernel body is a `fori_loop` over the TZ output z-planes with all
     math on 2D (TY, nx) planes — this keeps the Mosaic vector IR small (the
     round-1 fully-3D body took >20 min to compile; this design compiles in
     ~0.5-2 min) — and shares the EXACT discretization with the XLA path via
     `stencil.momentum_rhs_core` / `strain_rate_core` (accessor interface).
-  * No manual double buffering: measured ~600+ GB/s with the grid-sequential
-    DMAs (the next tile's DMA issue overlaps the previous tile's writeback).
 
 Kernels:
-  * fused_mom_rk  — momentum RHS (mom.f90:17-309) + RK3 update with pressure
-    gradient and body force (rk.f90:77-94) in one pass: reads u,v,w,visct,p
-    (+rhs_old), writes u*,v*,w* and the stored RHS.
-  * fused_smag    — strain rate (sgs.f90:1019-1110) + van Driest static
-    Smagorinsky (sgs.f90:69-152) for z-wall/no-wall configs in one pass.
+  * fused_mom_rk         — momentum RHS (mom.f90:17-309) + RK3 update with
+    pressure gradient and body force (rk.f90:77-94) in one pass.
+  * fused_smag           — strain rate (sgs.f90:1019-1110) + van Driest
+    static Smagorinsky (sgs.f90:69-152) in one pass.
+  * fused_fillps         — projection RHS div(u)/dt (fillps.f90:14-48).
+  * fused_correc_updatep — velocity correction (correc.f90:14-68) +
+    pressure update (updatep.f90:14-24, explicit-diffusion branch) in one
+    pass.
 
 Explicit-diffusion path only; the implicit splits and non-periodic-x/y
 configurations fall back to the XLA expression path (timeloop dispatches).
 """
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +48,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import stencil as st
+
+# per-kernel scoped-VMEM budget: v5e has 128 MiB of VMEM; the Mosaic default
+# scoped limit is 16 MiB, raised via CompilerParams(vmem_limit_bytes=...)
+VMEM_BUDGET = 100 * 1024 * 1024
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET)
 
 
 def _roll_xp(p):
@@ -61,20 +71,72 @@ def _np_roll_variant(p, i):
     return jnp.roll(p, -i, axis=-1)
 
 
-def _mk_window_dmas(hbm, scr, sem, z0, y0, ny, tz, ty):
-    """Three aligned DMAs assembling the (tz+2, ty+16, nx) halo window:
-    8 wrap rows below, ty interior rows, 8 wrap rows above (periodic y)."""
-    ylo = pl.multiple_of((y0 - 8) % ny, 8)
-    yhi = pl.multiple_of((y0 + ty) % ny, 8)
-    y0a = pl.multiple_of(y0, 8)
-    return [
-        pltpu.make_async_copy(hbm.at[pl.ds(z0, tz + 2), pl.ds(ylo, 8)],
-                              scr.at[:, 0:8], sem.at[0]),
-        pltpu.make_async_copy(hbm.at[pl.ds(z0, tz + 2), pl.ds(y0a, ty)],
-                              scr.at[:, 8:8 + ty], sem.at[1]),
-        pltpu.make_async_copy(hbm.at[pl.ds(z0, tz + 2), pl.ds(yhi, 8)],
-                              scr.at[:, 8 + ty:8 + ty + 8], sem.at[2]),
-    ]
+def _zwin_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty, case):
+    """Async copies assembling the (tz+2, ty+16, nx) halo window for one
+    field from its interior array + z-edge stack.
+
+    Window row m holds padded z row z0+m.  Padded rows 1..nz-1 come from the
+    interior (padded r = interior r-1); padded rows 0, nz, nz+1 come from
+    the edge stack (rows 0, 1, 2).  `case` selects the z-tile position:
+    'lo' (k==0), 'mid', 'hi' (k==klast), 'single' (one z tile).
+    Every z block is split into three aligned y DMAs: 8 wrap rows below,
+    ty interior rows, 8 wrap rows above (periodic y)."""
+    def ycop(src, sz, rows, dr, b):
+        ylo = pl.multiple_of((y0 - 8) % ny, 8)
+        yhi = pl.multiple_of((y0 + ty) % ny, 8)
+        y0a = pl.multiple_of(y0, 8)
+        return [
+            pltpu.make_async_copy(src.at[pl.ds(sz, rows), pl.ds(ylo, 8)],
+                                  scr.at[pl.ds(dr, rows), 0:8], sem.at[b]),
+            pltpu.make_async_copy(src.at[pl.ds(sz, rows), pl.ds(y0a, ty)],
+                                  scr.at[pl.ds(dr, rows), 8:8 + ty],
+                                  sem.at[b + 1]),
+            pltpu.make_async_copy(src.at[pl.ds(sz, rows), pl.ds(yhi, 8)],
+                                  scr.at[pl.ds(dr, rows), 8 + ty:16 + ty],
+                                  sem.at[b + 2]),
+        ]
+
+    tzc = scr.shape[0] - 2  # rows of interior-z coverage in this window
+    if case == 'single':
+        cs = ycop(zedge, 0, 1, 0, 0) + ycop(zedge, 1, 2, tzc, 3)
+        if tzc > 1:
+            cs += ycop(fint, 0, tzc - 1, 1, 6)
+        return cs
+    if case == 'lo':
+        return ycop(zedge, 0, 1, 0, 0) + ycop(fint, 0, tzc + 1, 1, 3)
+    if case == 'hi':
+        return ycop(fint, z0 - 1, tzc, 0, 0) + ycop(zedge, 1, 2, tzc, 3)
+    return ycop(fint, z0 - 1, tzc + 2, 0, 0)
+
+
+def _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, action):
+    """Start or wait the window DMAs of every (fint, zedge, scr, sem)
+    quadruple, branching once on the z-tile position.  `action` is 'start'
+    or 'wait'; both calls must use identical structure so every started
+    copy is waited exactly once."""
+    klast = nz // tz - 1
+
+    def run(case):
+        for fint, zedge, scr, sem in fields:
+            for c in _zwin_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty,
+                                  case):
+                getattr(c, action)()
+
+    if klast == 0:
+        run('single')
+        return
+
+    @pl.when(k == 0)
+    def _():
+        run('lo')
+
+    @pl.when(jnp.logical_and(k > 0, k < klast))
+    def _():
+        run('mid')
+
+    @pl.when(k == klast)
+    def _():
+        run('hi')
 
 
 class _PlaneAccessor:
@@ -110,22 +172,38 @@ class _PlaneAccessor:
         return self.plane(f, k, i)[8 + j:8 + j + self.ty]
 
 
+def pick_tiles(nz, ny, itemsize, nx, nwin=5, nio=9):
+    """(TZ, TY) fitting `nwin` halo windows + `nio` pipelined tile buffers
+    in the VMEM budget.  Larger TY amortizes the 16 aligned y-wrap halo
+    rows (overread factor (ty+16)/ty), so prefer the largest that fits."""
+    if ny < 8 or ny % 8:
+        return None
+    for tz, ty in ((8, 128), (8, 64), (8, 32), (8, 16), (4, 16), (4, 8),
+                   (2, 8)):
+        if nz % tz or ny % ty:
+            continue
+        win = (tz + 2) * (ty + 16) * nx * itemsize
+        outs = tz * ty * nx * itemsize
+        tot = nwin * win + 2 * nio * outs   # windows + 2-slot in/out pipeline
+        if tot < VMEM_BUDGET - 8 * 1024 * 1024:
+            return tz, ty
+    return None
+
+
 def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret):
-    def kernel(sc, dzci_s, dzfi_s, uq, vq, wq, sq, pq, ruo, rvo, rwo,
+    def kernel(sc, dzci_s, dzfi_s, u, v, w, s, p, ue, ve, we, se, pe,
+               ruo, rvo, rwo,
                u_o, v_o, w_o, ru_o, rv_o, rw_o,
                su, sv, sw, ss, sp_, sems):
         k = pl.program_id(0)
         j = pl.program_id(1)
         z0 = k * tz
         y0 = j * ty
-        cs = []
-        for src, dst, m in ((uq, su, 0), (vq, sv, 1), (wq, sw, 2),
-                            (sq, ss, 3), (pq, sp_, 4)):
-            cs += _mk_window_dmas(src, dst, sems.at[m], z0, y0, ny, tz, ty)
-        for c in cs:
-            c.start()
-        for c in cs:
-            c.wait()
+        fields = [(u, ue, su, sems.at[0]), (v, ve, sv, sems.at[1]),
+                  (w, we, sw, sems.at[2]), (s, se, ss, sems.at[3]),
+                  (p, pe, sp_, sems.at[4])]
+        _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, 'start')
+        _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, 'wait')
 
         f1 = sc[0, 0]
         f2 = sc[0, 1]
@@ -164,35 +242,28 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret):
     return kernel
 
 
-def pick_tiles(nz, ny, itemsize, nx):
-    """(TZ, TY) fitting the 5 halo windows + pipelined outputs in VMEM."""
-    if ny < 8 or ny % 8:
-        return None
-    for tz, ty in ((8, 32), (8, 16), (4, 16), (4, 8), (2, 8)):
-        if nz % tz or ny % ty:
-            continue
-        win = (tz + 2) * (ty + 16) * nx * itemsize
-        outs = tz * ty * nx * itemsize
-        tot = 5 * win + 2 * 9 * outs      # 5 windows + 2-slot in/out pipeline
-        if tot < 11 * 1024 * 1024:
-            return tz, ty
-    return None
+def _grid_specs(nz, ny, nx, tz, ty):
+    grid = (nz // tz, ny // ty)
+    int_spec = pl.BlockSpec((tz, ty, nx), lambda k, j: (k, j, 0))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return grid, int_spec, any_spec, smem_spec
 
 
-def fused_mom_rk(uq, vq, wq, sq, pq, ruo, rvo, rwo, dzci, dzfi,
-                 f1, f2, visc, dxi, dyi, bforce, interpret=False):
+def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
+                 dzci, dzfi, f1, f2, visc, dxi, dyi, bforce, interpret=False):
     """Momentum RHS + RK3 update in one HBM pass.
 
-    uq..pq: z-padded (nz+2, ny, nx) fields (x, y periodic); ruo..rwo:
-    (nz, ny, nx) previous explicit RHS; f1, f2: traced RK factors.
-    Returns (u, v, w, ru, rv, rw) interiors, or None if no tiling fits
-    (caller falls back to the XLA path)."""
-    nzp, ny, nx = uq.shape
-    nz = nzp - 2
-    dt = uq.dtype
+    u..p: interior (nz, ny, nx) fields; ue..pe: (3, ny, nx) z-edge stacks
+    (boundary.zedge_*); ruo..rwo: previous explicit RHS; f1, f2: traced RK
+    factors.  x, y periodic (closed in-kernel).  Returns
+    (u, v, w, ru, rv, rw) interiors, or None if no tiling fits (caller
+    falls back to the XLA path)."""
+    nz, ny, nx = u.shape
+    dt = u.dtype
     if nx % 128 or ny % 8:
         return None
-    tiles = pick_tiles(nz, ny, dt.itemsize, nx)
+    tiles = pick_tiles(nz, ny, dt.itemsize, nx, nwin=5, nio=9)
     if tiles is None:
         return None
     tz, ty = tiles
@@ -201,24 +272,21 @@ def fused_mom_rk(uq, vq, wq, sq, pq, ruo, rvo, rwo, dzci, dzfi,
     dzci_s = jnp.asarray(dzci, dt).reshape(-1, 1)
     dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
 
-    grid = (nz // tz, ny // ty)
-    int_spec = pl.BlockSpec((tz, ty, nx), lambda k, j: (k, j, 0))
-    any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-
+    grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
     kern = _mom_kernel(tz, ty, nz, ny, nx, float(visc), float(dxi), float(dyi),
                        tuple(float(b) for b in bforce), interpret)
     outs = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[smem_spec, smem_spec, smem_spec] + [any_spec] * 5
+        in_specs=[smem_spec, smem_spec, smem_spec] + [any_spec] * 10
                  + [int_spec] * 3,
         out_specs=[int_spec] * 6,
         out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 6,
         scratch_shapes=[pltpu.VMEM((tz + 2, ty + 16, nx), dt)
-                        for _ in range(5)] + [pltpu.SemaphoreType.DMA((5, 3))],
+                        for _ in range(5)] + [pltpu.SemaphoreType.DMA((5, 9))],
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(sc, dzci_s, dzfi_s, uq, vq, wq, sq, pq, ruo, rvo, rwo)
+    )(sc, dzci_s, dzfi_s, u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo)
     return outs
 
 
@@ -230,19 +298,16 @@ def _smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls, interpret):
     / 25) with tauw selected from the nearer wall's plane by a 1D z mask.
     have_zwalls=False skips fd (fd=1, tri-periodic class).
     """
-    def kernel(csd2_s, dw_s, msk_s, dzci_s, dzfi_s, uq, vq, wq,
+    def kernel(csd2_s, dw_s, msk_s, dzci_s, dzfi_s, u, v, w, ue, ve, we,
                tlo, thi, s_o, su, sv, sw, sems):
         k = pl.program_id(0)
         j = pl.program_id(1)
         z0 = k * tz
         y0 = j * ty
-        cs = []
-        for src, dst, m in ((uq, su, 0), (vq, sv, 1), (wq, sw, 2)):
-            cs += _mk_window_dmas(src, dst, sems.at[m], z0, y0, ny, tz, ty)
-        for c in cs:
-            c.start()
-        for c in cs:
-            c.wait()
+        fields = [(u, ue, su, sems.at[0]), (v, ve, sv, sems.at[1]),
+                  (w, we, sw, sems.at[2])]
+        _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, 'start')
+        _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, 'wait')
 
         def body(kk, _):
             kz = z0 + kk + 1
@@ -269,30 +334,31 @@ def _smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls, interpret):
     return kernel
 
 
-def fused_smag(uq, vq, wq, dzci, dzfi, dxi, dyi, visc, cs_delta2_1d,
+def fused_smag(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi, visc, cs_delta2_1d,
                dw_1d=None, nearlo_1d=None, tauw_lo=None, tauw_hi=None,
                interpret=False):
     """Static Smagorinsky nu_t in one pass (z walls or no walls).
 
-    uq, vq, wq: z-padded (nz+2, ny, nx); cs_delta2_1d: (Cs*Delta(z))^2
-    profile (nz,); dw_1d: nearest-z-wall distance profile; nearlo_1d: 1 where
-    the lower wall is nearer; tauw_lo/hi: |grad u_par| wall planes (ny, nx)
-    (the sgs.f90:117-143 one-sided estimates, computed by the caller from
-    the wall-adjacent slices).  Returns (nz, ny, nx) nu_t or None."""
-    nzp, ny, nx = uq.shape
-    nz = nzp - 2
-    dt = uq.dtype
+    u, v, w: interior (nz, ny, nx); ue, ve, we: (3, ny, nx) z-edge stacks
+    (with any lwm one-sided extrapolation already folded in by the caller);
+    cs_delta2_1d: (Cs*Delta(z))^2 profile (nz,); dw_1d: nearest-z-wall
+    distance profile; nearlo_1d: 1 where the lower wall is nearer;
+    tauw_lo/hi: |grad u_par| wall planes (ny, nx) (the sgs.f90:117-143
+    one-sided estimates, computed by the caller from the wall-adjacent
+    slices).  Returns (nz, ny, nx) nu_t or None."""
+    nz, ny, nx = u.shape
+    dt = u.dtype
     if nx % 128 or ny % 8:
         return None
-    tiles = pick_tiles(nz, ny, dt.itemsize, nx)
+    tiles = pick_tiles(nz, ny, dt.itemsize, nx, nwin=3, nio=1)
     if tiles is None:
         return None
     tz, ty = tiles
     have_zwalls = dw_1d is not None
 
-    def prof(p):
+    def prof(p_):
         return jnp.zeros((nz + 2,), dt).at[1:nz + 1].set(
-            jnp.asarray(p, dt)).reshape(-1, 1)
+            jnp.asarray(p_, dt)).reshape(-1, 1)
 
     csd2 = prof(cs_delta2_1d)
     dw = prof(dw_1d if have_zwalls else np.zeros(nz))
@@ -306,21 +372,139 @@ def fused_smag(uq, vq, wq, dzci, dzfi, dxi, dyi, visc, cs_delta2_1d,
         tauw_lo = jnp.asarray(tauw_lo, dt).reshape(1, ny, nx)
         tauw_hi = jnp.asarray(tauw_hi, dt).reshape(1, ny, nx)
 
-    grid = (nz // tz, ny // ty)
-    int_spec = pl.BlockSpec((tz, ty, nx), lambda k, j: (k, j, 0))
+    grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
     plane_spec = pl.BlockSpec((1, ty, nx), lambda k, j: (0, j, 0))
-    any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-
     kern = _smag_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
                         float(visc), have_zwalls, interpret)
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[smem_spec] * 5 + [any_spec] * 3 + [plane_spec] * 2,
+        in_specs=[smem_spec] * 5 + [any_spec] * 6 + [plane_spec] * 2,
         out_specs=int_spec,
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
         scratch_shapes=[pltpu.VMEM((tz + 2, ty + 16, nx), dt)
-                        for _ in range(3)] + [pltpu.SemaphoreType.DMA((3, 3))],
+                        for _ in range(3)] + [pltpu.SemaphoreType.DMA((3, 9))],
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(csd2, dw, msk, dzci_s, dzfi_s, uq, vq, wq, tauw_lo, tauw_hi)
+    )(csd2, dw, msk, dzci_s, dzfi_s, u, v, w, ue, ve, we, tauw_lo, tauw_hi)
+
+
+def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret):
+    def kernel(sc, dzfi_s, u, v, w, ue, ve, we, rhs_o, su, sv, sw, sems):
+        k = pl.program_id(0)
+        j = pl.program_id(1)
+        z0 = k * tz
+        y0 = j * ty
+        fields = [(u, ue, su, sems.at[0]), (v, ve, sv, sems.at[1]),
+                  (w, we, sw, sems.at[2])]
+        _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, 'start')
+        _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, 'wait')
+        dti = sc[0, 0]
+
+        def body(kk, _):
+            kz = z0 + kk + 1
+            acc = _PlaneAccessor({id(su): su, id(sv): sv, id(sw): sw},
+                                 kk, ty, interpret=interpret)
+            rhs_o[kk] = ((acc.V(sw) - acc.V(sw, k=-1)) * dti * dzfi_s[kz, 0]
+                         + (acc.V(sv) - acc.V(sv, j=-1)) * (dti * dyi)
+                         + (acc.V(su) - acc.V(su, i=-1)) * (dti * dxi))
+            return 0
+
+        jax.lax.fori_loop(0, tz, body, 0)
+    return kernel
+
+
+def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False):
+    """Poisson RHS div(u)/dt_rk in one pass (fillps.f90:14-48).
+
+    u, v, w: prediction-velocity interiors; ue, ve, we: prediction-fill
+    z-edge stacks; dti: traced 1/dt_rk.  Returns (nz, ny, nx) or None."""
+    nz, ny, nx = u.shape
+    dt = u.dtype
+    if nx % 128 or ny % 8:
+        return None
+    tiles = pick_tiles(nz, ny, dt.itemsize, nx, nwin=3, nio=1)
+    if tiles is None:
+        return None
+    tz, ty = tiles
+    sc = jnp.asarray(dti, dt).reshape(1, 1)
+    dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
+    grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
+    kern = _fillps_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
+                          interpret)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[smem_spec, smem_spec] + [any_spec] * 6,
+        out_specs=int_spec,
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
+        scratch_shapes=[pltpu.VMEM((tz + 2, ty + 16, nx), dt)
+                        for _ in range(3)] + [pltpu.SemaphoreType.DMA((3, 9))],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(sc, dzfi_s, u, v, w, ue, ve, we)
+
+
+def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret):
+    def kernel(sc, dzci_s, w, pp, we, ppe, u_i, v_i, p_i,
+               u_o, v_o, w_o, p_o, sw, spp, sems):
+        k = pl.program_id(0)
+        j = pl.program_id(1)
+        z0 = k * tz
+        y0 = j * ty
+        fields = [(w, we, sw, sems.at[0]), (pp, ppe, spp, sems.at[1])]
+        _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, 'start')
+        _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, 'wait')
+        dtrk = sc[0, 0]
+
+        def body(kk, _):
+            kz = z0 + kk + 1
+            acc = _PlaneAccessor({id(sw): sw, id(spp): spp}, kk, ty,
+                                 interpret=interpret)
+            ppc = acc.V(spp)
+            u_o[kk] = u_i[kk] - dtrk * dxi * (acc.V(spp, i=1) - ppc)
+            v_o[kk] = v_i[kk] - dtrk * dyi * (acc.V(spp, j=1) - ppc)
+            w_o[kk] = acc.V(sw) - dtrk * dzci_s[kz, 0] * (acc.V(spp, k=1) - ppc)
+            p_o[kk] = p_i[kk] + ppc
+            return 0
+
+        jax.lax.fori_loop(0, tz, body, 0)
+    return kernel
+
+
+def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
+                         interpret=False):
+    """Velocity correction + pressure update in one pass (correc.f90:14-68,
+    updatep.f90:14-24 explicit-diffusion branch).
+
+    u, v, w: prediction interiors (w's window uses the prediction-fill edge
+    stack `we`, so the wall-face rewrite of set_bc participates in the
+    correction exactly as the reference's padded loop); pp: solver output
+    interior with z-edge stack `ppe`; p: pressure interior.  dtrk: traced
+    RK factor.  Returns (u, v, w, p_new) interiors or None.  The lower
+    wall-face plane (vlo) update is a plane-sized host-side expression done
+    by the caller (timeloop)."""
+    nz, ny, nx = u.shape
+    dt = u.dtype
+    if nx % 128 or ny % 8:
+        return None
+    tiles = pick_tiles(nz, ny, dt.itemsize, nx, nwin=2, nio=7)
+    if tiles is None:
+        return None
+    tz, ty = tiles
+    sc = jnp.asarray(dtrk, dt).reshape(1, 1)
+    dzci_s = jnp.asarray(dzci, dt).reshape(-1, 1)
+    grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
+    kern = _correc_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
+                          interpret)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[smem_spec, smem_spec] + [any_spec] * 4 + [int_spec] * 3,
+        out_specs=[int_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 4,
+        scratch_shapes=[pltpu.VMEM((tz + 2, ty + 16, nx), dt)
+                        for _ in range(2)] + [pltpu.SemaphoreType.DMA((2, 9))],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(sc, dzci_s, w, pp, we, ppe, u, v, p)

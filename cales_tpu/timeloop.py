@@ -41,8 +41,9 @@ class State(NamedTuple):
     istep: Any
     s: Any = None         # optional passive scalar (scal.f90)
     dsdt_old: Any = None  # previous-substep scalar RHS (rk.f90:149-150)
-    zq: Any = None        # Pallas-path cache: z-padded (uq, vq, wq) of the
-                          # current velocity (the post-correc ghost fill)
+    zq: Any = None        # Pallas-path cache: (3, ny, nx) z-edge stacks
+                          # (ue, ve, we) of the current velocity — the
+                          # post-correc ghost fill (ops/boundary.zedge_*)
 
 
 class Simulation:
@@ -168,11 +169,12 @@ class Simulation:
             self.grid.dzf, vlo=None, is_correc=False)
         visct = self._compute_sgs(up, vp, wp)
         zq = None
+        u_i, v_i, w_i = (up[1:-1, 1:-1, 1:-1], vp[1:-1, 1:-1, 1:-1],
+                         wp[1:-1, 1:-1, 1:-1])
         if self.use_pallas_mom:
-            zq = (up[:, 1:-1, 1:-1], vp[:, 1:-1, 1:-1], wp[:, 1:-1, 1:-1])
-        return st0._replace(u=up[1:-1, 1:-1, 1:-1], v=vp[1:-1, 1:-1, 1:-1],
-                            w=wp[1:-1, 1:-1, 1:-1], vlo=vlo, visct=visct,
-                            zq=zq)
+            zq = self._zedge_vel(u_i, v_i, w_i, bcu, bcv, bcw,
+                                 is_correc=False)
+        return st0._replace(u=u_i, v=v_i, w=w_i, vlo=vlo, visct=visct, zq=zq)
 
     # ------------------------------------------------------------------
     def _dynamic_bcs(self, u, v, w):
@@ -208,58 +210,59 @@ class Simulation:
         cbcs = tuple((self.cfg.cbcsgs[0][d], self.cfg.cbcsgs[1][d]) for d in range(3))
         return bnd.pad_scalar(s, cbcs, self.bcs_vals, self.cfg.dl, self.grid.dzc)
 
-    # --- z-ghost-only fills (Pallas kernel input format) ---
-    def _zpad_vel(self, u, v, w, bcu, bcv, bcw, vlo=None, is_correc=False):
-        return bnd.zpad_velocity(u, v, w, self.cbcvel, bcu, bcv, bcw,
-                                 self.grid.dzc, self.grid.dzf,
-                                 vlo=vlo, is_correc=is_correc)
+    # --- z-edge stacks (Pallas kernel input format, ops/boundary.zedge_*) ---
+    def _zedge_vel(self, u, v, w, bcu, bcv, bcw, vlo=None, is_correc=False):
+        return bnd.zedge_velocity(u, v, w, self.cbcvel, bcu, bcv, bcw,
+                                  self.grid.dzc, self.grid.dzf,
+                                  vlo=vlo, is_correc=is_correc)
 
-    def _zpad_p(self, p):
-        return bnd.zpad_scalar(p, self.cbcpre[2], self.bcp_vals[2],
-                               self.grid.dzc)
+    def _zedge_p(self, p):
+        return bnd.zedge_scalar(p, self.cbcpre[2], self.bcp_vals[2],
+                                self.grid.dzc)
 
-    def _zpad_s(self, s):
+    def _zedge_s(self, s):
         cbc_z = (self.cfg.cbcsgs[0][2], self.cfg.cbcsgs[1][2])
-        return bnd.zpad_scalar(s, cbc_z, self.bcs_vals[2], self.grid.dzc)
+        return bnd.zedge_scalar(s, cbc_z, self.bcs_vals[2], self.grid.dzc)
 
-    def _compute_sgs_kernel(self, uq, vq, wq):
+    def _compute_sgs_kernel(self, u, v, w, ue, ve, we):
         """Static Smagorinsky via the fused Pallas kernel (z-walls/no-walls
-        configs; gated by use_pallas_smag).  Inputs: z-padded velocity."""
+        configs; gated by use_pallas_smag).  Inputs: interiors + z-edge
+        stacks."""
         from .ops import pallas_kernels as pk
         from .config import C_SMAG
         cfg, grid, setup = self.cfg, self.grid, self.sgs_setup
         nz = cfg.ng[2]
-        # lwm z walls: one-sided ghost extrapolation (sgs.f90:682-767), a
-        # ghost-plane swap on the z-padded arrays (w's own face dir: skipped)
+        # lwm z walls: one-sided ghost extrapolation (sgs.f90:682-767) — a
+        # ghost-row swap on the edge stacks (w's own face dir: skipped)
         if setup.lwm_flags.get((0, 2)) or setup.lwm_flags.get((1, 2)):
             f0, f1 = setup.fac_lwm
             lo_on = bool(setup.lwm_flags.get((0, 2)))
             hi_on = bool(setup.lwm_flags.get((1, 2)))
 
-            def swap(q):
-                lo = (1.0 + f0) * q[1] - f0 * q[2] if lo_on else q[0]
-                hi = (1.0 + f1) * q[-2] - f1 * q[-3] if hi_on else q[-1]
-                return jnp.concatenate([lo[None], q[1:-1], hi[None]], axis=0)
-            uq_s, vq_s = swap(uq), swap(vq)
+            def swap(q, qe):
+                lo = (1.0 + f0) * q[0] - f0 * q[1] if lo_on else qe[0]
+                hi = (1.0 + f1) * q[-1] - f1 * q[-2] if hi_on else qe[2]
+                return jnp.stack([lo, qe[1], hi])
+            ue_s, ve_s = swap(u, ue), swap(v, ve)
         else:
-            uq_s, vq_s = uq, vq
+            ue_s, ve_s = ue, ve
         csd2 = (C_SMAG * setup.delta) ** 2
         lo_wall, hi_wall = setup.is_wall6[4], setup.is_wall6[5]
         if not (lo_wall or hi_wall):
-            out = pk.fused_smag(uq_s, vq_s, wq, grid.dzci, grid.dzfi,
+            out = pk.fused_smag(u, v, w, ue_s, ve_s, we, grid.dzci, grid.dzfi,
                                 cfg.dli[0], cfg.dli[1], cfg.visc, csd2,
                                 interpret=self._pallas_interpret)
         else:
             # one-sided |grad u_par| at the z walls via periodic x/y rolls
             # (sgs.f90:117-143 z rows); *dzci metric folded in here
             dzci = grid.dzci
-            A = uq_s[1] - uq_s[0]
-            B = vq_s[1] - vq_s[0]
+            A = u[0] - ue_s[0]
+            B = v[0] - ve_s[0]
             t1 = A + jnp.roll(A, 1, axis=1)
             t2 = B + jnp.roll(B, 1, axis=0)
             tauw_lo = jnp.sqrt(t1 ** 2 + t2 ** 2) * dzci[0]
-            A = uq_s[-2] - uq_s[-1]
-            B = vq_s[-2] - vq_s[-1]
+            A = u[-1] - ue_s[2]
+            B = v[-1] - ve_s[2]
             t1 = A + jnp.roll(A, 1, axis=1)
             t2 = B + jnp.roll(B, 1, axis=0)
             tauw_hi = jnp.sqrt(t1 ** 2 + t2 ** 2) * dzci[nz]
@@ -272,7 +275,7 @@ class Simulation:
                 tauw_lo = tauw_hi
             if not hi_wall:
                 tauw_hi = tauw_lo
-            out = pk.fused_smag(uq_s, vq_s, wq, grid.dzci, grid.dzfi,
+            out = pk.fused_smag(u, v, w, ue_s, ve_s, we, grid.dzci, grid.dzfi,
                                 cfg.dli[0], cfg.dli[1], cfg.visc, csd2,
                                 dw_1d=dw_1d, nearlo_1d=nearlo,
                                 tauw_lo=tauw_lo, tauw_hi=tauw_hi,
@@ -322,22 +325,22 @@ class Simulation:
 
         scal_state = None
         if self.use_pallas_mom:
-            # fused momentum+RK Pallas path: the z-padded ghost cache from the
+            # fused momentum+RK Pallas path: the z-edge cache from the
             # previous substep's post-correc fill is the kernel input (the
             # reference reads the same ghosts, bound.f90:117-123 reuse)
             from .ops import pallas_kernels as pk
             if state.zq is not None:
-                uq, vq, wq = state.zq
+                ue, ve, we = state.zq
             else:
                 bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
-                uq, vq, wq = self._zpad_vel(u, v, w, bcu, bcv, bcw,
-                                            vlo=state.vlo, is_correc=True)
-            pq = self._zpad_p(p)
-            sq = self._zpad_s(visct)
+                ue, ve, we = self._zedge_vel(u, v, w, bcu, bcv, bcw,
+                                             vlo=state.vlo, is_correc=True)
+            pe = self._zedge_p(p)
+            se = self._zedge_s(visct)
             with jax.named_scope('momentum_rk_pallas'):
                 u, v, w, ru, rv, rw = pk.fused_mom_rk(
-                    uq, vq, wq, sq, pq, ru_o, rv_o, rw_o, dzci, dzfi,
-                    f1, f2, visc, dxi, dyi, cfg.bforce,
+                    u, v, w, visct, p, ue, ve, we, se, pe, ru_o, rv_o, rw_o,
+                    dzci, dzfi, f1, f2, visc, dxi, dyi, cfg.bforce,
                     interpret=self._pallas_interpret)
             rhs_old = (ru, rv, rw)
         else:
@@ -430,36 +433,65 @@ class Simulation:
                 else:
                     w = fld
 
-        # prediction-velocity BC fill (main.f90:493-494)
-        bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
-        up, vp, wp, vlo = self._pad_vel(u, v, w, bcu, bcv, bcw, is_correc=False)
-
-        # projection (main.f90:495-499)
-        with jax.named_scope('poisson'):
-            rhs = st.fillps(up, vp, wp, 1.0 / dtrk, dxi, dyi, dzfi)
-            rhs = poisson.add_rhs_bound(cfg, ('c', 'c', 'c'), self.cbcpre, rhs,
-                                        self.rhsb_p)
-            pp = poisson.solve(self.solver_p, rhs, hints=self.hints)
-        pppad = self._pad_p(pp)
-        u, v, w, vlo = st.correc(up, vp, wp, pppad, dtrk, dxi, dyi, dzci)
-
-        # post-correction BC fill, keeping corrected wall-normal values
-        # (main.f90:500-501, is_correc=.true.).  Kernel mode reuses the
-        # prediction-fill BC planes (the reference's is_updt_wm=.false. reuse,
-        # bound.f90:117-123) and fills z ghosts only; x/y are periodic wraps
-        # closed inside the kernels.
         zq_new = None
         if self.use_pallas_mom:
-            zq_new = self._zpad_vel(u, v, w, bcu, bcv, bcw,
-                                    vlo=vlo, is_correc=True)
+            # fused projection path: fillps and correc+updatep are single
+            # Pallas passes over interiors + z-edge stacks; no padded field
+            # is ever materialized.  BC-plane reuse follows the reference's
+            # is_updt_wm=.false. path (bound.f90:117-123).
+            from .ops import pallas_kernels as pk
+            # prediction-velocity BC fill (main.f90:493-494) as edge stacks;
+            # the w wall-face rewrite of set_bc travels in row 1 of we2
+            bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
+            ue2, ve2, we2 = self._zedge_vel(u, v, w, bcu, bcv, bcw,
+                                            is_correc=False)
+            with jax.named_scope('poisson'):
+                rhs = pk.fused_fillps(u, v, w, ue2, ve2, we2, dzfi,
+                                      1.0 / dtrk, dxi, dyi,
+                                      interpret=self._pallas_interpret)
+                rhs = poisson.add_rhs_bound(cfg, ('c', 'c', 'c'), self.cbcpre,
+                                            rhs, self.rhsb_p)
+                pp = poisson.solve(self.solver_p, rhs, hints=self.hints)
+            ppe = self._zedge_p(pp)
+            with jax.named_scope('correc_updatep_pallas'):
+                u, v, w, p = pk.fused_correc_updatep(
+                    u, v, w, pp, p, we2, ppe, dtrk, dxi, dyi, dzci,
+                    interpret=self._pallas_interpret)
+            # lower-wall w face plane: the padded-row-0 entry of the correc
+            # ghost-range sweep (correc.f90:45-67), a plane-sized update;
+            # the x/y planes are unused under periodic x/y (pad_velocity's
+            # 'P' branch never reads vlo)
+            wlo = we2[0] - dtrk * float(dzci[0]) * (pp[0] - ppe[0])
+            wlo = jnp.concatenate([wlo[-1:], wlo, wlo[:1]], axis=0)
+            wlo = jnp.concatenate([wlo[:, -1:], wlo, wlo[:, :1]], axis=1)
+            vlo = (state.vlo[0], state.vlo[1], wlo)
+            # post-correction fill (main.f90:500-501, is_correc=.true.)
+            zq_new = self._zedge_vel(u, v, w, bcu, bcv, bcw,
+                                     vlo=vlo, is_correc=True)
         else:
+            # prediction-velocity BC fill (main.f90:493-494)
+            bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
+            up, vp, wp, vlo = self._pad_vel(u, v, w, bcu, bcv, bcw,
+                                            is_correc=False)
+
+            # projection (main.f90:495-499)
+            with jax.named_scope('poisson'):
+                rhs = st.fillps(up, vp, wp, 1.0 / dtrk, dxi, dyi, dzfi)
+                rhs = poisson.add_rhs_bound(cfg, ('c', 'c', 'c'), self.cbcpre,
+                                            rhs, self.rhsb_p)
+                pp = poisson.solve(self.solver_p, rhs, hints=self.hints)
+            pppad = self._pad_p(pp)
+            u, v, w, vlo = st.correc(up, vp, wp, pppad, dtrk, dxi, dyi, dzci)
+
+            # post-correction BC fill, keeping corrected wall-normal values
+            # (main.f90:500-501, is_correc=.true.)
             bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
             up, vp, wp, vlo = self._pad_vel(u, v, w, bcu, bcv, bcw,
                                             vlo=vlo, is_correc=True)
 
-        # pressure update (main.f90:502-503)
-        p = st.updatep(pppad, p, alpha, cfg.impdiff, cfg.impdiff_1d,
-                       dxi, dyi, dzci, dzfi)
+            # pressure update (main.f90:502-503)
+            p = st.updatep(pppad, p, alpha, cfg.impdiff, cfg.impdiff_1d,
+                           dxi, dyi, dzci, dzfi)
 
         # SGS eddy viscosity (main.f90:504-506)
         with jax.named_scope('sgs'):
@@ -467,7 +499,7 @@ class Simulation:
                 if cfg.sgstype == 'none':
                     visct = jnp.zeros_like(u)
                 elif self.use_pallas_smag:
-                    visct = self._compute_sgs_kernel(*zq_new)
+                    visct = self._compute_sgs_kernel(u, v, w, *zq_new)
                 else:
                     up, vp, wp, _ = self._pad_vel(u, v, w, bcu, bcv, bcw,
                                                   vlo=vlo, is_correc=True)

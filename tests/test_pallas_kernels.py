@@ -1,14 +1,34 @@
 """Pallas mega-kernel parity vs the XLA expression path (interpret mode on
 CPU; the formulas are shared via stencil.momentum_rhs_core /
 strain_rate_core, so agreement must be bitwise up to roll-vs-slice
-equivalence)."""
+equivalence).
+
+Kernel input protocol: interior (nz, ny, nx) arrays + (3, ny, nx) z-edge
+stacks [padded row 0, padded row nz, padded row nz+1] (boundary.zedge_*);
+the padded row nz slot carries set_bc's wall-face rewrite for the staggered
+component, so the kernels never read the interior's last z row directly."""
 import numpy as np
 import jax.numpy as jnp
 
 from cales_tpu.config import Config
 from cales_tpu.grid import make_grid_from_config
 from cales_tpu.ops import stencil as st
-from cales_tpu.ops.pallas_kernels import fused_mom_rk, fused_smag
+from cales_tpu.ops.pallas_kernels import (fused_mom_rk, fused_smag,
+                                          fused_fillps, fused_correc_updatep)
+
+
+def _rand_field_edges(rng, nz, ny, nx, rewrite_last=False):
+    """(interior, zedge, padded-reference) with random ghosts; if
+    rewrite_last, padded row nz differs from the interior last row (the
+    set_bc wall-face rewrite slot)."""
+    interior = rng.standard_normal((nz, ny, nx))
+    glo = rng.standard_normal((ny, nx))
+    ghi = rng.standard_normal((ny, nx))
+    row_nz = rng.standard_normal((ny, nx)) if rewrite_last else interior[-1]
+    zedge = jnp.asarray(np.stack([glo, row_nz, ghi]))
+    padded = np.concatenate([glo[None], interior[:-1], row_nz[None],
+                             ghi[None]], axis=0)
+    return jnp.asarray(interior), zedge, padded
 
 
 def _wrap_xy(zq):
@@ -27,21 +47,24 @@ def test_fused_mom_rk_matches_xla():
     grid = make_grid_from_config(cfg)
     nx, ny, nz = ng
     rng = np.random.default_rng(0)
-    uq, vq, wq, sq, pq = (jnp.asarray(rng.standard_normal(
-        (nz + 2, ny, nx))) for _ in range(5))
+    u, ue, upad = _rand_field_edges(rng, nz, ny, nx)
+    v, ve, vpad = _rand_field_edges(rng, nz, ny, nx)
+    w, we, wpad = _rand_field_edges(rng, nz, ny, nx, rewrite_last=True)
+    s, se, spad = _rand_field_edges(rng, nz, ny, nx)
+    p, pe, ppad_z = _rand_field_edges(rng, nz, ny, nx)
     ruo, rvo, rwo = (jnp.asarray(rng.standard_normal((nz, ny, nx)))
                      for _ in range(3))
     f1, f2, visc = 0.5e-3, -0.2e-3, 0.01
     dxi, dyi = float(ng[0] / cfg.l[0]), float(ng[1] / cfg.l[1])
     bforce = (0.1, 0.0, 0.0)
 
-    out = fused_mom_rk(uq, vq, wq, sq, pq, ruo, rvo, rwo,
+    out = fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                        grid.dzci, grid.dzfi, f1, f2, visc, dxi, dyi,
                        bforce, interpret=True)
     assert out is not None
     u_n, v_n, w_n, ru, rv, rw = out
 
-    up, vp, wp, sp, ppad = map(_wrap_xy, (uq, vq, wq, sq, pq))
+    up, vp, wp, sp, ppad = map(_wrap_xy, (upad, vpad, wpad, spad, ppad_z))
     (eu, exy, ez), (ev, exyv, ezv), (ew, exyw, ezw) = st.momentum_rhs(
         up, vp, wp, sp, visc, dxi, dyi, grid.dzci, grid.dzfi)
     f12 = f1 + f2
@@ -62,6 +85,63 @@ def test_fused_mom_rk_matches_xla():
                                atol=1e-11)
 
 
+def test_fused_fillps_matches_xla():
+    ng = (128, 32, 16)
+    cfg = Config(ng=ng, l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=0.8,
+                 dtype='float64')
+    grid = make_grid_from_config(cfg)
+    nx, ny, nz = ng
+    rng = np.random.default_rng(3)
+    u, ue, upad = _rand_field_edges(rng, nz, ny, nx)
+    v, ve, vpad = _rand_field_edges(rng, nz, ny, nx)
+    w, we, wpad = _rand_field_edges(rng, nz, ny, nx, rewrite_last=True)
+    dti = 1.0 / 2.3e-3
+    dxi, dyi = float(ng[0] / cfg.l[0]), float(ng[1] / cfg.l[1])
+    out = fused_fillps(u, v, w, ue, ve, we, grid.dzfi, dti, dxi, dyi,
+                       interpret=True)
+    assert out is not None
+    up, vp, wp = map(_wrap_xy, (upad, vpad, wpad))
+    ref = st.fillps(up, vp, wp, dti, dxi, dyi, grid.dzfi)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
+
+
+def test_fused_correc_updatep_matches_xla():
+    ng = (128, 32, 16)
+    cfg = Config(ng=ng, l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=0.8,
+                 dtype='float64')
+    grid = make_grid_from_config(cfg)
+    nx, ny, nz = ng
+    rng = np.random.default_rng(4)
+    u, ue, upad = _rand_field_edges(rng, nz, ny, nx)
+    v, ve, vpad = _rand_field_edges(rng, nz, ny, nx)
+    w, we, wpad = _rand_field_edges(rng, nz, ny, nx, rewrite_last=True)
+    pp, ppe, pppad_z = _rand_field_edges(rng, nz, ny, nx)
+    p = jnp.asarray(rng.standard_normal((nz, ny, nx)))
+    dtrk = 3.7e-3
+    dxi, dyi = float(ng[0] / cfg.l[0]), float(ng[1] / cfg.l[1])
+
+    out = fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi,
+                               grid.dzci, interpret=True)
+    assert out is not None
+    u_n, v_n, w_n, p_n = out
+
+    up, vp, wp, pppad = map(_wrap_xy, (upad, vpad, wpad, pppad_z))
+    u_ref, v_ref, w_ref, vlo = st.correc(up, vp, wp, pppad, dtrk, dxi, dyi,
+                                         grid.dzci)
+    p_ref = st.updatep(pppad, p, None, False, False, dxi, dyi,
+                       grid.dzci, grid.dzfi)
+    np.testing.assert_allclose(np.asarray(u_n), np.asarray(u_ref), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(v_n), np.asarray(v_ref), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(w_n), np.asarray(w_ref), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(p_n), np.asarray(p_ref), atol=1e-13)
+    # the caller's plane-sized vlo_z update must match the padded sweep
+    wlo = np.asarray(we)[0] - dtrk * float(grid.dzci[0]) \
+        * (np.asarray(pp)[0] - np.asarray(ppe)[0])
+    wlo = np.concatenate([wlo[-1:], wlo, wlo[:1]], axis=0)
+    wlo = np.concatenate([wlo[:, -1:], wlo, wlo[:, :1]], axis=1)
+    np.testing.assert_allclose(wlo, np.asarray(vlo[2]), atol=1e-13)
+
+
 def test_fused_smag_matches_xla_channel():
     """van Driest static Smagorinsky on a channel (z walls): kernel vs the
     sgs.smag_visct XLA path."""
@@ -77,9 +157,10 @@ def test_fused_smag_matches_xla_channel():
     grid = make_grid_from_config(cfg)
     nx, ny, nz = ng
     rng = np.random.default_rng(1)
-    uq, vq, wq = (jnp.asarray(rng.standard_normal((nz + 2, ny, nx)))
-                  for _ in range(3))
-    up, vp, wp = map(_wrap_xy, (uq, vq, wq))
+    u, ue, upad = _rand_field_edges(rng, nz, ny, nx)
+    v, ve, vpad = _rand_field_edges(rng, nz, ny, nx)
+    w, we, wpad = _rand_field_edges(rng, nz, ny, nx, rewrite_last=True)
+    up, vp, wp = map(_wrap_xy, (upad, vpad, wpad))
 
     setup = sgsmod.SGSSetup(cfg, grid, effective_cbcvel(cfg))
     ref = sgsmod.smag_visct(setup, cfg, grid, up, vp, wp)
@@ -96,8 +177,8 @@ def test_fused_smag_matches_xla_channel():
     dw_1d = np.minimum(dw_lo, dw_hi)
     csd2 = (C_SMAG * setup.delta) ** 2
 
-    out = fused_smag(uq, vq, wq, grid.dzci, grid.dzfi, dxi, dyi, cfg.visc,
-                     csd2, dw_1d=dw_1d, nearlo_1d=nearlo,
+    out = fused_smag(u, v, w, ue, ve, we, grid.dzci, grid.dzfi, dxi, dyi,
+                     cfg.visc, csd2, dw_1d=dw_1d, nearlo_1d=nearlo,
                      tauw_lo=tauw_lo, tauw_hi=tauw_hi, interpret=True)
     assert out is not None
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -117,20 +198,60 @@ def test_fused_smag_no_walls():
     grid = make_grid_from_config(cfg)
     nx, ny, nz = ng
     rng = np.random.default_rng(2)
-    # periodic z too: z ghosts are wraps
+    # periodic z: edge stacks are wrap rows
     ui = [rng.standard_normal((nz, ny, nx)) for _ in range(3)]
+    zedge = lambda a: jnp.asarray(np.stack([a[-1], a[-1], a[0]]))
     zpad = lambda a: jnp.asarray(np.concatenate([a[-1:], a, a[:1]], axis=0))
-    uq, vq, wq = map(zpad, ui)
-    up, vp, wp = map(_wrap_xy, (uq, vq, wq))
+    u, v, w = map(jnp.asarray, ui)
+    ue, ve, we = map(zedge, ui)
+    up, vp, wp = map(_wrap_xy, map(zpad, ui))
 
     setup = sgsmod.SGSSetup(cfg, grid, effective_cbcvel(cfg))
     ref = sgsmod.smag_visct(setup, cfg, grid, up, vp, wp)
     csd2 = (C_SMAG * setup.delta) ** 2
-    out = fused_smag(uq, vq, wq, grid.dzci, grid.dzfi, cfg.dli[0], cfg.dli[1],
-                     cfg.visc, csd2, interpret=True)
+    out = fused_smag(u, v, w, ue, ve, we, grid.dzci, grid.dzfi, cfg.dli[0],
+                     cfg.dli[1], cfg.visc, csd2, interpret=True)
     assert out is not None
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-12, atol=1e-14)
+
+
+def test_zedge_matches_zpad():
+    """zedge_* stacks must agree row-for-row with the zpad_* padded rows."""
+    from cales_tpu.ops import boundary as bnd
+    from cales_tpu.config import effective_cbcvel
+
+    cfg = Config(ng=(16, 8, 8), l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=0.7,
+                 dtype='float64',
+                 cbcvel=((('P', 'P', 'D'),) * 3, (('P', 'P', 'N'),) * 3),
+                 cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
+                 cbcsgs=(('P', 'P', 'N'), ('P', 'P', 'N')))
+    grid = make_grid_from_config(cfg)
+    cbcvel = effective_cbcvel(cfg)
+    rng = np.random.default_rng(5)
+    u, v, w = (jnp.asarray(rng.standard_normal((8, 8, 16))) for _ in range(3))
+    bc0 = ((0.0, 0.0), (0.0, 0.0), (0.3, -0.2))
+    for is_correc, vlo in ((False, None),
+                           (True, (None, None,
+                                   jnp.asarray(rng.standard_normal((10, 18)))))):
+        uq, vq, wq = bnd.zpad_velocity(u, v, w, cbcvel, bc0, bc0, bc0,
+                                       grid.dzc, grid.dzf, vlo=vlo,
+                                       is_correc=is_correc)
+        ue, ve, we = bnd.zedge_velocity(u, v, w, cbcvel, bc0, bc0, bc0,
+                                        grid.dzc, grid.dzf, vlo=vlo,
+                                        is_correc=is_correc)
+        for q, e in ((uq, ue), (vq, ve), (wq, we)):
+            np.testing.assert_allclose(np.asarray(e),
+                                       np.asarray(jnp.stack([q[0], q[-2],
+                                                             q[-1]])),
+                                       atol=0)
+    # scalar
+    pfield = jnp.asarray(rng.standard_normal((8, 8, 16)))
+    pq = bnd.zpad_scalar(pfield, ('N', 'N'), (0.0, 0.0), grid.dzc)
+    pe = bnd.zedge_scalar(pfield, ('N', 'N'), (0.0, 0.0), grid.dzc)
+    np.testing.assert_allclose(np.asarray(pe),
+                               np.asarray(jnp.stack([pq[0], pq[-2], pq[-1]])),
+                               atol=0)
 
 
 def test_pallas_step_integration_matches_xla(monkeypatch):
@@ -166,7 +287,8 @@ def test_pallas_step_integration_matches_xla(monkeypatch):
 
 def test_pallas_step_integration_wmles(monkeypatch):
     """Kernel path on a wall-modeled channel (log-law z walls): exercises the
-    lwm z extrapolation swap + wall-model Neumann planes through zpad."""
+    lwm z extrapolation swap + wall-model Neumann planes through the edge
+    stacks."""
     monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
     from cales_tpu.initflow import initflow
     from cales_tpu.timeloop import Simulation
