@@ -1,0 +1,437 @@
+"""Pallas TPU kernels for the dynamic Smagorinsky model (sgs.f90:153-380).
+
+The XLA expression path materializes ~80 intermediates per call (12 padded
+copies, 18 three-stage separable filters, products, extrapolations) and
+moves ~9 GB/substep at 256x128x128 — bandwidth-bound at ~840 GB/s but ~15x
+the structural traffic.  These kernels compute the Germano-Lilly pipeline
+in two passes:
+
+  DS1 (grid level, fused_dsmag_level1): velocity windows (z +-2) -> strain
+      rate s0/sij (strain_rate_core) -> |S|Sij products -> 27-point top-hat
+      filter (filter3d, sgs.f90:616-680) of the 6 products, of the
+      (wall-extrapolated) velocity, of the center-interpolated velocity
+      (interpolate, sgs.f90:850-870), and of its 6 products.  A 3-slot ring
+      buffer holds the source planes so each is computed once.  Outputs 19
+      fields: fm(6) = filter(|S|Sij), fvel(3), fc(3) = filtered centered
+      velocity, fl(6) = filter(uc_i uc_j), s0.
+  DS2 (test level, fused_dsmag_level2): filtered-velocity windows (z +-1,
+      ghost fill via the standard zedge stacks of pad_vel semantics) ->
+      strain rate s0f/sijf -> Mij = 2(fm - alph2 s0f sijf) (sgs.f90:198-272),
+      Lij = fl - fc_i fc_j (274-327) -> contraction -> per-row partial sums
+      for the homogeneous-direction averaging (ave1d_channel 433-538 /
+      ave2d_duct 540-614 / ave0d_dit 388-431 finish outside as a tiny
+      reduction), or cell-wise num/den for 'cavity'.
+
+Eligibility (checked by the caller, timeloop): the momentum-kernel
+conditions (TPU f32, periodic x/y, no mesh) plus sgstype='dsmag', the 3D
+filter (not filter_2d), no wall model anywhere, and each z face either a
+velocity wall (Dirichlet normal component -> product ghosts by
+extrapolation, sgs.f90:682-767 with fac_cbc=1) or a homogeneous-Neumann
+SGS-scalar fill (ghost == interior, so the padded-product ghost g(a)g(b)
+== g(ab) is exact) — see `eligible`.  Periodic z ('dit' class) falls back
+to the XLA path.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import stencil as st
+from .pallas_kernels import (_PlaneAccessor, _assemble_windows,
+                             _COMPILER_PARAMS, _roll_xm, _roll_xp,
+                             _np_roll_variant)
+
+NWQ = 15   # ring quantities: 6 |S|Sij products + 3 centered vel + 6 c-products
+
+
+def eligible(cfg, setup):
+    """In-kernel z-ghost recipes are exact: each z face is a wall
+    (extrapolation) or a homogeneous-Neumann scalar fill."""
+    if cfg.filter_2d:
+        return False
+    if any(cfg.lwm[ib][d] != 0 for ib in range(2) for d in range(3)):
+        return False
+    for ib in range(2):
+        if setup.wall_flags[(ib, 2)]:
+            continue
+        if cfg.cbcsgs[ib][2] != 'N' or float(cfg.bcsgs[ib][2]) != 0.0:
+            return False
+        # the velocity fill of u,v must also reduce to ghost==interior for
+        # the filtered-velocity path (extrapolate skips non-wall faces, so
+        # the fill ghost is used): N with value 0 qualifies
+        for iv in range(2):
+            if (cfg.cbcvel[ib][2][iv] != 'N'
+                    or float(cfg.bcvel[ib][2][iv]) != 0.0):
+                return False
+        if cfg.cbcvel[ib][2][2] != 'D' or float(cfg.bcvel[ib][2][2]) != 0.0:
+            return False
+    return True
+
+
+def _roll_x(p, i, interpret):
+    if i == 0:
+        return p
+    if interpret:
+        return _np_roll_variant(p, i)
+    return _roll_xp(p) if i == 1 else _roll_xm(p)
+
+
+def _zwin2_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty, case):
+    """+-2 z window: rows w = 0..tz+3 hold interior z row z0-2+w; the ghost
+    rows g=-1 (w with z0=0 -> w=1) and g=nz come from the edge stack.  Valid
+    for fills that do not rewrite the padded-row-nz slot (the corrected
+    velocity fill)."""
+    def ycop(src, sz, rows, dr, b):
+        ylo = pl.multiple_of((y0 - 8) % ny, 8)
+        yhi = pl.multiple_of((y0 + ty) % ny, 8)
+        y0a = pl.multiple_of(y0, 8)
+        return [
+            pltpu.make_async_copy(src.at[pl.ds(sz, rows), pl.ds(ylo, 8)],
+                                  scr.at[pl.ds(dr, rows), 0:8], sem.at[b]),
+            pltpu.make_async_copy(src.at[pl.ds(sz, rows), pl.ds(y0a, ty)],
+                                  scr.at[pl.ds(dr, rows), 8:8 + ty],
+                                  sem.at[b + 1]),
+            pltpu.make_async_copy(src.at[pl.ds(sz, rows), pl.ds(yhi, 8)],
+                                  scr.at[pl.ds(dr, rows), 8 + ty:16 + ty],
+                                  sem.at[b + 2]),
+        ]
+
+    tzc = scr.shape[0] - 4
+    if case == 'single':
+        return (ycop(zedge, 0, 1, 1, 0) + ycop(fint, 0, tzc, 2, 3)
+                + ycop(zedge, 2, 1, tzc + 2, 6))
+    if case == 'lo':
+        # rows 2..tz+3 <- interior 0..tz+1; row 1 <- ghost g=-1
+        return ycop(zedge, 0, 1, 1, 0) + ycop(fint, 0, tzc + 2, 2, 3)
+    if case == 'hi':
+        # rows 0..tz+1 <- interior z0-2..nz-1; row tz+2 <- ghost g=nz
+        return (ycop(fint, z0 - 2, tzc + 2, 0, 0)
+                + ycop(zedge, 2, 1, tzc + 2, 3))
+    return ycop(fint, z0 - 2, tzc + 4, 0, 0)
+
+
+def _assemble_windows2(fields, k, z0, y0, ny, nz, tz, ty, action):
+    klast = nz // tz - 1
+
+    def run(case):
+        for fint, zedge, scr, sem in fields:
+            for c in _zwin2_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty,
+                                   case):
+                getattr(c, action)()
+
+    if klast == 0:
+        run('single')
+        return
+
+    @pl.when(k == 0)
+    def _():
+        run('lo')
+
+    @pl.when(jnp.logical_and(k > 0, k < klast))
+    def _():
+        run('mid')
+
+    @pl.when(k == klast)
+    def _():
+        run('hi')
+
+
+def _pick_tiles_ds(nz, ny, itemsize, nx, nwin, nring, nio):
+    if ny < 8 or ny % 8:
+        return None
+    for tz, ty in ((8, 32), (8, 16), (4, 16), (4, 8), (2, 8)):
+        if nz % tz or ny % ty or tz < 2:
+            continue
+        win = (tz + 4) * (ty + 16) * nx * itemsize
+        ringb = nring * 3 * (ty + 14) * nx * itemsize
+        outs = tz * ty * nx * itemsize
+        tot = nwin * win + ringb + 2 * nio * outs
+        if tot < 72 * 1024 * 1024:
+            return tz, ty
+    return None
+
+
+def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret):
+    """Ghost recipes (gated by `eligible`): 'wall' -> 2 q0 - q1, else
+    ghost == nearest interior plane."""
+    klast = nz // tz - 1
+
+    def kernel(dzci_s, dzfi_s, u, v, w, ue, ve, we,
+               fm0, fm1, fm2, fm3, fm4, fm5, fu_o, fv_o, fw_o,
+               fc0, fc1, fc2, fl0, fl1, fl2, fl3, fl4, fl5, s0_o,
+               su, sv, sw, ring, s0ring, sems):
+        k = pl.program_id(0)
+        j = pl.program_id(1)
+        z0 = k * tz
+        y0 = j * ty
+        fields = [(u, ue, su, sems.at[0]), (v, ve, sv, sems.at[1]),
+                  (w, we, sw, sems.at[2])]
+        _assemble_windows2(fields, k, z0, y0, ny, nz, tz, ty, 'start')
+        _assemble_windows2(fields, k, z0, y0, ny, nz, tz, ty, 'wait')
+        fm_o = (fm0, fm1, fm2, fm3, fm4, fm5)
+        fc_o = (fc0, fc1, fc2)
+        fl_o = (fl0, fl1, fl2, fl3, fl4, fl5)
+        wins = {id(su): su, id(sv): sv, id(sw): sw}
+
+        def row(P, lg):
+            """window plane of interior z row z0+lg (lg traced, >= -2)."""
+            return wins[id(P)][2 + lg]
+
+        def compute_source(r):
+            """NWQ source planes + s0 at interior row z0+r (traced r),
+            width ty+14 (rows m <-> global y = y0-7+m)."""
+            gz = z0 + r + 1   # padded z index for the metrics
+
+            def Vs(P, k=0, j=0, i=0):
+                p = _roll_x(row(P, r + k), i, interpret)
+                return p[1 + j:ty + 15 + j]
+            metrics = {
+                'dzci_c': dzci_s[gz, 0],
+                'dzci_m': dzci_s[gz - 1, 0],
+                'dzfi_c': dzfi_s[gz, 0],
+            }
+            s0r, sij = st.strain_rate_core(Vs, metrics.__getitem__,
+                                           su, sv, sw, dxi, dyi,
+                                           with_sij=True)
+            up0 = _roll_x(row(su, r), -1, interpret)
+            uc = 0.5 * (row(su, r)[1:ty + 15] + up0[1:ty + 15])
+            vp0 = row(sv, r)
+            vc = 0.5 * (vp0[1:ty + 15] + vp0[0:ty + 14])
+            wc = 0.5 * (row(sw, r)[1:ty + 15] + row(sw, r - 1)[1:ty + 15])
+            planes = [s0r * sq for sq in sij]
+            planes += [uc, vc, wc]
+            planes += [uc * uc, vc * vc, wc * wc, uc * vc, uc * wc, vc * wc]
+            return planes, s0r
+
+        def filt_src(pm, pc, pp):
+            """filter3d on width-(ty+14) source planes -> (ty, nx)."""
+            zf = 0.25 * (pm + 2.0 * pc + pp)
+            q = 0.25 * (_roll_x(zf, -1, interpret) + 2.0 * zf
+                        + _roll_x(zf, 1, interpret))
+            q = 0.25 * (q[:-2] + 2.0 * q[1:-1] + q[2:])   # width ty+12
+            return q[6:6 + ty]
+
+        def vel_row(P, lg, parallel):
+            """filter-input velocity plane at interior row z0+lg: the wall
+            faces use the one-sided extrapolation for the wall-parallel
+            components (extrapolate skips the normal component's own
+            direction, sgs.f90:700-707)."""
+            p = row(P, lg)
+            if parallel and wall_lo:
+                p = jnp.where(jnp.logical_and(k == 0, lg == -1),
+                              2.0 * row(P, 0) - row(P, 1), p)
+            if parallel and wall_hi:
+                p = jnp.where(jnp.logical_and(k == klast, lg == tz),
+                              2.0 * row(P, tz - 1) - row(P, tz - 2), p)
+            return p
+
+        def filt_vel(P, kk, parallel):
+            """filter3d of the velocity window -> (ty, nx) at row kk."""
+            zf = 0.25 * (vel_row(P, kk - 1, parallel)
+                         + 2.0 * vel_row(P, kk, parallel)
+                         + vel_row(P, kk + 1, parallel))
+            q = 0.25 * (_roll_x(zf, -1, interpret) + 2.0 * zf
+                        + _roll_x(zf, 1, interpret))
+            q = 0.25 * (q[:-2] + 2.0 * q[1:-1] + q[2:])   # width ty+14
+            return q[7:7 + ty]
+
+        def body(t, carry):
+            # source step: compute ring planes at row r = t-1 (clipped into
+            # the domain; the out-of-range plane of an edge tile is replaced
+            # by the ghost recipe at emission and never used otherwise)
+            r = t - 1
+            r_c = jnp.clip(z0 + r, 0, nz - 1) - z0
+            planes, s0r = compute_source(r_c)
+            slot = jax.lax.rem(t, 3)
+            for q in range(NWQ):
+                ring[slot, q] = planes[q]
+            s0ring[slot] = s0r
+
+            @pl.when(t >= 2)
+            def _():
+                kk = t - 2
+                sm, sc2, sp2 = (jax.lax.rem(t - 2, 3), jax.lax.rem(t - 1, 3),
+                                slot)
+                is_lo = jnp.logical_and(k == 0, kk == 0)
+                is_hi = jnp.logical_and(k == klast, kk == tz - 1)
+                for q in range(NWQ):
+                    pm = ring[sm, q]
+                    pc = ring[sc2, q]
+                    pp = ring[sp2, q]
+                    glo = 2.0 * pc - pp if wall_lo else pc
+                    ghi = 2.0 * pc - pm if wall_hi else pc
+                    pm = jnp.where(is_lo, glo, pm)
+                    pp = jnp.where(is_hi, ghi, pp)
+                    out = filt_src(pm, pc, pp)
+                    tgt = (fm_o[q] if q < 6 else
+                           fc_o[q - 6] if q < 9 else fl_o[q - 9])
+                    tgt[kk] = out
+                fu_o[kk] = filt_vel(su, kk, True)
+                fv_o[kk] = filt_vel(sv, kk, True)
+                fw_o[kk] = filt_vel(sw, kk, False)
+                s0_o[kk] = s0ring[sc2][7:7 + ty]
+            return carry
+
+        jax.lax.fori_loop(0, tz + 2, body, 0)
+    return kernel
+
+
+def fused_dsmag_level1(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi,
+                       wall_lo, wall_hi, interpret=False):
+    """DS1: returns (fm[6], fvel[3], fc[3], fl[6], s0) interiors or None.
+
+    u, v, w: corrected-fill velocity interiors; ue, ve, we: their z-edge
+    stacks (is_correc fill — no wall-face rewrite, required by the +-2
+    window assembly)."""
+    nz, ny, nx = u.shape
+    dt = u.dtype
+    if nx % 128 or ny % 8:
+        return None
+    tiles = _pick_tiles_ds(nz, ny, dt.itemsize, nx, nwin=3, nring=NWQ + 1,
+                           nio=19)
+    if tiles is None:
+        return None
+    tz, ty = tiles
+    if nz % tz or nz < tz:
+        return None
+    dzci_s = jnp.asarray(dzci, dt).reshape(-1, 1)
+    dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
+    grid = (nz // tz, ny // ty)
+    int_spec = pl.BlockSpec((tz, ty, nx), lambda k, j: (k, j, 0))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kern = _ds1_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
+                       bool(wall_lo), bool(wall_hi), interpret)
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[smem_spec, smem_spec] + [any_spec] * 6,
+        out_specs=[int_spec] * 19,
+        out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 19,
+        scratch_shapes=[pltpu.VMEM((tz + 4, ty + 16, nx), dt)
+                        for _ in range(3)]
+                       + [pltpu.VMEM((3, NWQ, ty + 14, nx), dt),
+                          pltpu.VMEM((3, ty + 14, nx), dt),
+                          pltpu.SemaphoreType.DMA((3, 9))],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(dzci_s, dzfi_s, u, v, w, ue, ve, we)
+    return outs[0:6], outs[6:9], outs[9:12], outs[12:18], outs[18]
+
+
+def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret):
+    def kernel(alph2_s, dzci_s, dzfi_s, fu, fv, fw, fue, fve, fwe,
+               fm0, fm1, fm2, fm3, fm4, fm5,
+               fc0, fc1, fc2, fl0, fl1, fl2, fl3, fl4, fl5, s0_i,
+               *rest):
+        if avg == 'cavity':
+            (visct_o, su, sv, sw, sems) = rest
+        else:
+            (num_o, den_o, su, sv, sw, sems) = rest
+        k = pl.program_id(0)
+        j = pl.program_id(1)
+        z0 = k * tz
+        y0 = j * ty
+        fields = [(fu, fue, su, sems.at[0]), (fv, fve, sv, sems.at[1]),
+                  (fw, fwe, sw, sems.at[2])]
+        _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, 'start')
+        _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, 'wait')
+        fm_i = (fm0, fm1, fm2, fm3, fm4, fm5)
+        fc_i = (fc0, fc1, fc2)
+        fl_i = (fl0, fl1, fl2, fl3, fl4, fl5)
+
+        def body(kk, carry):
+            kz = z0 + kk + 1
+            acc = _PlaneAccessor({id(su): su, id(sv): sv, id(sw): sw},
+                                 kk, ty, interpret=interpret)
+            metrics = {
+                'dzci_c': dzci_s[kz, 0],
+                'dzci_m': dzci_s[kz - 1, 0],
+                'dzfi_c': dzfi_s[kz, 0],
+            }
+            s0f, sijf = st.strain_rate_core(acc.V, metrics.__getitem__,
+                                            su, sv, sw, dxi, dyi,
+                                            with_sij=True)
+            a2 = alph2_s[kz, 0]
+            mij = [2.0 * (fm_i[q][kk] - a2 * s0f * sijf[q])
+                   for q in range(6)]
+            fcs = [fc_i[0][kk], fc_i[1][kk], fc_i[2][kk]]
+            cps = (fcs[0] * fcs[0], fcs[1] * fcs[1], fcs[2] * fcs[2],
+                   fcs[0] * fcs[1], fcs[0] * fcs[2], fcs[1] * fcs[2])
+            lij = [fl_i[q][kk] - cps[q] for q in range(6)]
+            num = (mij[0] * lij[0] + mij[1] * lij[1] + mij[2] * lij[2]
+                   + 2.0 * (mij[3] * lij[3] + mij[4] * lij[4]
+                            + mij[5] * lij[5]))
+            den = (mij[0] * mij[0] + mij[1] * mij[1] + mij[2] * mij[2]
+                   + 2.0 * (mij[3] * mij[3] + mij[4] * mij[4]
+                            + mij[5] * mij[5]))
+            if avg == 'cavity':
+                visct_o[kk] = jnp.maximum(s0_i[kk] * num / den, 0.0)
+            elif avg == 'duct':
+                num_o[kk] = jnp.sum(num, axis=-1, keepdims=True)
+                den_o[kk] = jnp.sum(den, axis=-1, keepdims=True)
+            else:   # 'channel' / 'dit': per-z-row plane sums, broadcast over
+                    # one (8, 128) register tile (Mosaic requires 8/128-
+                    # aligned output blocks; the caller reads [.., 0, 0])
+                num_o[kk] = jnp.broadcast_to(jnp.sum(num).reshape(1, 1),
+                                             (8, 128))
+                den_o[kk] = jnp.broadcast_to(jnp.sum(den).reshape(1, 1),
+                                             (8, 128))
+            return carry
+
+        jax.lax.fori_loop(0, tz, body, 0)
+    return kernel
+
+
+def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0,
+                       alph2_1d, dzci, dzfi, dxi, dyi, avg,
+                       interpret=False):
+    """DS2: Mij/Lij contraction from the DS1 outputs.
+
+    fue..fwe: zedge stacks of the filtered-velocity BC fill (pad_vel
+    semantics, is_correc=False — the wall-face rewrite rides in row 1).
+    Returns visct (avg='cavity') or (num_part, den_part): (nz, ny) for
+    'duct', (nz, gy) per-y-tile row sums for 'channel'/'dit'."""
+    nz, ny, nx = fu.shape
+    dt = fu.dtype
+    if nx % 128 or ny % 8:
+        return None
+    tiles = _pick_tiles_ds(nz, ny, dt.itemsize, nx, nwin=3, nring=0,
+                           nio=17)
+    if tiles is None:
+        return None
+    tz, ty = tiles
+    alph2_s = jnp.zeros((nz + 2, 1), dt).at[1:nz + 1, 0].set(
+        jnp.asarray(alph2_1d, dt))
+    dzci_s = jnp.asarray(dzci, dt).reshape(-1, 1)
+    dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
+    grid = (nz // tz, ny // ty)
+    int_spec = pl.BlockSpec((tz, ty, nx), lambda k, j: (k, j, 0))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kern = _ds2_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi), avg,
+                       interpret)
+    if avg == 'cavity':
+        out_specs = int_spec
+        out_shape = jax.ShapeDtypeStruct((nz, ny, nx), dt)
+    elif avg == 'duct':
+        out_specs = [pl.BlockSpec((tz, ty, 1), lambda k, j: (k, j, 0))] * 2
+        out_shape = [jax.ShapeDtypeStruct((nz, ny, 1), dt)] * 2
+    else:
+        gy = ny // ty
+        out_specs = [pl.BlockSpec((tz, 8, 128), lambda k, j: (k, j, 0))] * 2
+        out_shape = [jax.ShapeDtypeStruct((nz, gy * 8, 128), dt)] * 2
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[smem_spec] * 3 + [any_spec] * 6 + [int_spec] * 16,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((tz + 2, ty + 16, nx), dt)
+                        for _ in range(3)] + [pltpu.SemaphoreType.DMA((3, 9))],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(alph2_s, dzci_s, dzfi_s, fu, fv, fw, fue, fve, fwe, *fm, *fc, *fl, s0)

@@ -135,6 +135,10 @@ class Simulation:
                                          for d in (0, 1))
         self.use_pallas_smag = (self.use_pallas_mom and cfg.sgstype == 'smag'
                                 and walls_z_only)
+        self.use_pallas_dsmag = False
+        if self.use_pallas_mom and cfg.sgstype == 'dsmag' and walls_z_only:
+            from .ops import pallas_dsmag as pds
+            self.use_pallas_dsmag = pds.eligible(cfg, self.sgs_setup)
         self._step = jax.jit(self._step_impl)
         self._chk = jax.jit(self._chk_impl)
         self._init_jit = jax.jit(self._init_impl)
@@ -282,6 +286,52 @@ class Simulation:
                                 interpret=self._pallas_interpret)
         assert out is not None, 'fused_smag gating inconsistency'
         return out
+
+    def _compute_dsmag_kernel(self, u, v, w, ue, ve, we):
+        """Dynamic Smagorinsky via the two-pass Pallas pipeline
+        (ops/pallas_dsmag.py); inputs are the corrected-fill interiors +
+        z-edge stacks.  The homogeneous-direction averaging finishes here
+        from the kernel's partial sums (ave0d/1d/2d, sgs.f90:388-614)."""
+        from .ops import pallas_dsmag as pds
+        cfg, grid, setup = self.cfg, self.grid, self.sgs_setup
+        nx, ny, nz = cfg.ng
+        wall_lo = setup.wall_flags[(0, 2)]
+        wall_hi = setup.wall_flags[(1, 2)]
+        fm, fvel, fc, fl, s0 = pds.fused_dsmag_level1(
+            u, v, w, ue, ve, we, grid.dzci, grid.dzfi,
+            cfg.dli[0], cfg.dli[1], wall_lo, wall_hi,
+            interpret=self._pallas_interpret)
+        fu, fv, fw = fvel
+        # filtered-velocity BC fill (bounduvw on the filtered field with the
+        # static planes, sgs.f90:256-257) as z-edge stacks
+        fue, fve, fwe = bnd.zedge_velocity(
+            fu, fv, fw, self.cbcvel, self.bcu_vals, self.bcv_vals,
+            self.bcw_vals, grid.dzc, grid.dzf, is_correc=False)
+        alph2 = np.full(nz, 4.0)
+        if wall_lo:
+            alph2[0] = 2.52
+        if wall_hi:
+            alph2[-1] = 2.52
+        out = pds.fused_dsmag_level2(
+            fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0, alph2,
+            grid.dzci, grid.dzfi, cfg.dli[0], cfg.dli[1], cfg.dsmag_avg,
+            interpret=self._pallas_interpret)
+        assert out is not None, 'fused_dsmag gating inconsistency'
+        if cfg.dsmag_avg == 'cavity':
+            return out
+        nump, denp = out
+        if cfg.dsmag_avg == 'duct':
+            ratio = (nump[..., 0] / denp[..., 0])[:, :, None]
+        else:
+            # per-(row, y-tile) scalars broadcast over (8, 128) tiles
+            num1 = jnp.sum(nump[:, ::8, 0], axis=1)
+            den1 = jnp.sum(denp[:, ::8, 0], axis=1)
+            if cfg.dsmag_avg == 'channel':
+                ratio = (num1 / den1)[:, None, None]
+            else:  # 'dit': dzf-weighted global mean (ave0d_dit, sgs.f90:388-431)
+                wz = jnp.asarray(grid.dzf[1:nz + 1] / cfg.l[2], dtype=u.dtype)
+                ratio = jnp.sum(num1 * wz) / jnp.sum(den1 * wz)
+        return jnp.maximum(s0 * ratio, 0.0)
 
     def _pad_scal(self, s):
         cfg = self.cfg
@@ -500,6 +550,8 @@ class Simulation:
                     visct = jnp.zeros_like(u)
                 elif self.use_pallas_smag:
                     visct = self._compute_sgs_kernel(u, v, w, *zq_new)
+                elif self.use_pallas_dsmag:
+                    visct = self._compute_dsmag_kernel(u, v, w, *zq_new)
                 else:
                     up, vp, wp, _ = self._pad_vel(u, v, w, bcu, bcv, bcw,
                                                   vlo=vlo, is_correc=True)

@@ -314,3 +314,34 @@ def test_pallas_step_integration_wmles(monkeypatch):
     np.testing.assert_allclose(np.asarray(b.w), np.asarray(a.w), atol=1e-12)
     np.testing.assert_allclose(np.asarray(b.visct), np.asarray(a.visct),
                                atol=1e-13)
+
+
+def test_pallas_step_integration_dsmag(monkeypatch):
+    """Dynamic-Smagorinsky kernel pipeline (DS1+DS2, interpret mode) vs the
+    XLA dsmag path: channel, 2 steps, near-bitwise (averaging reassociates
+    -> 1e-11 tolerance)."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    for avg in ('channel', 'duct', 'cavity'):
+        base = dict(ng=(128, 16, 16), l=(2 * np.pi, np.pi, 2.0), gtype=1,
+                    gr=0.9, visci=2000.0, inivel='log', is_wallturb=True,
+                    dtype='float64', is_forced=(True, False, False),
+                    velf=(1.0, 0.0, 0.0), sgstype='dsmag', dsmag_avg=avg)
+        results = []
+        for up_ in (False, True):
+            cfg = Config(**base, use_pallas=up_)
+            grid = make_grid_from_config(cfg)
+            sim = Simulation(cfg, grid)
+            if up_:
+                assert sim.use_pallas_dsmag
+            s = sim.initial_state(*initflow(cfg, grid))
+            for _ in range(2):
+                s, _ = sim.step(s, 1e-3)
+            results.append(s)
+        a, b = results
+        for name in ('u', 'v', 'w', 'p', 'visct'):
+            x, y = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+            np.testing.assert_allclose(y, x, atol=2e-11,
+                                       err_msg=f'{name} ({avg})')
