@@ -121,6 +121,9 @@ class Config:
     # out3d decimation (the nskip argument of write_visu_3d, out3d.h90 /
     # output.f90:191-242), logical (x, y, z) order
     nskip_out3d: tuple[int, int, int] = (1, 1, 1)
+    # running time-average of the out1d channel statistics (the reference
+    # leaves this to post-processing; see io/averaging.py)
+    stats_avg: bool = False
     dtype: str = 'float32'                 # _SINGLE_PRECISION analogue ('float32'|'float64')
     zsolver: str = 'eig'                   # z direct solver: 'eig' (MXU matmul
                                            # diagonalization) | 'thomas' (scan)

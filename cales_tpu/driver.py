@@ -92,6 +92,10 @@ def run(cfg: Config, datadir='data', mesh=None, verbose=True,
     is_done = False
     nsteps_done = 0
     hooks = hooks or {}
+    averager = None
+    if getattr(cfg, 'stats_avg', False):
+        from .io.averaging import RunningMean
+        averager = RunningMean()
 
     # advance between host-side events in one device dispatch (multi_step):
     # chunk = gcd of all active cadences, so no cadence is ever skipped
@@ -173,16 +177,27 @@ def run(cfg: Config, datadir='data', mesh=None, verbose=True,
                 from .io import stats as st_io
                 if cfg.cbc_pre(1) == 'PP':
                     padded = sim.padded_state(state)
-                    st_io.single_point_chan(
+                    sp = st_io.single_point_chan(
                         datadir / f'stats_{istep:07d}', cfg, grid,
                         np.asarray(state.u), np.asarray(state.v),
                         np.asarray(state.w), np.asarray(state.p),
                         np.asarray(state.visct), padded=padded)
-                    st_io.reystr_budget_chan(
+                    bu = st_io.reystr_budget_chan(
                         datadir / f'stats_{istep:07d}', cfg, grid,
                         np.asarray(state.u), np.asarray(state.v),
                         np.asarray(state.w), np.asarray(state.p),
                         padded=padded)
+                    if averager is not None:
+                        from .io import averaging as avg_io
+                        averager.add('sp', sp)
+                        averager.add('budget', bu)
+                        averager.tick()
+                        avg_io.write_profile(datadir / 'stats_avg_chan.out',
+                                             grid, averager.mean('sp'),
+                                             averager.n)
+                        avg_io.write_profile(
+                            datadir / 'stats_avg_chan_reystr_budget.out',
+                            grid, averager.mean('budget'), averager.n)
                 else:
                     st_io.duct_stats_2d(
                         datadir / f'stats2d_{istep:07d}', cfg, grid,

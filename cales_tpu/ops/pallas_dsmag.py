@@ -41,8 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import stencil as st
 from .pallas_kernels import (_PlaneAccessor, _assemble_windows,
-                             _COMPILER_PARAMS, _roll_xm, _roll_xp,
-                             _np_roll_variant)
+                             _pipelined_windows, _COMPILER_PARAMS,
+                             _roll_xm, _roll_xp, _np_roll_variant)
 
 NWQ = 15   # ring quantities: 6 |S|Sij products + 3 centered vel + 6 c-products
 
@@ -139,6 +139,42 @@ def _assemble_windows2(fields, k, z0, y0, ny, nz, tz, ty, action):
         run('hi')
 
 
+def _pipelined_windows2(specs, sems, nz, ny, tz, ty, k, j, interpret):
+    """Double-buffered +-2-window prefetch (same scheme as
+    pallas_kernels._pipelined_windows, with the _assemble_windows2 layout)."""
+    gj = ny // ty
+    T = (nz // tz) * gj
+    t = k * gj + j
+
+    def assemble(tt, sl, action):
+        gj_t = jnp.asarray(gj, jnp.int32)
+        k2 = jax.lax.div(jnp.asarray(tt, jnp.int32), gj_t)
+        j2 = jax.lax.rem(jnp.asarray(tt, jnp.int32), gj_t)
+        fields = [(f, e, scr2.at[sl], sems.at[sl, m])
+                  for m, (f, e, scr2) in enumerate(specs)]
+        _assemble_windows2(fields, k2, k2 * tz, j2 * ty, ny, nz, tz, ty,
+                           action)
+
+    if interpret:
+        assemble(t, 0, 'start')
+        assemble(t, 0, 'wait')
+        return [scr2.at[0] for _, _, scr2 in specs]
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        assemble(t, slot, 'start')
+
+    assemble(t, slot, 'wait')
+
+    @pl.when(t + 1 < T)
+    def _():
+        assemble(t + 1, jax.lax.rem(t + 1, 2), 'start')
+
+    return [scr2.at[slot] for _, _, scr2 in specs]
+
+
 def _pick_tiles_ds(nz, ny, itemsize, nx, nwin, nring, nio):
     if ny < 8 or ny % 8:
         return None
@@ -162,15 +198,13 @@ def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret):
     def kernel(dzci_s, dzfi_s, u, v, w, ue, ve, we,
                fm0, fm1, fm2, fm3, fm4, fm5, fu_o, fv_o, fw_o,
                fc0, fc1, fc2, fl0, fl1, fl2, fl3, fl4, fl5, s0_o,
-               su, sv, sw, ring, s0ring, sems):
+               su2, sv2, sw2, ring, s0ring, sems):
         k = pl.program_id(0)
         j = pl.program_id(1)
         z0 = k * tz
-        y0 = j * ty
-        fields = [(u, ue, su, sems.at[0]), (v, ve, sv, sems.at[1]),
-                  (w, we, sw, sems.at[2])]
-        _assemble_windows2(fields, k, z0, y0, ny, nz, tz, ty, 'start')
-        _assemble_windows2(fields, k, z0, y0, ny, nz, tz, ty, 'wait')
+        su, sv, sw = _pipelined_windows2(
+            [(u, ue, su2), (v, ve, sv2), (w, we, sw2)], sems,
+            nz, ny, tz, ty, k, j, interpret)
         fm_o = (fm0, fm1, fm2, fm3, fm4, fm5)
         fc_o = (fc0, fc1, fc2)
         fl_o = (fl0, fl1, fl2, fl3, fl4, fl5)
@@ -311,11 +345,11 @@ def fused_dsmag_level1(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi,
         in_specs=[smem_spec, smem_spec] + [any_spec] * 6,
         out_specs=[int_spec] * 19,
         out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 19,
-        scratch_shapes=[pltpu.VMEM((tz + 4, ty + 16, nx), dt)
+        scratch_shapes=[pltpu.VMEM((2, tz + 4, ty + 16, nx), dt)
                         for _ in range(3)]
                        + [pltpu.VMEM((3, NWQ, ty + 14, nx), dt),
                           pltpu.VMEM((3, ty + 14, nx), dt),
-                          pltpu.SemaphoreType.DMA((3, 9))],
+                          pltpu.SemaphoreType.DMA((2, 3, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(dzci_s, dzfi_s, u, v, w, ue, ve, we)
@@ -328,17 +362,15 @@ def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret):
                fc0, fc1, fc2, fl0, fl1, fl2, fl3, fl4, fl5, s0_i,
                *rest):
         if avg == 'cavity':
-            (visct_o, su, sv, sw, sems) = rest
+            (visct_o, su2, sv2, sw2, sems) = rest
         else:
-            (num_o, den_o, su, sv, sw, sems) = rest
+            (num_o, den_o, su2, sv2, sw2, sems) = rest
         k = pl.program_id(0)
         j = pl.program_id(1)
         z0 = k * tz
-        y0 = j * ty
-        fields = [(fu, fue, su, sems.at[0]), (fv, fve, sv, sems.at[1]),
-                  (fw, fwe, sw, sems.at[2])]
-        _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, 'start')
-        _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, 'wait')
+        su, sv, sw = _pipelined_windows(
+            [(fu, fue, su2), (fv, fve, sv2), (fw, fwe, sw2)], sems,
+            nz, ny, tz, ty, k, j, interpret)
         fm_i = (fm0, fm1, fm2, fm3, fm4, fm5)
         fc_i = (fc0, fc1, fc2)
         fl_i = (fl0, fl1, fl2, fl3, fl4, fl5)
@@ -430,8 +462,9 @@ def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0,
         in_specs=[smem_spec] * 3 + [any_spec] * 6 + [int_spec] * 16,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((tz + 2, ty + 16, nx), dt)
-                        for _ in range(3)] + [pltpu.SemaphoreType.DMA((3, 9))],
+        scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
+                        for _ in range(3)]
+                       + [pltpu.SemaphoreType.DMA((2, 3, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(alph2_s, dzci_s, dzfi_s, fu, fv, fw, fue, fve, fwe, *fm, *fc, *fl, s0)

@@ -190,20 +190,60 @@ def pick_tiles(nz, ny, itemsize, nx, nwin=5, nio=9):
     return None
 
 
+def _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j, interpret):
+    """Double-buffered window prefetch over the sequential TPU grid.
+
+    specs: [(fint, zedge, scr2)] with scr2 leading dim 2 (slots); sems:
+    (2, nf, 9) DMA semaphores.  Waits the current tile's window DMAs
+    (started by the previous tile) and starts the next tile's into the
+    other slot, overlapping input DMA with compute.  Returns the per-field
+    window ref views of the current tile.  Interpret mode (and grids the
+    interpreter runs without persistent scratch) uses the non-pipelined
+    start+wait path in slot 0."""
+    gj = ny // ty
+    T = (nz // tz) * gj
+    t = k * gj + j
+
+    def assemble(tt, sl, action):
+        gj_t = jnp.asarray(gj, jnp.int32)
+        k2 = jax.lax.div(jnp.asarray(tt, jnp.int32), gj_t)
+        j2 = jax.lax.rem(jnp.asarray(tt, jnp.int32), gj_t)
+        fields = [(f, e, scr2.at[sl], sems.at[sl, m])
+                  for m, (f, e, scr2) in enumerate(specs)]
+        _assemble_windows(fields, k2, k2 * tz, j2 * ty, ny, nz, tz, ty,
+                          action)
+
+    if interpret:
+        assemble(t, 0, 'start')
+        assemble(t, 0, 'wait')
+        return [scr2.at[0] for _, _, scr2 in specs]
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t == 0)
+    def _():
+        assemble(t, slot, 'start')
+
+    assemble(t, slot, 'wait')
+
+    @pl.when(t + 1 < T)
+    def _():
+        assemble(t + 1, jax.lax.rem(t + 1, 2), 'start')
+
+    return [scr2.at[slot] for _, _, scr2 in specs]
+
+
 def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret):
     def kernel(sc, dzci_s, dzfi_s, u, v, w, s, p, ue, ve, we, se, pe,
                ruo, rvo, rwo,
                u_o, v_o, w_o, ru_o, rv_o, rw_o,
-               su, sv, sw, ss, sp_, sems):
+               su2, sv2, sw2, ss2, sp2, sems):
         k = pl.program_id(0)
         j = pl.program_id(1)
         z0 = k * tz
-        y0 = j * ty
-        fields = [(u, ue, su, sems.at[0]), (v, ve, sv, sems.at[1]),
-                  (w, we, sw, sems.at[2]), (s, se, ss, sems.at[3]),
-                  (p, pe, sp_, sems.at[4])]
-        _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, 'start')
-        _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, 'wait')
+        su, sv, sw, ss, sp_ = _pipelined_windows(
+            [(u, ue, su2), (v, ve, sv2), (w, we, sw2), (s, se, ss2),
+             (p, pe, sp2)], sems, nz, ny, tz, ty, k, j, interpret)
 
         f1 = sc[0, 0]
         f2 = sc[0, 1]
@@ -263,7 +303,7 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
     dt = u.dtype
     if nx % 128 or ny % 8:
         return None
-    tiles = pick_tiles(nz, ny, dt.itemsize, nx, nwin=5, nio=9)
+    tiles = pick_tiles(nz, ny, dt.itemsize, nx, nwin=10, nio=9)
     if tiles is None:
         return None
     tz, ty = tiles
@@ -282,8 +322,9 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                  + [int_spec] * 3,
         out_specs=[int_spec] * 6,
         out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 6,
-        scratch_shapes=[pltpu.VMEM((tz + 2, ty + 16, nx), dt)
-                        for _ in range(5)] + [pltpu.SemaphoreType.DMA((5, 9))],
+        scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
+                        for _ in range(5)]
+                       + [pltpu.SemaphoreType.DMA((2, 5, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(sc, dzci_s, dzfi_s, u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo)
@@ -299,15 +340,13 @@ def _smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls, interpret):
     have_zwalls=False skips fd (fd=1, tri-periodic class).
     """
     def kernel(csd2_s, dw_s, msk_s, dzci_s, dzfi_s, u, v, w, ue, ve, we,
-               tlo, thi, s_o, su, sv, sw, sems):
+               tlo, thi, s_o, su2, sv2, sw2, sems):
         k = pl.program_id(0)
         j = pl.program_id(1)
         z0 = k * tz
-        y0 = j * ty
-        fields = [(u, ue, su, sems.at[0]), (v, ve, sv, sems.at[1]),
-                  (w, we, sw, sems.at[2])]
-        _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, 'start')
-        _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, 'wait')
+        su, sv, sw = _pipelined_windows(
+            [(u, ue, su2), (v, ve, sv2), (w, we, sw2)], sems,
+            nz, ny, tz, ty, k, j, interpret)
 
         def body(kk, _):
             kz = z0 + kk + 1
@@ -350,7 +389,7 @@ def fused_smag(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi, visc, cs_delta2_1d,
     dt = u.dtype
     if nx % 128 or ny % 8:
         return None
-    tiles = pick_tiles(nz, ny, dt.itemsize, nx, nwin=3, nio=1)
+    tiles = pick_tiles(nz, ny, dt.itemsize, nx, nwin=6, nio=1)
     if tiles is None:
         return None
     tz, ty = tiles
@@ -382,23 +421,22 @@ def fused_smag(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi, visc, cs_delta2_1d,
         in_specs=[smem_spec] * 5 + [any_spec] * 6 + [plane_spec] * 2,
         out_specs=int_spec,
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
-        scratch_shapes=[pltpu.VMEM((tz + 2, ty + 16, nx), dt)
-                        for _ in range(3)] + [pltpu.SemaphoreType.DMA((3, 9))],
+        scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
+                        for _ in range(3)]
+                       + [pltpu.SemaphoreType.DMA((2, 3, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(csd2, dw, msk, dzci_s, dzfi_s, u, v, w, ue, ve, we, tauw_lo, tauw_hi)
 
 
 def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret):
-    def kernel(sc, dzfi_s, u, v, w, ue, ve, we, rhs_o, su, sv, sw, sems):
+    def kernel(sc, dzfi_s, u, v, w, ue, ve, we, rhs_o, su2, sv2, sw2, sems):
         k = pl.program_id(0)
         j = pl.program_id(1)
         z0 = k * tz
-        y0 = j * ty
-        fields = [(u, ue, su, sems.at[0]), (v, ve, sv, sems.at[1]),
-                  (w, we, sw, sems.at[2])]
-        _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, 'start')
-        _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, 'wait')
+        su, sv, sw = _pipelined_windows(
+            [(u, ue, su2), (v, ve, sv2), (w, we, sw2)], sems,
+            nz, ny, tz, ty, k, j, interpret)
         dti = sc[0, 0]
 
         def body(kk, _):
@@ -423,7 +461,7 @@ def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False):
     dt = u.dtype
     if nx % 128 or ny % 8:
         return None
-    tiles = pick_tiles(nz, ny, dt.itemsize, nx, nwin=3, nio=1)
+    tiles = pick_tiles(nz, ny, dt.itemsize, nx, nwin=6, nio=1)
     if tiles is None:
         return None
     tz, ty = tiles
@@ -438,8 +476,9 @@ def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False):
         in_specs=[smem_spec, smem_spec] + [any_spec] * 6,
         out_specs=int_spec,
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
-        scratch_shapes=[pltpu.VMEM((tz + 2, ty + 16, nx), dt)
-                        for _ in range(3)] + [pltpu.SemaphoreType.DMA((3, 9))],
+        scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
+                        for _ in range(3)]
+                       + [pltpu.SemaphoreType.DMA((2, 3, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(sc, dzfi_s, u, v, w, ue, ve, we)
@@ -447,14 +486,13 @@ def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False):
 
 def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret):
     def kernel(sc, dzci_s, w, pp, we, ppe, u_i, v_i, p_i,
-               u_o, v_o, w_o, p_o, sw, spp, sems):
+               u_o, v_o, w_o, p_o, sw2, spp2, sems):
         k = pl.program_id(0)
         j = pl.program_id(1)
         z0 = k * tz
-        y0 = j * ty
-        fields = [(w, we, sw, sems.at[0]), (pp, ppe, spp, sems.at[1])]
-        _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, 'start')
-        _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, 'wait')
+        sw, spp = _pipelined_windows(
+            [(w, we, sw2), (pp, ppe, spp2)], sems,
+            nz, ny, tz, ty, k, j, interpret)
         dtrk = sc[0, 0]
 
         def body(kk, _):
@@ -488,7 +526,7 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
     dt = u.dtype
     if nx % 128 or ny % 8:
         return None
-    tiles = pick_tiles(nz, ny, dt.itemsize, nx, nwin=2, nio=7)
+    tiles = pick_tiles(nz, ny, dt.itemsize, nx, nwin=4, nio=7)
     if tiles is None:
         return None
     tz, ty = tiles
@@ -503,8 +541,9 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
         in_specs=[smem_spec, smem_spec] + [any_spec] * 4 + [int_spec] * 3,
         out_specs=[int_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 4,
-        scratch_shapes=[pltpu.VMEM((tz + 2, ty + 16, nx), dt)
-                        for _ in range(2)] + [pltpu.SemaphoreType.DMA((2, 9))],
+        scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
+                        for _ in range(2)]
+                       + [pltpu.SemaphoreType.DMA((2, 2, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(sc, dzci_s, w, pp, we, ppe, u, v, p)

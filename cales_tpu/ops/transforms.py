@@ -154,10 +154,15 @@ def make_transform(bc: str, c_or_f: str, n: int,
 # ---------------------------------------------------------------------------
 
 def _matmul_axis(arr, mat, axis):
-    """Contract `mat` (k_out, k_in) with `arr` along `axis` on the MXU."""
-    mat = jnp.asarray(mat, dtype=jnp.float32 if arr.dtype in (jnp.float32, jnp.complex64)
-                      else jnp.float64)
-    prec = jax.lax.Precision.HIGHEST
+    """Contract `mat` (k_out, k_in) with `arr` along `axis` on the MXU.
+
+    Precision: f32 runs at HIGH (bf16x3 passes) — measured solve 5.9 ->
+    3.4 ms at 512x256x256 with the post-projection divergence unchanged
+    (7.3e-6 vs 7.8e-6 after 20 channel steps) and field drift at f32 noise;
+    f64 (the CPU oracle path) stays at HIGHEST/full precision."""
+    is_f32 = arr.dtype in (jnp.float32, jnp.complex64)
+    mat = jnp.asarray(mat, dtype=jnp.float32 if is_f32 else jnp.float64)
+    prec = jax.lax.Precision.HIGH if is_f32 else jax.lax.Precision.HIGHEST
 
     def apply(real_arr):
         # moveaxis + minor-dim matmul beats a direct mid-axis dot_general on

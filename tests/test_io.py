@@ -167,3 +167,30 @@ def test_out1d_directions(tmp_path):
     w = grid.dzf[1:9]
     expect = (f * w[:, None, None]).sum(axis=(0, 2)) / (6 * grid.lz)
     np.testing.assert_allclose(d[:, 1], expect)
+
+
+def test_stats_running_average(tmp_path):
+    """stats_avg=True writes a running mean of the out1d matrices equal to
+    the mean of the instantaneous snapshot files."""
+    from cales_tpu.driver import run
+    from cales_tpu.config import Config
+
+    cfg = Config(ng=(16, 16, 12), l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=0.7,
+                 visci=500.0, inivel='log', is_wallturb=True, dtype='float64',
+                 is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
+                 sgstype='smag', iout1d=2, icheck=2, stats_avg=True,
+                 cbcvel=((('P', 'P', 'D'),) * 3, (('P', 'P', 'D'),) * 3),
+                 cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
+                 cbcsgs=(('P', 'P', 'N'), ('P', 'P', 'N')))
+    run(cfg, datadir=tmp_path, max_steps=4, verbose=False)
+    snaps = sorted(tmp_path.glob('stats_0*.bin'))
+    snaps = [s for s in snaps if 'budget' not in s.name]
+    assert len(snaps) == 2
+    mats = [np.fromfile(s).reshape(12, 27).T for s in snaps]
+    avg_file = tmp_path / 'stats_avg_chan.bin'
+    assert avg_file.exists()
+    avg = np.fromfile(avg_file).reshape(12, 27).T
+    np.testing.assert_allclose(avg, (mats[0] + mats[1]) / 2, atol=1e-14)
+    # header records the sample count
+    head = (tmp_path / 'stats_avg_chan.out').read_text().splitlines()[0]
+    assert '2 samples' in head
