@@ -59,8 +59,16 @@ def run(cfg: Config, datadir='data', mesh=None, verbose=True,
     out.write_grid_files(datadir, cfg, grid)
 
     if cfg.restart:
-        u, v, w, p, t0, istep0 = ckpt.load_checkpoint(
-            datadir / 'fld.bin', cfg.ng, cfg.np_dtype)
+        if mesh is not None:
+            # per-shard reads (the MPI-IO subarray analogue, io/sharded.py)
+            from .io import sharded as shio
+            from .parallel.mesh import field_sharding
+            u, v, w, p, t0, istep0 = shio.load_checkpoint_sharded(
+                datadir / 'fld.bin', cfg.ng, cfg.np_dtype,
+                field_sharding(mesh))
+        else:
+            u, v, w, p, t0, istep0 = ckpt.load_checkpoint(
+                datadir / 'fld.bin', cfg.ng, cfg.np_dtype)
         state = sim.initial_state(u, v, w, p)
         if cfg.scalar:
             # scalar state lives in a sidecar (fld.bin stays
@@ -244,9 +252,15 @@ def run(cfg: Config, datadir='data', mesh=None, verbose=True,
                               [istep, tnow, savecounter])
                 else:
                     filename = f'fld_{istep:07d}.bin'
-            ckpt.save_checkpoint(datadir / filename, np.asarray(state.u),
-                                 np.asarray(state.v), np.asarray(state.w),
-                                 np.asarray(state.p), tnow, istep)
+            if mesh is not None:
+                from .io import sharded as shio
+                shio.save_checkpoint_sharded(
+                    datadir / filename, (state.u, state.v, state.w, state.p),
+                    cfg.ng, tnow, istep)
+            else:
+                ckpt.save_checkpoint(datadir / filename, np.asarray(state.u),
+                                     np.asarray(state.v), np.asarray(state.w),
+                                     np.asarray(state.p), tnow, istep)
             if cfg.scalar:
                 sname = filename.replace('fld', 'scal')
                 ckpt.save_scalar(datadir / sname, np.asarray(state.s),

@@ -224,7 +224,10 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None):
                           + np.abs(lamx_np).max() + np.abs(lamy_np).max())
             tol = np.finfo(np.dtype(rdt)).eps * scale * 4.0
             inv = jnp.where(jnp.abs(lam3) > tol, 1.0 / lam3, 0.0)
-        prec = jax.lax.Precision.HIGHEST
+        # f32 -> bf16x3 passes; divergence-validated like the transform
+        # matmuls (ops/transforms._matmul_axis); f64 stays full precision
+        prec = (jax.lax.Precision.HIGH if rdt == jnp.float32
+                else jax.lax.Precision.HIGHEST)
         hat = jnp.tensordot(Vl, zbody, axes=(1, 0), precision=prec)
         hat = hat * inv
         zsol = jnp.tensordot(Vr, hat, axes=(1, 0), precision=prec)
@@ -277,7 +280,8 @@ def solve_z_only(sv: DirectSolver, p, alpha):
         Vl = jnp.asarray(sv.zVl, dtype=rdt)
         Vr = jnp.asarray(sv.zVr, dtype=rdt)
         inv = 1.0 / (jnp.asarray(sv.lamz, dtype=rdt) * alpha + 1.0)
-        prec = jax.lax.Precision.HIGHEST
+        prec = (jax.lax.Precision.HIGH if rdt == jnp.float32
+                else jax.lax.Precision.HIGHEST)
         hat = jnp.tensordot(Vl, zbody, axes=(1, 0), precision=prec)
         hat = hat * inv[:, None, None]
         zsol = jnp.tensordot(Vr, hat, axes=(1, 0), precision=prec).astype(rdt)
@@ -387,7 +391,12 @@ def rhs_bound_planes_dyn(cfg: Config, grid: Grid, cbc, c_or_f, bc_planes):
 
 def add_rhs_bound(cfg: Config, c_or_f, cbc, rhs, planes):
     """Add boundary planes onto the solver RHS (updt_rhs_b, bound.f90:562-617).
-    rhs: (nz, ny, nx)."""
+    rhs: (nz, ny, nx).  Statically-zero planes (all-periodic / homogeneous
+    BCs, the common production case) skip the six dynamic-update-slice
+    passes entirely."""
+    if all(isinstance(p, (int, float, np.floating, np.ndarray))
+           and np.all(np.asarray(p) == 0.0) for p in planes.values()):
+        return rhs
     nx, ny, nz = cfg.ng
     q = [0, 0, 0]
     for idir in range(3):

@@ -194,3 +194,35 @@ def test_stats_running_average(tmp_path):
     # header records the sample count
     head = (tmp_path / 'stats_avg_chan.out').read_text().splitlines()[0]
     assert '2 samples' in head
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Per-shard checkpoint writes must be byte-identical to the gathered
+    writer, and the per-shard loader must reproduce the sharded arrays
+    (the MPI-IO subarray analogue, io/sharded.py)."""
+    import jax
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    from cales_tpu.io import checkpoint as ckpt
+    from cales_tpu.io import sharded as shio
+    from cales_tpu.parallel.mesh import make_mesh, field_sharding
+
+    ng = (16, 8, 12)   # (nx, ny, nz)
+    nx, ny, nz = ng
+    rng = np.random.default_rng(7)
+    fields_np = [rng.standard_normal((nz, ny, nx)) for _ in range(4)]
+    mesh = make_mesh((2, 4))
+    sh = field_sharding(mesh)
+    fields = [jax.device_put(f, sh) for f in fields_np]
+
+    shio.save_checkpoint_sharded(tmp_path / 'a.bin', fields, ng, 1.25, 42)
+    ckpt.save_checkpoint(tmp_path / 'b.bin', *fields_np, 1.25, 42)
+    assert (tmp_path / 'a.bin').read_bytes() == (tmp_path / 'b.bin').read_bytes()
+
+    u, v, w, p, t, istep = shio.load_checkpoint_sharded(
+        tmp_path / 'a.bin', ng, np.float64, sh)
+    assert (t, istep) == (1.25, 42)
+    assert u.sharding.is_equivalent_to(sh, 3)
+    for a, b in zip((u, v, w, p), fields_np):
+        np.testing.assert_array_equal(np.asarray(a), b)
