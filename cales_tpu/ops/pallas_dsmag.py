@@ -40,9 +40,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import stencil as st
-from .pallas_kernels import (_PlaneAccessor, _assemble_windows,
-                             _pipelined_windows, _COMPILER_PARAMS,
-                             _roll_xm, _roll_xp, _np_roll_variant)
+from .pallas_kernels import (_PlaneAccessor, _pipelined_windows,
+                             _COMPILER_PARAMS, _roll_xm, _roll_xp,
+                             _np_roll_variant)
 
 NWQ = 15   # ring quantities: 6 |S|Sij products + 3 centered vel + 6 c-products
 
