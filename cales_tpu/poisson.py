@@ -183,14 +183,24 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None):
     tail_y = body[:, sy:, :]
     body = body[:, :sy, :]
 
-    # forward transforms: x (axis -1) then y (axis -2)
+    # forward transforms: x (axis -1) then y.  When both directions are
+    # operator matrices (the TPU default) and no mesh is attached, the y
+    # stages run in a (z, x, y) transposed layout with ONE explicit
+    # transpose each way — y-minor matmuls without the per-stage
+    # moveaxis round trips (2 fewer relayout passes per solve)
+    both_mat = (sv.trx.kind == 'mat' and sv.try_.kind == 'mat'
+                and hints is None)
     if hints is not None:
         body = hints.x_local(body)
     body = tr.fwd(sv.trx, body, axis=-1)
     x_was_fft = sv.trx.kind == 'fft'
     if hints is not None:
         body = hints.y_local(body)
-    body = tr.fwd(sv.try_, body, axis=-2)
+    if both_mat:
+        body = jnp.swapaxes(body, 1, 2)          # (z, x, y)
+        body = tr.fwd(sv.try_, body, axis=-1)
+    else:
+        body = tr.fwd(sv.try_, body, axis=-2)
     y_was_rfft = (sv.try_.kind == 'fft') and not x_was_fft
     if hints is not None:
         body = hints.z_local(body)
@@ -200,8 +210,13 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None):
     rdt0 = body.real.dtype if jnp.iscomplexobj(body) else body.dtype
     lamx_np = sv.lamx[: nx // 2 + 1] if x_was_fft else sv.lamx
     lamy_np = sv.lamy[: ny // 2 + 1] if y_was_rfft else sv.lamy
-    lamxy = (jnp.asarray(lamy_np, dtype=rdt0)[:, None]
-             + jnp.asarray(lamx_np, dtype=rdt0)[None, :])
+    if both_mat:
+        # spectral layout is (z, kx, ky)
+        lamxy = (jnp.asarray(lamx_np, dtype=rdt0)[:, None]
+                 + jnp.asarray(lamy_np, dtype=rdt0)[None, :])
+    else:
+        lamxy = (jnp.asarray(lamy_np, dtype=rdt0)[:, None]
+                 + jnp.asarray(lamx_np, dtype=rdt0)[None, :])
 
     # z-direction solve with modified-wavenumber diagonal shift
     qz = sv.qz
@@ -253,7 +268,11 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None):
     # inverse transforms: y then x
     if hints is not None:
         body = hints.y_local(body)
-    body = tr.bwd(sv.try_, body, axis=-2, n=sy, real_out=not x_was_fft)
+    if both_mat:
+        body = tr.bwd(sv.try_, body, axis=-1, n=sy, real_out=not x_was_fft)
+        body = jnp.swapaxes(body, 1, 2)          # back to (z, y, x)
+    else:
+        body = tr.bwd(sv.try_, body, axis=-2, n=sy, real_out=not x_was_fft)
     if hints is not None:
         body = hints.x_local(body)
     body = tr.bwd(sv.trx, body, axis=-1, n=sx, real_out=True)
