@@ -84,21 +84,30 @@ def momentum_rhs_core(V, M, up, vp, wp, sp, visc, dxi, dyi):
     s_cpc, s_cmc, s_ppc, s_pmc = V(sp, j=1), V(sp, j=-1), V(sp, j=1, i=1), V(sp, j=-1, i=1)
     s_ccp, s_ccm, s_pcp, s_pcm = V(sp, k=1), V(sp, k=-1), V(sp, k=1, i=1), V(sp, k=-1, i=1)
 
+    # edge-interpolated eddy viscosities shared across component pairs
+    # (mom.f90:145-150,190-195,235-240: u_jp==v_ip, u_kp==w_ip, v_kp==w_jp)
+    visc_e_xy = 0.25 * (s_ccc + s_pcc + s_cpc + s_ppc)
+    visc_e_xz = 0.25 * (s_ccc + s_pcc + s_ccp + s_pcp)
+
     visc_ip, visc_im = s_pcc, s_ccc
-    visc_jp = 0.25 * (s_ccc + s_pcc + s_cpc + s_ppc)
+    visc_jp = visc_e_xy
     visc_jm = 0.25 * (s_ccc + s_pcc + s_cmc + s_pmc)
-    visc_kp = 0.25 * (s_ccc + s_pcc + s_ccp + s_pcp)
+    visc_kp = visc_e_xz
     visc_km = 0.25 * (s_ccc + s_pcc + s_ccm + s_pcm)
 
     dudx_ip = (u_pcc - u_ccc) * dxi
     dudx_im = (u_ccc - u_mcc) * dxi
-    dudy_jp = (u_cpc - u_ccc) * dyi
+    dudy_e = (u_cpc - u_ccc) * dyi      # du/dy at the (i+1/2, j+1/2) edge
+    dudz_e = (u_ccp - u_ccc) * dzci_c   # du/dz at the (i+1/2, k+1/2) edge
+    dudy_jp = dudy_e
     dudy_jm = (u_ccc - u_cmc) * dyi
-    dudz_kp = (u_ccp - u_ccc) * dzci_c
+    dudz_kp = dudz_e
     dudz_km = (u_ccc - u_ccm) * dzci_m
-    dvdx_jp = (v_pcc - v_ccc) * dxi
+    dvdx_e = (v_pcc - v_ccc) * dxi
+    dvdx_jp = dvdx_e
     dvdx_jm = (v_pmc - v_cmc) * dxi
-    dwdx_kp = (w_pcc - w_ccc) * dxi
+    dwdx_e = (w_pcc - w_ccc) * dxi
+    dwdx_kp = dwdx_e
     dwdx_km = (w_pcm - w_ccm) * dxi
 
     uu_ip = 0.25 * (u_pcc + u_ccc) * (u_ccc + u_pcc)
@@ -125,21 +134,25 @@ def momentum_rhs_core(V, M, up, vp, wp, sp, visc, dxi, dyi):
     s_mcc, s_mpc = V(sp, i=-1), V(sp, j=1, i=-1)
     s_cpp, s_cpm = V(sp, k=1, j=1), V(sp, k=-1, j=1)
 
-    visc_ip = 0.25 * (s_ccc + s_cpc + s_pcc + s_ppc)
+    visc_e_yz = 0.25 * (s_ccc + s_cpc + s_ccp + s_cpp)
+
+    visc_ip = visc_e_xy
     visc_im = 0.25 * (s_ccc + s_cpc + s_mcc + s_mpc)
     visc_jp, visc_jm = s_cpc, s_ccc
-    visc_kp = 0.25 * (s_ccc + s_cpc + s_ccp + s_cpp)
+    visc_kp = visc_e_yz
     visc_km = 0.25 * (s_ccc + s_cpc + s_ccm + s_cpm)
 
-    dvdx_ip = (v_pcc_f - v_ccc) * dxi
+    dvdx_ip = dvdx_e
     dvdx_im = (v_ccc - v_mcc) * dxi
     dvdy_jp = (v_cpc - v_ccc) * dyi
     dvdy_jm = (v_ccc - v_cmc_f) * dyi
-    dvdz_kp = (v_ccp - v_ccc) * dzci_c
+    dvdz_e = (v_ccp - v_ccc) * dzci_c
+    dvdz_kp = dvdz_e
     dvdz_km = (v_ccc - v_ccm) * dzci_m
-    dudy_ip = (u_cpc - u_ccc) * dyi
+    dudy_ip = dudy_e
     dudy_im = (u_mpc - u_mcc_f) * dyi
-    dwdy_kp = (w_cpc - w_ccc) * dyi
+    dwdy_e = (w_cpc - w_ccc) * dyi
+    dwdy_kp = dwdy_e
     dwdy_km = (w_cpm - w_ccm) * dyi
 
     uv_ip = 0.25 * (u_ccc + u_cpc) * (v_ccc + v_pcc_f)
@@ -169,21 +182,21 @@ def momentum_rhs_core(V, M, up, vp, wp, sp, visc, dxi, dyi):
     s_cmp = V(sp, k=1, j=-1)
     s_cmc2 = V(sp, j=-1)
 
-    visc_ip = 0.25 * (s_ccc + s_ccp + s_pcc + s_pcp)
+    visc_ip = visc_e_xz
     visc_im = 0.25 * (s_ccc + s_ccp + s_mcc + s_mcp)
-    visc_jp = 0.25 * (s_ccc + s_ccp + s_cpc + s_cpp)
+    visc_jp = visc_e_yz
     visc_jm = 0.25 * (s_ccc + s_ccp + s_cmc2 + s_cmp)
     visc_kp, visc_km = s_ccp, s_ccc
 
-    dwdx_ip = (w_pcc_f - w_ccc) * dxi
+    dwdx_ip = dwdx_e
     dwdx_im = (w_ccc - w_mcc) * dxi
-    dwdy_jp = (w_cpc_f - w_ccc) * dyi
+    dwdy_jp = dwdy_e
     dwdy_jm = (w_ccc - w_cmc) * dyi
     dwdz_kp = (w_ccp - w_ccc) * dzfi_p
     dwdz_km = (w_ccc - w_ccm_f) * dzfi_c
-    dudz_ip = (u_ccp_f - u_ccc) * dzci_c
+    dudz_ip = dudz_e
     dudz_im = (u_mcp - u_mcc_f) * dzci_c
-    dvdz_jp = (v_ccp_f - v_ccc) * dzci_c
+    dvdz_jp = dvdz_e
     dvdz_jm = (v_cmp - v_cmc_f) * dzci_c
 
     uw_ip = 0.25 * (u_ccc + u_ccp_f) * (w_ccc + w_pcc_f)
