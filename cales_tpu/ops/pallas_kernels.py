@@ -71,7 +71,8 @@ def _np_roll_variant(p, i):
     return jnp.roll(p, -i, axis=-1)
 
 
-def _zwin_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty, case):
+def _zwin_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty, case,
+                 y_ext=False):
     """Async copies assembling the (tz+2, ty+16, nx) halo window for one
     field from its interior array + z-edge stack.
 
@@ -80,11 +81,20 @@ def _zwin_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty, case):
     the edge stack (rows 0, 1, 2).  `case` selects the z-tile position:
     'lo' (k==0), 'mid', 'hi' (k==klast), 'single' (one z tile).
     Every z block is split into three aligned y DMAs: 8 wrap rows below,
-    ty interior rows, 8 wrap rows above (periodic y)."""
+    ty interior rows, 8 wrap rows above (periodic y) — or, with y_ext=True
+    (the shard_map path), ONE contiguous DMA from arrays that already carry
+    8 exchanged halo rows on each y side (row y of the ext array = local
+    interior row y-8)."""
     def ycop(src, sz, rows, dr, b):
+        y0a = pl.multiple_of(y0, 8)
+        if y_ext:
+            return [
+                pltpu.make_async_copy(
+                    src.at[pl.ds(sz, rows), pl.ds(y0a, ty + 16)],
+                    scr.at[pl.ds(dr, rows)], sem.at[b]),
+            ]
         ylo = pl.multiple_of((y0 - 8) % ny, 8)
         yhi = pl.multiple_of((y0 + ty) % ny, 8)
-        y0a = pl.multiple_of(y0, 8)
         return [
             pltpu.make_async_copy(src.at[pl.ds(sz, rows), pl.ds(ylo, 8)],
                                   scr.at[pl.ds(dr, rows), 0:8], sem.at[b]),
@@ -109,7 +119,8 @@ def _zwin_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty, case):
     return ycop(fint, z0 - 1, tzc + 2, 0, 0)
 
 
-def _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, action):
+def _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, action,
+                      y_ext=False):
     """Start or wait the window DMAs of every (fint, zedge, scr, sem)
     quadruple, branching once on the z-tile position.  `action` is 'start'
     or 'wait'; both calls must use identical structure so every started
@@ -119,7 +130,7 @@ def _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, action):
     def run(case):
         for fint, zedge, scr, sem in fields:
             for c in _zwin_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty,
-                                  case):
+                                  case, y_ext=y_ext):
                 getattr(c, action)()
 
     if klast == 0:
@@ -190,7 +201,8 @@ def pick_tiles(nz, ny, itemsize, nx, nwin=5, nio=9):
     return None
 
 
-def _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j, interpret):
+def _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j, interpret,
+                       y_ext=False):
     """Double-buffered window prefetch over the sequential TPU grid.
 
     specs: [(fint, zedge, scr2)] with scr2 leading dim 2 (slots); sems:
@@ -211,7 +223,7 @@ def _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j, interpret):
         fields = [(f, e, scr2.at[sl], sems.at[sl, m])
                   for m, (f, e, scr2) in enumerate(specs)]
         _assemble_windows(fields, k2, k2 * tz, j2 * ty, ny, nz, tz, ty,
-                          action)
+                          action, y_ext=y_ext)
 
     if interpret:
         assemble(t, 0, 'start')
@@ -233,7 +245,8 @@ def _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j, interpret):
     return [scr2.at[slot] for _, _, scr2 in specs]
 
 
-def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret):
+def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
+                y_ext=False):
     def kernel(sc, dzci_s, dzfi_s, u, v, w, s, p, ue, ve, we, se, pe,
                ruo, rvo, rwo,
                u_o, v_o, w_o, ru_o, rv_o, rw_o,
@@ -243,7 +256,8 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret):
         z0 = k * tz
         su, sv, sw, ss, sp_ = _pipelined_windows(
             [(u, ue, su2), (v, ve, sv2), (w, we, sw2), (s, se, ss2),
-             (p, pe, sp2)], sems, nz, ny, tz, ty, k, j, interpret)
+             (p, pe, sp2)], sems, nz, ny, tz, ty, k, j, interpret,
+            y_ext=y_ext)
 
         f1 = sc[0, 0]
         f2 = sc[0, 1]
@@ -291,15 +305,20 @@ def _grid_specs(nz, ny, nx, tz, ty):
 
 
 def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
-                 dzci, dzfi, f1, f2, visc, dxi, dyi, bforce, interpret=False):
+                 dzci, dzfi, f1, f2, visc, dxi, dyi, bforce, interpret=False,
+                 y_ext=False):
     """Momentum RHS + RK3 update in one HBM pass.
 
     u..p: interior (nz, ny, nx) fields; ue..pe: (3, ny, nx) z-edge stacks
     (boundary.zedge_*); ruo..rwo: previous explicit RHS; f1, f2: traced RK
     factors.  x, y periodic (closed in-kernel).  Returns
     (u, v, w, ru, rv, rw) interiors, or None if no tiling fits (caller
-    falls back to the XLA path)."""
+    falls back to the XLA path).  y_ext=True: u..p and ue..pe carry 8
+    exchanged y-halo rows per side (the shard_map path); ruo..rwo and the
+    outputs stay interior-sized."""
     nz, ny, nx = u.shape
+    if y_ext:
+        ny -= 16
     dt = u.dtype
     if nx % 128 or ny % 8:
         return None
@@ -314,7 +333,8 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
 
     grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
     kern = _mom_kernel(tz, ty, nz, ny, nx, float(visc), float(dxi), float(dyi),
-                       tuple(float(b) for b in bforce), interpret)
+                       tuple(float(b) for b in bforce), interpret,
+                       y_ext=y_ext)
     outs = pl.pallas_call(
         kern,
         grid=grid,
@@ -331,7 +351,8 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
     return outs
 
 
-def _smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls, interpret):
+def _smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls, interpret,
+                 y_ext=False):
     """strain rate + nu_t = (Cs*Delta(z)*fd)^2 |S| in one pass.
 
     van Driest damping for the z-walls-only case (channel/Couette class,
@@ -346,7 +367,7 @@ def _smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls, interpret):
         z0 = k * tz
         su, sv, sw = _pipelined_windows(
             [(u, ue, su2), (v, ve, sv2), (w, we, sw2)], sems,
-            nz, ny, tz, ty, k, j, interpret)
+            nz, ny, tz, ty, k, j, interpret, y_ext=y_ext)
 
         def body(kk, _):
             kz = z0 + kk + 1
@@ -375,7 +396,7 @@ def _smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls, interpret):
 
 def fused_smag(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi, visc, cs_delta2_1d,
                dw_1d=None, nearlo_1d=None, tauw_lo=None, tauw_hi=None,
-               interpret=False):
+               interpret=False, y_ext=False):
     """Static Smagorinsky nu_t in one pass (z walls or no walls).
 
     u, v, w: interior (nz, ny, nx); ue, ve, we: (3, ny, nx) z-edge stacks
@@ -384,8 +405,11 @@ def fused_smag(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi, visc, cs_delta2_1d,
     distance profile; nearlo_1d: 1 where the lower wall is nearer;
     tauw_lo/hi: |grad u_par| wall planes (ny, nx) (the sgs.f90:117-143
     one-sided estimates, computed by the caller from the wall-adjacent
-    slices).  Returns (nz, ny, nx) nu_t or None."""
+    slices).  Returns (nz, ny, nx) nu_t or None.  y_ext: see fused_mom_rk
+    (tauw planes stay interior-sized)."""
     nz, ny, nx = u.shape
+    if y_ext:
+        ny -= 16
     dt = u.dtype
     if nx % 128 or ny % 8:
         return None
@@ -414,7 +438,7 @@ def fused_smag(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi, visc, cs_delta2_1d,
     grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
     plane_spec = pl.BlockSpec((1, ty, nx), lambda k, j: (0, j, 0))
     kern = _smag_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
-                        float(visc), have_zwalls, interpret)
+                        float(visc), have_zwalls, interpret, y_ext=y_ext)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -429,14 +453,14 @@ def fused_smag(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi, visc, cs_delta2_1d,
     )(csd2, dw, msk, dzci_s, dzfi_s, u, v, w, ue, ve, we, tauw_lo, tauw_hi)
 
 
-def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret):
+def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False):
     def kernel(sc, dzfi_s, u, v, w, ue, ve, we, rhs_o, su2, sv2, sw2, sems):
         k = pl.program_id(0)
         j = pl.program_id(1)
         z0 = k * tz
         su, sv, sw = _pipelined_windows(
             [(u, ue, su2), (v, ve, sv2), (w, we, sw2)], sems,
-            nz, ny, tz, ty, k, j, interpret)
+            nz, ny, tz, ty, k, j, interpret, y_ext=y_ext)
         dti = sc[0, 0]
 
         def body(kk, _):
@@ -452,12 +476,16 @@ def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret):
     return kernel
 
 
-def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False):
+def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False,
+                 y_ext=False):
     """Poisson RHS div(u)/dt_rk in one pass (fillps.f90:14-48).
 
     u, v, w: prediction-velocity interiors; ue, ve, we: prediction-fill
-    z-edge stacks; dti: traced 1/dt_rk.  Returns (nz, ny, nx) or None."""
+    z-edge stacks; dti: traced 1/dt_rk.  Returns (nz, ny, nx) or None.
+    y_ext: see fused_mom_rk."""
     nz, ny, nx = u.shape
+    if y_ext:
+        ny -= 16
     dt = u.dtype
     if nx % 128 or ny % 8:
         return None
@@ -469,7 +497,7 @@ def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False):
     dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
     grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
     kern = _fillps_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
-                          interpret)
+                          interpret, y_ext=y_ext)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -484,7 +512,7 @@ def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False):
     )(sc, dzfi_s, u, v, w, ue, ve, we)
 
 
-def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret):
+def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False):
     def kernel(sc, dzci_s, w, pp, we, ppe, u_i, v_i, p_i,
                u_o, v_o, w_o, p_o, sw2, spp2, sems):
         k = pl.program_id(0)
@@ -492,7 +520,7 @@ def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret):
         z0 = k * tz
         sw, spp = _pipelined_windows(
             [(w, we, sw2), (pp, ppe, spp2)], sems,
-            nz, ny, tz, ty, k, j, interpret)
+            nz, ny, tz, ty, k, j, interpret, y_ext=y_ext)
         dtrk = sc[0, 0]
 
         def body(kk, _):
@@ -511,7 +539,7 @@ def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret):
 
 
 def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
-                         interpret=False):
+                         interpret=False, y_ext=False):
     """Velocity correction + pressure update in one pass (correc.f90:14-68,
     updatep.f90:14-24 explicit-diffusion branch).
 
@@ -521,7 +549,8 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
     interior with z-edge stack `ppe`; p: pressure interior.  dtrk: traced
     RK factor.  Returns (u, v, w, p_new) interiors or None.  The lower
     wall-face plane (vlo) update is a plane-sized host-side expression done
-    by the caller (timeloop)."""
+    by the caller (timeloop).  y_ext: w, pp, we, ppe carry the 8-row y
+    halos; u, v, p stay interior-sized (read as output-aligned tiles)."""
     nz, ny, nx = u.shape
     dt = u.dtype
     if nx % 128 or ny % 8:
@@ -534,7 +563,7 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
     dzci_s = jnp.asarray(dzci, dt).reshape(-1, 1)
     grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
     kern = _correc_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
-                          interpret)
+                          interpret, y_ext=y_ext)
     return pl.pallas_call(
         kern,
         grid=grid,

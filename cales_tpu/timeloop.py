@@ -122,13 +122,32 @@ class Simulation:
             and all(cfg.cbc_pre(d) == 'PP' for d in (0, 1))
             and all(cfg.cbcsgs[0][d] + cfg.cbcsgs[1][d] == 'PP' for d in (0, 1)))
         nx, ny, nz = cfg.ng
+        # kernels under a mesh: 1D y decomposition only (gx == 1) — the
+        # in-kernel x rolls assume an unsharded x axis; the y halos arrive
+        # as ppermute strips and the kernels run in y_ext mode per shard
+        self._kernel_sharded = False
+        ny_local = ny
+        if mesh is not None:
+            gx = dict(zip(mesh.axis_names, mesh.devices.shape)).get('gx', 1)
+            gy = dict(zip(mesh.axis_names, mesh.devices.shape)).get('gy', 1)
+            if gx == 1 and ny % gy == 0 and ny // gy >= 16:
+                ny_local = ny // gy
+                self._kernel_sharded = True
         tiles_ok = (nx % 128 == 0 and
-                    pk.pick_tiles(nz, ny, np.dtype(self.dtype).itemsize, nx)
-                    is not None)
+                    pk.pick_tiles(nz, ny_local, np.dtype(self.dtype).itemsize,
+                                  nx) is not None)
+        if self._kernel_sharded and (self.solver_p.trx.kind == 'fft'
+                                     or self.solver_p.try_.kind == 'fft'):
+            # the CPU rfft path under the shard_map+GSPMD combination trips
+            # an XLA c64/c128 verifier bug; the TPU solve is all-matmul
+            # (ptransform 'auto'), so this only downgrades CPU dev runs
+            self._kernel_sharded = False
         self.use_pallas_mom = bool(
-            cfg.use_pallas and mesh is None and not cfg.impdiff
+            cfg.use_pallas and (mesh is None or self._kernel_sharded)
+            and not cfg.impdiff
             and not cfg.scalar and xy_periodic and tiles_ok
             and (on_tpu and cfg.dtype == 'float32' or self._pallas_interpret))
+        self._kernel_sharded = self._kernel_sharded and self.use_pallas_mom
         walls_z_only = not any(
             effective_cbcvel(cfg)[ib][d][d] == 'D' for ib in range(2)
             for d in (0, 1)) and not any(cfg.lwm[ib][d] != 0 for ib in range(2)
@@ -136,7 +155,8 @@ class Simulation:
         self.use_pallas_smag = (self.use_pallas_mom and cfg.sgstype == 'smag'
                                 and walls_z_only)
         self.use_pallas_dsmag = False
-        if self.use_pallas_mom and cfg.sgstype == 'dsmag' and walls_z_only:
+        if (self.use_pallas_mom and cfg.sgstype == 'dsmag' and walls_z_only
+                and not self._kernel_sharded):
             from .ops import pallas_dsmag as pds
             self.use_pallas_dsmag = pds.eligible(cfg, self.sgs_setup)
         self._step = jax.jit(self._step_impl)
@@ -214,6 +234,34 @@ class Simulation:
         cbcs = tuple((self.cfg.cbcsgs[0][d], self.cfg.cbcsgs[1][d]) for d in range(3))
         return bnd.pad_scalar(s, cbcs, self.bcs_vals, self.cfg.dl, self.grid.dzc)
 
+    # --- shard_map kernel dispatch (1D y decomposition, gx == 1) ---
+    def _gy(self):
+        return dict(zip(self.mesh.axis_names, self.mesh.devices.shape))['gy']
+
+    def _halo_y(self, a):
+        """Exchange 8-row y halo strips with the cyclic neighbors and return
+        the (…, ny_local+16, nx) extended array (the updthalo /
+        cudecompUpdateHalos analogue, bound.f90:619-723; runs inside
+        shard_map, so `a` is the per-device block)."""
+        gy = self._gy()
+        fwd = [(i, (i + 1) % gy) for i in range(gy)]
+        bwd = [(i, (i - 1) % gy) for i in range(gy)]
+        lo = jax.lax.ppermute(a[:, -8:], 'gy', fwd)
+        hi = jax.lax.ppermute(a[:, :8], 'gy', bwd)
+        return jnp.concatenate([lo, a, hi], axis=1)
+
+    def _smap(self, fn, n_field_in, n_scalar_in, n_out):
+        """shard_map a per-device kernel wrapper: field args (z, y:'gy', x),
+        trailing scalars replicated."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as Pspec
+        F = Pspec(None, 'gy', None)
+        S = Pspec()
+        out_specs = (F,) * n_out if n_out > 1 else F
+        return shard_map(fn, mesh=self.mesh,
+                         in_specs=(F,) * n_field_in + (S,) * n_scalar_in,
+                         out_specs=out_specs, check_rep=False)
+
     # --- z-edge stacks (Pallas kernel input format, ops/boundary.zedge_*) ---
     def _zedge_vel(self, u, v, w, bcu, bcv, bcw, vlo=None, is_correc=False):
         return bnd.zedge_velocity(u, v, w, self.cbcvel, bcu, bcv, bcw,
@@ -252,21 +300,51 @@ class Simulation:
             ue_s, ve_s = ue, ve
         csd2 = (C_SMAG * setup.delta) ** 2
         lo_wall, hi_wall = setup.is_wall6[4], setup.is_wall6[5]
+
+        def call_smag(uu, vv, ww, uue, vve, wwe, **kw):
+            if not self._kernel_sharded:
+                return pk.fused_smag(uu, vv, ww, uue, vve, wwe, grid.dzci,
+                                     grid.dzfi, cfg.dli[0], cfg.dli[1],
+                                     cfg.visc, csd2,
+                                     interpret=self._pallas_interpret, **kw)
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as Pspec
+            F = Pspec(None, 'gy', None)
+            F2 = Pspec('gy', None)
+            halo = self._halo_y
+            statics = {k: kw[k] for k in ('dw_1d', 'nearlo_1d') if k in kw}
+            planes = [kw[k] for k in ('tauw_lo', 'tauw_hi') if k in kw]
+
+            def local(u_, v_, w_, ue_, ve_, we_, *pl):
+                pkw = dict(statics)
+                if pl:
+                    pkw['tauw_lo'], pkw['tauw_hi'] = pl
+                return pk.fused_smag(halo(u_), halo(v_), halo(w_), halo(ue_),
+                                     halo(ve_), halo(we_), grid.dzci,
+                                     grid.dzfi, cfg.dli[0], cfg.dli[1],
+                                     cfg.visc, csd2,
+                                     interpret=self._pallas_interpret,
+                                     y_ext=True, **pkw)
+            return shard_map(local, mesh=self.mesh,
+                             in_specs=(F,) * 6 + (F2,) * len(planes),
+                             out_specs=F, check_rep=False)(
+                uu, vv, ww, uue, vve, wwe, *planes)
+
         if not (lo_wall or hi_wall):
-            out = pk.fused_smag(u, v, w, ue_s, ve_s, we, grid.dzci, grid.dzfi,
-                                cfg.dli[0], cfg.dli[1], cfg.visc, csd2,
-                                interpret=self._pallas_interpret)
+            out = call_smag(u, v, w, ue_s, ve_s, we)
         else:
             # one-sided |grad u_par| at the z walls via periodic x/y rolls
-            # (sgs.f90:117-143 z rows); *dzci metric folded in here
+            # (sgs.f90:117-143 z rows, read through the FILL ghosts — the
+            # lwm extrapolation swap applies to the strain input only);
+            # *dzci metric folded in here
             dzci = grid.dzci
-            A = u[0] - ue_s[0]
-            B = v[0] - ve_s[0]
+            A = u[0] - ue[0]
+            B = v[0] - ve[0]
             t1 = A + jnp.roll(A, 1, axis=1)
             t2 = B + jnp.roll(B, 1, axis=0)
             tauw_lo = jnp.sqrt(t1 ** 2 + t2 ** 2) * dzci[0]
-            A = u[-1] - ue_s[2]
-            B = v[-1] - ve_s[2]
+            A = u[-1] - ue[2]
+            B = v[-1] - ve[2]
             t1 = A + jnp.roll(A, 1, axis=1)
             t2 = B + jnp.roll(B, 1, axis=0)
             tauw_hi = jnp.sqrt(t1 ** 2 + t2 ** 2) * dzci[nz]
@@ -279,11 +357,9 @@ class Simulation:
                 tauw_lo = tauw_hi
             if not hi_wall:
                 tauw_hi = tauw_lo
-            out = pk.fused_smag(u, v, w, ue_s, ve_s, we, grid.dzci, grid.dzfi,
-                                cfg.dli[0], cfg.dli[1], cfg.visc, csd2,
-                                dw_1d=dw_1d, nearlo_1d=nearlo,
-                                tauw_lo=tauw_lo, tauw_hi=tauw_hi,
-                                interpret=self._pallas_interpret)
+            out = call_smag(u, v, w, ue_s, ve_s, we, dw_1d=dw_1d,
+                            nearlo_1d=nearlo, tauw_lo=tauw_lo,
+                            tauw_hi=tauw_hi)
         assert out is not None, 'fused_smag gating inconsistency'
         return out
 
@@ -388,10 +464,26 @@ class Simulation:
             pe = self._zedge_p(p)
             se = self._zedge_s(visct)
             with jax.named_scope('momentum_rk_pallas'):
-                u, v, w, ru, rv, rw = pk.fused_mom_rk(
-                    u, v, w, visct, p, ue, ve, we, se, pe, ru_o, rv_o, rw_o,
-                    dzci, dzfi, f1, f2, visc, dxi, dyi, cfg.bforce,
-                    interpret=self._pallas_interpret)
+                if self._kernel_sharded:
+                    halo = self._halo_y
+
+                    def mom_local(u_, v_, w_, s_, p_, ue_, ve_, we_, se_,
+                                  pe_, r1, r2, r3, f1_, f2_):
+                        return pk.fused_mom_rk(
+                            halo(u_), halo(v_), halo(w_), halo(s_), halo(p_),
+                            halo(ue_), halo(ve_), halo(we_), halo(se_),
+                            halo(pe_), r1, r2, r3, dzci, dzfi, f1_, f2_,
+                            visc, dxi, dyi, cfg.bforce,
+                            interpret=self._pallas_interpret, y_ext=True)
+                    u, v, w, ru, rv, rw = self._smap(mom_local, 13, 2, 6)(
+                        u, v, w, visct, p, ue, ve, we, se, pe,
+                        ru_o, rv_o, rw_o, f1, f2)
+                else:
+                    u, v, w, ru, rv, rw = pk.fused_mom_rk(
+                        u, v, w, visct, p, ue, ve, we, se, pe,
+                        ru_o, rv_o, rw_o, dzci, dzfi, f1, f2, visc,
+                        dxi, dyi, cfg.bforce,
+                        interpret=self._pallas_interpret)
             rhs_old = (ru, rv, rw)
         else:
             # ghosts of the current state (same fill the previous substep left)
@@ -496,17 +588,39 @@ class Simulation:
             ue2, ve2, we2 = self._zedge_vel(u, v, w, bcu, bcv, bcw,
                                             is_correc=False)
             with jax.named_scope('poisson'):
-                rhs = pk.fused_fillps(u, v, w, ue2, ve2, we2, dzfi,
-                                      1.0 / dtrk, dxi, dyi,
-                                      interpret=self._pallas_interpret)
+                if self._kernel_sharded:
+                    halo = self._halo_y
+
+                    def fillps_local(u_, v_, w_, ue_, ve_, we_, dti_):
+                        return pk.fused_fillps(
+                            halo(u_), halo(v_), halo(w_), halo(ue_),
+                            halo(ve_), halo(we_), dzfi, dti_, dxi, dyi,
+                            interpret=self._pallas_interpret, y_ext=True)
+                    rhs = self._smap(fillps_local, 6, 1, 1)(
+                        u, v, w, ue2, ve2, we2, 1.0 / dtrk)
+                else:
+                    rhs = pk.fused_fillps(u, v, w, ue2, ve2, we2, dzfi,
+                                          1.0 / dtrk, dxi, dyi,
+                                          interpret=self._pallas_interpret)
                 rhs = poisson.add_rhs_bound(cfg, ('c', 'c', 'c'), self.cbcpre,
                                             rhs, self.rhsb_p)
                 pp = poisson.solve(self.solver_p, rhs, hints=self.hints)
             ppe = self._zedge_p(pp)
             with jax.named_scope('correc_updatep_pallas'):
-                u, v, w, p = pk.fused_correc_updatep(
-                    u, v, w, pp, p, we2, ppe, dtrk, dxi, dyi, dzci,
-                    interpret=self._pallas_interpret)
+                if self._kernel_sharded:
+                    halo = self._halo_y
+
+                    def correc_local(u_, v_, w_, pp_, p_, we_, ppe_, dt_):
+                        return pk.fused_correc_updatep(
+                            u_, v_, halo(w_), halo(pp_), p_, halo(we_),
+                            halo(ppe_), dt_, dxi, dyi, dzci,
+                            interpret=self._pallas_interpret, y_ext=True)
+                    u, v, w, p = self._smap(correc_local, 7, 1, 4)(
+                        u, v, w, pp, p, we2, ppe, dtrk)
+                else:
+                    u, v, w, p = pk.fused_correc_updatep(
+                        u, v, w, pp, p, we2, ppe, dtrk, dxi, dyi, dzci,
+                        interpret=self._pallas_interpret)
             # lower-wall w face plane: the padded-row-0 entry of the correc
             # ghost-range sweep (correc.f90:45-67), a plane-sized update;
             # the x/y planes are unused under periodic x/y (pad_velocity's
@@ -515,7 +629,10 @@ class Simulation:
             wlo = jnp.concatenate([wlo[-1:], wlo, wlo[:1]], axis=0)
             wlo = jnp.concatenate([wlo[:, -1:], wlo, wlo[:, :1]], axis=1)
             vlo = (state.vlo[0], state.vlo[1], wlo)
-            # post-correction fill (main.f90:500-501, is_correc=.true.)
+            # post-correction fill (main.f90:500-501, is_correc=.true.,
+            # is_updt_wm=.true.: the reference recomputes the wall-model
+            # Neumann planes from the corrected velocity here too)
+            bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
             zq_new = self._zedge_vel(u, v, w, bcu, bcv, bcw,
                                      vlo=vlo, is_correc=True)
         else:

@@ -179,7 +179,8 @@ def test_stats_running_average(tmp_path):
                  visci=500.0, inivel='log', is_wallturb=True, dtype='float64',
                  is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
                  sgstype='smag', iout1d=2, icheck=2, stats_avg=True,
-                 cbcvel=((('P', 'P', 'D'),) * 3, (('P', 'P', 'D'),) * 3),
+                 cbcvel=((('P', 'P', 'P'), ('P', 'P', 'P'),
+                          ('D', 'D', 'D')),) * 2,
                  cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
                  cbcsgs=(('P', 'P', 'N'), ('P', 'P', 'N')))
     run(cfg, datadir=tmp_path, max_steps=4, verbose=False)

@@ -151,7 +151,8 @@ def test_fused_smag_matches_xla_channel():
     ng = (128, 32, 16)
     cfg = Config(ng=ng, l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=0.9,
                  visci=1000.0, dtype='float64',
-                 cbcvel=((('P', 'P', 'D'),) * 3, (('P', 'P', 'D'),) * 3),
+                 cbcvel=((('P', 'P', 'P'), ('P', 'P', 'P'),
+                          ('D', 'D', 'D')),) * 2,
                  cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
                  cbcsgs=(('P', 'P', 'N'), ('P', 'P', 'N')))
     grid = make_grid_from_config(cfg)
@@ -297,7 +298,8 @@ def test_pallas_step_integration_wmles(monkeypatch):
                 inivel='poi', is_wallturb=True, dtype='float64',
                 is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
                 sgstype='smag', lwm=((0, 0, 1), (0, 0, 1)), hwm=0.1,
-                cbcvel=((('P', 'P', 'D'),) * 3, (('P', 'P', 'D'),) * 3),
+                cbcvel=((('P', 'P', 'P'), ('P', 'P', 'P'),
+                         ('D', 'D', 'D')),) * 2,
                 cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
                 cbcsgs=(('P', 'P', 'N'), ('P', 'P', 'N')))
     results = []
@@ -345,3 +347,60 @@ def test_pallas_step_integration_dsmag(monkeypatch):
             x, y = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
             np.testing.assert_allclose(y, x, atol=2e-11,
                                        err_msg=f'{name} ({avg})')
+
+
+def test_y_ext_mode_matches_wrap():
+    """y_ext kernel inputs built from global periodic wraps must reproduce
+    the wrap-mode outputs bitwise (the shard_map halo-strip path)."""
+    ng = (128, 32, 16)
+    cfg = Config(ng=ng, l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=1.0,
+                 dtype='float64')
+    grid = make_grid_from_config(cfg)
+    nx, ny, nz = ng
+    rng = np.random.default_rng(9)
+    fields = {}
+    for name, rw in (('u', False), ('v', False), ('w', True), ('s', False),
+                     ('p', False)):
+        fields[name] = _rand_field_edges(rng, nz, ny, nx, rewrite_last=rw)
+    ruo, rvo, rwo = (jnp.asarray(rng.standard_normal((nz, ny, nx)))
+                     for _ in range(3))
+    exty = lambda a: jnp.concatenate([a[:, -8:], a, a[:, :8]], axis=1)
+    args_wrap, args_ext = [], []
+    for name in ('u', 'v', 'w', 's', 'p'):
+        args_wrap.append(fields[name][0])
+        args_ext.append(exty(fields[name][0]))
+    for name in ('u', 'v', 'w', 's', 'p'):
+        args_wrap.append(fields[name][1])
+        args_ext.append(exty(fields[name][1]))
+    common = (ruo, rvo, rwo, grid.dzci, grid.dzfi, 0.5e-3, -0.2e-3, 0.01,
+              float(nx / cfg.l[0]), float(ny / cfg.l[1]), (0.1, 0.0, 0.0))
+    a = fused_mom_rk(*args_wrap, *common, interpret=True)
+    b = fused_mom_rk(*args_ext, *common, interpret=True, y_ext=True)
+    assert a is not None and b is not None
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # fillps + correc too
+    fa = fused_fillps(*args_wrap[0:3], *args_wrap[5:8], grid.dzfi,
+                      1.0 / 2e-3, common[8], common[9], interpret=True)
+    fb = fused_fillps(*args_ext[0:3], *args_ext[5:8], grid.dzfi,
+                      1.0 / 2e-3, common[8], common[9], interpret=True,
+                      y_ext=True)
+    np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    pp, ppe, _ = _rand_field_edges(rng, nz, ny, nx)
+    pres = jnp.asarray(rng.standard_normal((nz, ny, nx)))
+    ca = fused_correc_updatep(args_wrap[0], args_wrap[1], args_wrap[2],
+                              pp, pres, args_wrap[7], ppe, 2e-3,
+                              common[8], common[9], grid.dzci, interpret=True)
+    cb = fused_correc_updatep(args_wrap[0], args_wrap[1], exty(args_wrap[2]),
+                              exty(pp), pres, exty(args_wrap[7]), exty(ppe),
+                              2e-3, common[8], common[9], grid.dzci,
+                              interpret=True, y_ext=True)
+    for x, y in zip(ca, cb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    sa = fused_smag(*args_wrap[0:3], *args_wrap[5:8], grid.dzci, grid.dzfi,
+                    common[8], common[9], 0.01, np.full(nz, 0.1),
+                    interpret=True)
+    sb = fused_smag(*args_ext[0:3], *args_ext[5:8], grid.dzci, grid.dzfi,
+                    common[8], common[9], 0.01, np.full(nz, 0.1),
+                    interpret=True, y_ext=True)
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
