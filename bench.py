@@ -72,10 +72,12 @@ def main(argv=None):
     elif mesh is not None:
         ng = (1024, 512, 512)  # BASELINE.json north star on 8 chips
 
+    # ptransform='mat' == the TPU 'auto' resolution; set explicitly so CPU
+    # smoke runs of the sharded path skip an XLA-CPU rfft+GSPMD bug
     cfg = Config(ng=ng, l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=1.0,
                  visci=20_000.0, inivel='log', is_wallturb=True,
                  is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
-                 sgstype='smag', dtype='float32')
+                 sgstype='smag', dtype='float32', ptransform='mat')
     grid = make_grid_from_config(cfg)
     sim = Simulation(cfg, grid, mesh=mesh)
     u, v, w, p = initflow(cfg, grid)

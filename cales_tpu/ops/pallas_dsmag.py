@@ -79,15 +79,22 @@ def _roll_x(p, i, interpret):
     return _roll_xp(p) if i == 1 else _roll_xm(p)
 
 
-def _zwin2_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty, case):
+def _zwin2_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty, case,
+                  y_ext=False):
     """+-2 z window: rows w = 0..tz+3 hold interior z row z0-2+w; the ghost
     rows g=-1 (w with z0=0 -> w=1) and g=nz come from the edge stack.  Valid
     for fills that do not rewrite the padded-row-nz slot (the corrected
-    velocity fill)."""
+    velocity fill).  y_ext: see pallas_kernels._zwin_copies."""
     def ycop(src, sz, rows, dr, b):
+        y0a = pl.multiple_of(y0, 8)
+        if y_ext:
+            return [
+                pltpu.make_async_copy(
+                    src.at[pl.ds(sz, rows), pl.ds(y0a, ty + 16)],
+                    scr.at[pl.ds(dr, rows)], sem.at[b]),
+            ]
         ylo = pl.multiple_of((y0 - 8) % ny, 8)
         yhi = pl.multiple_of((y0 + ty) % ny, 8)
-        y0a = pl.multiple_of(y0, 8)
         return [
             pltpu.make_async_copy(src.at[pl.ds(sz, rows), pl.ds(ylo, 8)],
                                   scr.at[pl.ds(dr, rows), 0:8], sem.at[b]),
@@ -113,13 +120,14 @@ def _zwin2_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty, case):
     return ycop(fint, z0 - 2, tzc + 4, 0, 0)
 
 
-def _assemble_windows2(fields, k, z0, y0, ny, nz, tz, ty, action):
+def _assemble_windows2(fields, k, z0, y0, ny, nz, tz, ty, action,
+                       y_ext=False):
     klast = nz // tz - 1
 
     def run(case):
         for fint, zedge, scr, sem in fields:
             for c in _zwin2_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty,
-                                   case):
+                                   case, y_ext=y_ext):
                 getattr(c, action)()
 
     if klast == 0:
@@ -139,7 +147,8 @@ def _assemble_windows2(fields, k, z0, y0, ny, nz, tz, ty, action):
         run('hi')
 
 
-def _pipelined_windows2(specs, sems, nz, ny, tz, ty, k, j, interpret):
+def _pipelined_windows2(specs, sems, nz, ny, tz, ty, k, j, interpret,
+                        y_ext=False):
     """Double-buffered +-2-window prefetch (same scheme as
     pallas_kernels._pipelined_windows, with the _assemble_windows2 layout)."""
     gj = ny // ty
@@ -153,7 +162,7 @@ def _pipelined_windows2(specs, sems, nz, ny, tz, ty, k, j, interpret):
         fields = [(f, e, scr2.at[sl], sems.at[sl, m])
                   for m, (f, e, scr2) in enumerate(specs)]
         _assemble_windows2(fields, k2, k2 * tz, j2 * ty, ny, nz, tz, ty,
-                           action)
+                           action, y_ext=y_ext)
 
     if interpret:
         assemble(t, 0, 'start')
@@ -190,7 +199,8 @@ def _pick_tiles_ds(nz, ny, itemsize, nx, nwin, nring, nio):
     return None
 
 
-def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret):
+def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret,
+                y_ext=False):
     """Ghost recipes (gated by `eligible`): 'wall' -> 2 q0 - q1, else
     ghost == nearest interior plane."""
     klast = nz // tz - 1
@@ -204,7 +214,7 @@ def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret):
         z0 = k * tz
         su, sv, sw = _pipelined_windows2(
             [(u, ue, su2), (v, ve, sv2), (w, we, sw2)], sems,
-            nz, ny, tz, ty, k, j, interpret)
+            nz, ny, tz, ty, k, j, interpret, y_ext=y_ext)
         fm_o = (fm0, fm1, fm2, fm3, fm4, fm5)
         fc_o = (fc0, fc1, fc2)
         fl_o = (fl0, fl1, fl2, fl3, fl4, fl5)
@@ -314,13 +324,15 @@ def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret):
 
 
 def fused_dsmag_level1(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi,
-                       wall_lo, wall_hi, interpret=False):
+                       wall_lo, wall_hi, interpret=False, y_ext=False):
     """DS1: returns (fm[6], fvel[3], fc[3], fl[6], s0) interiors or None.
 
     u, v, w: corrected-fill velocity interiors; ue, ve, we: their z-edge
     stacks (is_correc fill — no wall-face rewrite, required by the +-2
-    window assembly)."""
+    window assembly).  y_ext: see pallas_kernels.fused_mom_rk."""
     nz, ny, nx = u.shape
+    if y_ext:
+        ny -= 16
     dt = u.dtype
     if nx % 128 or ny % 8:
         return None
@@ -338,7 +350,7 @@ def fused_dsmag_level1(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi,
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     kern = _ds1_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
-                       bool(wall_lo), bool(wall_hi), interpret)
+                       bool(wall_lo), bool(wall_hi), interpret, y_ext=y_ext)
     outs = pl.pallas_call(
         kern,
         grid=grid,
@@ -356,7 +368,7 @@ def fused_dsmag_level1(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi,
     return outs[0:6], outs[6:9], outs[9:12], outs[12:18], outs[18]
 
 
-def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret):
+def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret, y_ext=False):
     def kernel(alph2_s, dzci_s, dzfi_s, fu, fv, fw, fue, fve, fwe,
                fm0, fm1, fm2, fm3, fm4, fm5,
                fc0, fc1, fc2, fl0, fl1, fl2, fl3, fl4, fl5, s0_i,
@@ -370,7 +382,7 @@ def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret):
         z0 = k * tz
         su, sv, sw = _pipelined_windows(
             [(fu, fue, su2), (fv, fve, sv2), (fw, fwe, sw2)], sems,
-            nz, ny, tz, ty, k, j, interpret)
+            nz, ny, tz, ty, k, j, interpret, y_ext=y_ext)
         fm_i = (fm0, fm1, fm2, fm3, fm4, fm5)
         fc_i = (fc0, fc1, fc2)
         fl_i = (fl0, fl1, fl2, fl3, fl4, fl5)
@@ -420,14 +432,18 @@ def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret):
 
 def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0,
                        alph2_1d, dzci, dzfi, dxi, dyi, avg,
-                       interpret=False):
+                       interpret=False, y_ext=False):
     """DS2: Mij/Lij contraction from the DS1 outputs.
 
     fue..fwe: zedge stacks of the filtered-velocity BC fill (pad_vel
     semantics, is_correc=False — the wall-face rewrite rides in row 1).
     Returns visct (avg='cavity') or (num_part, den_part): (nz, ny) for
-    'duct', (nz, gy) per-y-tile row sums for 'channel'/'dit'."""
+    'duct', (nz, gy) per-y-tile row sums for 'channel'/'dit'.
+    y_ext: fu..fwe carry the y halos; fm/fc/fl/s0 and outputs stay
+    interior-sized."""
     nz, ny, nx = fu.shape
+    if y_ext:
+        ny -= 16
     dt = fu.dtype
     if nx % 128 or ny % 8:
         return None
@@ -445,7 +461,7 @@ def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0,
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     kern = _ds2_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi), avg,
-                       interpret)
+                       interpret, y_ext=y_ext)
     if avg == 'cavity':
         out_specs = int_spec
         out_shape = jax.ShapeDtypeStruct((nz, ny, nx), dt)

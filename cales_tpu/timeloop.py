@@ -155,8 +155,7 @@ class Simulation:
         self.use_pallas_smag = (self.use_pallas_mom and cfg.sgstype == 'smag'
                                 and walls_z_only)
         self.use_pallas_dsmag = False
-        if (self.use_pallas_mom and cfg.sgstype == 'dsmag' and walls_z_only
-                and not self._kernel_sharded):
+        if self.use_pallas_mom and cfg.sgstype == 'dsmag' and walls_z_only:
             from .ops import pallas_dsmag as pds
             self.use_pallas_dsmag = pds.eligible(cfg, self.sgs_setup)
         self._step = jax.jit(self._step_impl)
@@ -373,10 +372,27 @@ class Simulation:
         nx, ny, nz = cfg.ng
         wall_lo = setup.wall_flags[(0, 2)]
         wall_hi = setup.wall_flags[(1, 2)]
-        fm, fvel, fc, fl, s0 = pds.fused_dsmag_level1(
-            u, v, w, ue, ve, we, grid.dzci, grid.dzfi,
-            cfg.dli[0], cfg.dli[1], wall_lo, wall_hi,
-            interpret=self._pallas_interpret)
+        if self._kernel_sharded:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as Pspec
+            F = Pspec(None, 'gy', None)
+            halo = self._halo_y
+
+            def ds1_local(u_, v_, w_, ue_, ve_, we_):
+                return pds.fused_dsmag_level1(
+                    halo(u_), halo(v_), halo(w_), halo(ue_), halo(ve_),
+                    halo(we_), grid.dzci, grid.dzfi, cfg.dli[0], cfg.dli[1],
+                    wall_lo, wall_hi, interpret=self._pallas_interpret,
+                    y_ext=True)
+            fm, fvel, fc, fl, s0 = shard_map(
+                ds1_local, mesh=self.mesh, in_specs=(F,) * 6,
+                out_specs=((F,) * 6, (F,) * 3, (F,) * 3, (F,) * 6, F),
+                check_rep=False)(u, v, w, ue, ve, we)
+        else:
+            fm, fvel, fc, fl, s0 = pds.fused_dsmag_level1(
+                u, v, w, ue, ve, we, grid.dzci, grid.dzfi,
+                cfg.dli[0], cfg.dli[1], wall_lo, wall_hi,
+                interpret=self._pallas_interpret)
         fu, fv, fw = fvel
         # filtered-velocity BC fill (bounduvw on the filtered field with the
         # static planes, sgs.f90:256-257) as z-edge stacks
@@ -388,10 +404,23 @@ class Simulation:
             alph2[0] = 2.52
         if wall_hi:
             alph2[-1] = 2.52
-        out = pds.fused_dsmag_level2(
-            fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0, alph2,
-            grid.dzci, grid.dzfi, cfg.dli[0], cfg.dli[1], cfg.dsmag_avg,
-            interpret=self._pallas_interpret)
+        if self._kernel_sharded:
+            def ds2_local(fu_, fv_, fw_, fue_, fve_, fwe_, *ints):
+                return pds.fused_dsmag_level2(
+                    halo(fu_), halo(fv_), halo(fw_), halo(fue_), halo(fve_),
+                    halo(fwe_), ints[0:6], ints[6:9], ints[9:15], ints[15],
+                    alph2, grid.dzci, grid.dzfi, cfg.dli[0], cfg.dli[1],
+                    cfg.dsmag_avg, interpret=self._pallas_interpret,
+                    y_ext=True)
+            out_specs = F if cfg.dsmag_avg == 'cavity' else (F, F)
+            out = shard_map(ds2_local, mesh=self.mesh, in_specs=(F,) * 22,
+                            out_specs=out_specs, check_rep=False)(
+                fu, fv, fw, fue, fve, fwe, *fm, *fc, *fl, s0)
+        else:
+            out = pds.fused_dsmag_level2(
+                fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0, alph2,
+                grid.dzci, grid.dzfi, cfg.dli[0], cfg.dli[1], cfg.dsmag_avg,
+                interpret=self._pallas_interpret)
         assert out is not None, 'fused_dsmag gating inconsistency'
         if cfg.dsmag_avg == 'cavity':
             return out
