@@ -252,14 +252,14 @@ class Simulation:
     def _smap(self, fn, n_field_in, n_scalar_in, n_out):
         """shard_map a per-device kernel wrapper: field args (z, y:'gy', x),
         trailing scalars replicated."""
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as Pspec
         F = Pspec(None, 'gy', None)
         S = Pspec()
         out_specs = (F,) * n_out if n_out > 1 else F
         return shard_map(fn, mesh=self.mesh,
                          in_specs=(F,) * n_field_in + (S,) * n_scalar_in,
-                         out_specs=out_specs, check_rep=False)
+                         out_specs=out_specs, check_vma=False)
 
     # --- z-edge stacks (Pallas kernel input format, ops/boundary.zedge_*) ---
     def _zedge_vel(self, u, v, w, bcu, bcv, bcw, vlo=None, is_correc=False):
@@ -306,7 +306,7 @@ class Simulation:
                                      grid.dzfi, cfg.dli[0], cfg.dli[1],
                                      cfg.visc, csd2,
                                      interpret=self._pallas_interpret, **kw)
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as Pspec
             F = Pspec(None, 'gy', None)
             F2 = Pspec('gy', None)
@@ -326,7 +326,7 @@ class Simulation:
                                      y_ext=True, **pkw)
             return shard_map(local, mesh=self.mesh,
                              in_specs=(F,) * 6 + (F2,) * len(planes),
-                             out_specs=F, check_rep=False)(
+                             out_specs=F, check_vma=False)(
                 uu, vv, ww, uue, vve, wwe, *planes)
 
         if not (lo_wall or hi_wall):
@@ -373,7 +373,7 @@ class Simulation:
         wall_lo = setup.wall_flags[(0, 2)]
         wall_hi = setup.wall_flags[(1, 2)]
         if self._kernel_sharded:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as Pspec
             F = Pspec(None, 'gy', None)
             halo = self._halo_y
@@ -387,7 +387,7 @@ class Simulation:
             fm, fvel, fc, fl, s0 = shard_map(
                 ds1_local, mesh=self.mesh, in_specs=(F,) * 6,
                 out_specs=((F,) * 6, (F,) * 3, (F,) * 3, (F,) * 6, F),
-                check_rep=False)(u, v, w, ue, ve, we)
+                check_vma=False)(u, v, w, ue, ve, we)
         else:
             fm, fvel, fc, fl, s0 = pds.fused_dsmag_level1(
                 u, v, w, ue, ve, we, grid.dzci, grid.dzfi,
@@ -414,7 +414,7 @@ class Simulation:
                     y_ext=True)
             out_specs = F if cfg.dsmag_avg == 'cavity' else (F, F)
             out = shard_map(ds2_local, mesh=self.mesh, in_specs=(F,) * 22,
-                            out_specs=out_specs, check_rep=False)(
+                            out_specs=out_specs, check_vma=False)(
                 fu, fv, fw, fue, fve, fwe, *fm, *fc, *fl, s0)
         else:
             out = pds.fused_dsmag_level2(
