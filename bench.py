@@ -46,6 +46,8 @@ def main(argv=None):
                          "(1024x512x512 with --mesh 2x4)")
     ap.add_argument('--nsteps', type=int, default=NSTEPS)
     args = ap.parse_args(argv)
+    if args.nsteps < 2:
+        ap.error('--nsteps must be >= 2 (a 1-step run is the overhead probe)')
 
     import jax
     import jax.numpy as jnp

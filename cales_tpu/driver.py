@@ -56,6 +56,10 @@ def run(cfg: Config, datadir='data', mesh=None, verbose=True,
             log(verbose, f'WARNING: dims={cfg.dims} needs more devices than '
                          f'available; running single-device')
     sim = Simulation(cfg, grid, mesh=mesh)
+    # the reference prints its decomposition/backends at startup
+    # (initmpi.f90:104-139); this line prevents silently benchmarking a
+    # degraded execution path
+    log(verbose, f'*** Execution path: {sim.exec_path()} ***')
     out.write_grid_files(datadir, cfg, grid)
 
     if cfg.restart:

@@ -18,6 +18,19 @@ from __future__ import annotations
 import numpy as np
 
 
+def _multihost_barrier(tag: str):
+    """Cross-host barrier around shared-FS file creation/footer writes.
+
+    In a multi-host run (jax.distributed initialized) a non-zero process may
+    open the checkpoint before process 0 has created/sized it, or process 0's
+    truncate may discard bytes another host already wrote; both sides of the
+    critical sections below are fenced.  Single-process runs are a no-op."""
+    import jax
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
+
+
 def _field_offsets(ng, dtype):
     nx, ny, nz = ng
     n = nx * ny * nz
@@ -39,10 +52,12 @@ def save_checkpoint_sharded(path, fields, ng, time: float, istep: int):
     nbytes = (4 * n + 2) * itemsize
 
     is_proc0 = jax.process_index() == 0
-    # create/size the file once (idempotent under shared-FS re-runs)
+    # create/size the file once; barrier so no host memmaps a missing file
+    # and proc 0's truncate cannot discard already-written shard bytes
     if is_proc0:
         with open(path, 'wb') as f:
             f.truncate(nbytes)
+    _multihost_barrier(f'ckpt-create:{path}')
     mm = np.memmap(path, dtype=dtype, mode='r+', shape=(4 * n + 2,))
     for m, arr in enumerate(fields):
         view = mm[m * n:(m + 1) * n].reshape(nz, ny, nx)
@@ -56,6 +71,8 @@ def save_checkpoint_sharded(path, fields, ng, time: float, istep: int):
         mm[4 * n + 1] = dtype.type(float(istep))
     mm.flush()
     del mm
+    # all shards durable before any host reports the checkpoint complete
+    _multihost_barrier(f'ckpt-flush:{path}')
 
 
 def load_checkpoint_sharded(path, ng, dtype, sharding):

@@ -47,6 +47,14 @@ from .pallas_kernels import (_PlaneAccessor, _pipelined_windows,
 NWQ = 15   # ring quantities: 6 |S|Sij products + 3 centered vel + 6 c-products
 
 
+def ds_tiles(nz, ny, itemsize, nx):
+    """Tile picks with the exact budgets of fused_dsmag_level1/level2 — the
+    constructor gate must use this so gated shapes never fail in-wrapper."""
+    t1 = _pick_tiles_ds(nz, ny, itemsize, nx, nwin=3, nring=NWQ + 1, nio=19)
+    t2 = _pick_tiles_ds(nz, ny, itemsize, nx, nwin=3, nring=0, nio=17)
+    return None if (t1 is None or t2 is None) else (t1, t2)
+
+
 def eligible(cfg, setup):
     """In-kernel z-ghost recipes are exact: each z face is a wall
     (extrapolation) or a homogeneous-Neumann scalar fill."""
@@ -336,8 +344,7 @@ def fused_dsmag_level1(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi,
     dt = u.dtype
     if nx % 128 or ny % 8:
         return None
-    tiles = _pick_tiles_ds(nz, ny, dt.itemsize, nx, nwin=3, nring=NWQ + 1,
-                           nio=19)
+    tiles = (ds_tiles(nz, ny, dt.itemsize, nx) or (None,))[0]
     if tiles is None:
         return None
     tz, ty = tiles
@@ -447,8 +454,7 @@ def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0,
     dt = fu.dtype
     if nx % 128 or ny % 8:
         return None
-    tiles = _pick_tiles_ds(nz, ny, dt.itemsize, nx, nwin=3, nring=0,
-                           nio=17)
+    tiles = (ds_tiles(nz, ny, dt.itemsize, nx) or (None, None))[1]
     if tiles is None:
         return None
     tz, ty = tiles

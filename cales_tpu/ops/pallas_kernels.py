@@ -201,6 +201,13 @@ def pick_tiles(nz, ny, itemsize, nx, nwin=5, nio=9):
     return None
 
 
+def mom_tiles(nz, ny, itemsize, nx):
+    """Tile pick with fused_mom_rk's exact VMEM budget (the largest of the
+    kernel path) — the constructor gate MUST use this same function so a
+    shape that passes the gate can never fail inside the wrapper."""
+    return pick_tiles(nz, ny, itemsize, nx, nwin=10, nio=9)
+
+
 def _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j, interpret,
                        y_ext=False):
     """Double-buffered window prefetch over the sequential TPU grid.
@@ -322,7 +329,7 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
     dt = u.dtype
     if nx % 128 or ny % 8:
         return None
-    tiles = pick_tiles(nz, ny, dt.itemsize, nx, nwin=10, nio=9)
+    tiles = mom_tiles(nz, ny, dt.itemsize, nx)
     if tiles is None:
         return None
     tz, ty = tiles

@@ -126,6 +126,11 @@ class Simulation:
         # in-kernel x rolls assume an unsharded x axis; the y halos arrive
         # as ppermute strips and the kernels run in y_ext mode per shard
         self._kernel_sharded = False
+        self._fallback_reason = ''
+
+        def _why(msg):
+            if not self._fallback_reason:
+                self._fallback_reason = msg
         ny_local = ny
         if mesh is not None:
             gx = dict(zip(mesh.axis_names, mesh.devices.shape)).get('gx', 1)
@@ -133,15 +138,36 @@ class Simulation:
             if gx == 1 and ny % gy == 0 and ny // gy >= 16:
                 ny_local = ny // gy
                 self._kernel_sharded = True
-        tiles_ok = (nx % 128 == 0 and
-                    pk.pick_tiles(nz, ny_local, np.dtype(self.dtype).itemsize,
-                                  nx) is not None)
+            else:
+                _why(f'mesh gx={gx}, ny%gy={ny % gy}, ny//gy={ny // gy} '
+                     '(need gx==1, ny%gy==0, ny//gy>=16)')
+        # gate with the SAME pick function/budget fused_mom_rk uses so a
+        # gated shape can never fail inside the wrapper (ADVICE r2)
+        tiles_ok = (nx % 128 == 0 and ny_local % 8 == 0 and
+                    pk.mom_tiles(nz, ny_local, np.dtype(self.dtype).itemsize,
+                                 nx) is not None)
         if self._kernel_sharded and (self.solver_p.trx.kind == 'fft'
                                      or self.solver_p.try_.kind == 'fft'):
             # the CPU rfft path under the shard_map+GSPMD combination trips
             # an XLA c64/c128 verifier bug; the TPU solve is all-matmul
             # (ptransform 'auto'), so this only downgrades CPU dev runs
             self._kernel_sharded = False
+            _why('sharded kernels need the all-matmul solve (fft stage '
+                 'present)')
+        if not cfg.use_pallas:
+            _why('use_pallas=False in config')
+        if cfg.impdiff:
+            _why('implicit diffusion')
+        if cfg.scalar:
+            _why('scalar transport')
+        if not xy_periodic:
+            _why('non-periodic x/y BCs')
+        if not tiles_ok:
+            _why(f'no VMEM tiling for (nz,ny_local,nx)=({nz},{ny_local},{nx})'
+                 ' (need nx%128==0, ny%8==0)')
+        if not (on_tpu and cfg.dtype == 'float32' or self._pallas_interpret):
+            _why(f'backend={jax.default_backend()}, dtype={cfg.dtype} '
+                 '(kernels need TPU f32, or CALES_PALLAS_INTERPRET=1)')
         self.use_pallas_mom = bool(
             cfg.use_pallas and (mesh is None or self._kernel_sharded)
             and not cfg.impdiff
@@ -157,10 +183,28 @@ class Simulation:
         self.use_pallas_dsmag = False
         if self.use_pallas_mom and cfg.sgstype == 'dsmag' and walls_z_only:
             from .ops import pallas_dsmag as pds
-            self.use_pallas_dsmag = pds.eligible(cfg, self.sgs_setup)
+            self.use_pallas_dsmag = (
+                pds.eligible(cfg, self.sgs_setup)
+                and pds.ds_tiles(nz, ny_local, np.dtype(self.dtype).itemsize,
+                                 nx) is not None)
         self._step = jax.jit(self._step_impl)
         self._chk = jax.jit(self._chk_impl)
         self._init_jit = jax.jit(self._init_impl)
+
+    # ------------------------------------------------------------------
+    def exec_path(self) -> str:
+        """One-line description of the execution path this Simulation took —
+        logged at startup (the reference prints its decomposition/backends,
+        initmpi.f90:104-139) so a silently-degraded run is visible."""
+        if self.use_pallas_mom:
+            kind = ('kernel-sharded' if self._kernel_sharded
+                    else 'kernel-single')
+            sgs = ('dsmag-kernel' if self.use_pallas_dsmag
+                   else 'smag-kernel' if self.use_pallas_smag
+                   else f'{self.cfg.sgstype}-xla')
+            return f'{kind} (sgs: {sgs})'
+        why = self._fallback_reason or 'unknown'
+        return f'XLA-fallback ({why})'
 
     # ------------------------------------------------------------------
     def initial_state(self, u, v, w, p) -> State:

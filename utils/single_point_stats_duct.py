@@ -3,9 +3,12 @@
 
 Counterpart of /root/reference/utils/single-point-stats-duct.py: reads the
 ``stats2d_*.out`` files written at the iout1d cadence for duct-class cases
-(io/stats.duct_stats_2d: y z u v w uu vv ww uv uw vw columns), averages
+(io/stats.duct_stats_2d: ``y z um vm wm uu vv ww vw`` columns), averages
 over snapshots, and writes the (y, z) mean cross-section table plus the
-wall-friction summary from the near-wall gradients.
+wall-friction summary from the near-wall gradients.  N.B. the bottom-wall
+u_tau estimate averages the first off-wall um row across the FULL y extent
+including sidewall-adjacent cells; restrict to the duct core for a
+sidewall-free number.
 
 Usage: python utils/single_point_stats_duct.py 'data/stats2d_*.out' --visc 1e-3
 """
