@@ -36,6 +36,54 @@ BASELINE_NS_PER_CELL_SUBSTEP = 0.25
 NG = (512, 256, 256)
 NSTEPS = 10
 
+# the five BASELINE.json configs (--matrix mode); shapes are the largest
+# single-chip-friendly analogues of each class (z = wall-normal)
+_CHAN_BCS = dict(
+    cbcvel=((('P', 'P', 'P'), ('P', 'P', 'P'), ('D', 'D', 'D')),) * 2,
+    cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
+    cbcsgs=(('P', 'P', 'N'), ('P', 'P', 'N')))
+_DUCT_BCS = dict(
+    cbcvel=((('P', 'P', 'P'), ('D', 'D', 'D'), ('D', 'D', 'D')),) * 2,
+    cbcpre=(('P', 'N', 'N'), ('P', 'N', 'N')),
+    cbcsgs=(('P', 'N', 'N'), ('P', 'N', 'N')))
+# the reference manuscript cavity is x-periodic (examples/lid_driven_cavity)
+_CAV_BCS = _DUCT_BCS
+
+
+def _matrix_configs(ng):
+    """name -> Config kwargs for the BASELINE.json benchmark matrix."""
+    nx, ny, nz = ng
+    chan = dict(ng=ng, l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=1.0,
+                inivel='log', is_wallturb=True,
+                is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
+                dtype='float32', ptransform='mat')
+    return {
+        'triperiodic_dns': dict(
+            ng=ng, l=(2 * np.pi,) * 3, gtype=0, gr=0.0, visci=1600.0,
+            inivel='tgv', sgstype='none', dtype='float32', ptransform='mat',
+            cbcvel=((('P',) * 3,) * 3,) * 2,
+            cbcpre=(('P',) * 3,) * 2, cbcsgs=(('P',) * 3,) * 2),
+        'channel_dns_impdiff': dict(
+            **chan, visci=5640.0, sgstype='none', impdiff=True, **_CHAN_BCS),
+        'channel_les_smag': dict(
+            **chan, visci=20_000.0, sgstype='smag', **_CHAN_BCS),
+        'duct_les_dsmag': dict(
+            ng=ng, l=(4 * np.pi, 2.0, 2.0), gtype=1, gr=1.0, visci=10_000.0,
+            inivel='duc', is_wallturb=True, is_forced=(True, False, False),
+            velf=(1.0, 0.0, 0.0), sgstype='dsmag', dsmag_avg='duct',
+            dtype='float32', ptransform='mat', **_DUCT_BCS),
+        'cavity_les_dsmag': dict(
+            ng=ng, l=(1.0, 1.0, 1.0), gtype=1, gr=0.0, visci=5_000.0,
+            inivel='zer', sgstype='dsmag', dsmag_avg='cavity',
+            dtype='float32', ptransform='mat',
+            bcvel=(((0.0,) * 3,) * 3,
+                   ((0.0, 0.0, 0.0), (0.0, 0.0, 0.0), (1.0, 0.0, 0.0))),
+            **_CAV_BCS),
+        'wmles_channel': dict(
+            **chan, visci=125_000.0, sgstype='smag',
+            lwm=((0, 0, 1), (0, 0, 1)), hwm=0.1, **_CHAN_BCS),
+    }
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
@@ -45,6 +93,10 @@ def main(argv=None):
                     help="grid as NXxNYxNZ; default 512x256x256 "
                          "(1024x512x512 with --mesh 2x4)")
     ap.add_argument('--nsteps', type=int, default=NSTEPS)
+    ap.add_argument('--matrix', action='store_true',
+                    help="run the five BASELINE.json configs and report "
+                         "ns/cell/substep + Poisson fraction per config "
+                         "(writes BENCH_MATRIX.json)")
     args = ap.parse_args(argv)
     if args.nsteps < 2:
         ap.error('--nsteps must be >= 2 (a 1-step run is the overhead probe)')
@@ -74,50 +126,83 @@ def main(argv=None):
     elif mesh is not None:
         ng = (1024, 512, 512)  # BASELINE.json north star on 8 chips
 
-    # ptransform='mat' == the TPU 'auto' resolution; set explicitly so CPU
-    # smoke runs of the sharded path skip an XLA-CPU rfft+GSPMD bug
+    dt = 1e-4
+    nsteps = args.nsteps
+
+    def measure(cfg, ablate_solve=False):
+        """ns/cell/RK3-substep for one Config (fetch-synced timing, fixed
+        dispatch overhead subtracted via a 1-step run)."""
+        grid = make_grid_from_config(cfg)
+        sim = Simulation(cfg, grid, mesh=mesh)
+        sim.ablate_solve = ablate_solve
+        u, v, w, p = initflow(cfg, grid)
+        state = sim.initial_state(u, v, w, p)
+        if mesh is not None:
+            from cales_tpu.parallel.mesh import field_sharding
+            sh = field_sharding(mesh)
+            state = state._replace(
+                u=jax.device_put(state.u, sh), v=jax.device_put(state.v, sh),
+                w=jax.device_put(state.w, sh), p=jax.device_put(state.p, sh),
+                visct=jax.device_put(state.visct, sh))
+
+        def timed_advance(st, n):
+            # multi_step donates its input state; use the returned state
+            t0 = time.perf_counter()
+            out = sim.multi_step(st, dt, n)
+            # force full completion through the runtime (dispatch is async
+            # and block_until_ready is unreliable here; see CLAUDE.md)
+            chk = float(jnp.sum(out.u[0, 0, :8]))
+            el = time.perf_counter() - t0
+            assert np.isfinite(chk)
+            return out, el
+
+        # compile both step counts + warm the pipeline
+        state, _ = timed_advance(state, 1)
+        state, _ = timed_advance(state, nsteps)
+        # measure
+        state, t1 = timed_advance(state, 1)
+        state, tN = timed_advance(state, nsteps)
+        per_step = max((tN - t1) / (nsteps - 1), 1e-9)
+        ncell = cfg.ng[0] * cfg.ng[1] * cfg.ng[2]
+        return per_step / 3.0 / ncell * 1e9, sim.exec_path()
+
+    tag = f'{ng[0]}x{ng[1]}x{ng[2]} f32'
+    if mesh is not None:
+        tag += f', mesh {args.mesh}'
+
+    if args.matrix:
+        # the declared BASELINE.json metric: per-config ns/cell/RK3-substep
+        # + Poisson-solve fraction (measured by ablating the solve)
+        results = {}
+        for name, kw in _matrix_configs(ng).items():
+            cfg = Config(**kw)
+            ns_full, path = measure(cfg)
+            ns_nosolve, _ = measure(cfg, ablate_solve=True)
+            frac = max(0.0, 1.0 - ns_nosolve / ns_full)
+            results[name] = {
+                'ns_per_cell_substep': round(ns_full, 4),
+                'poisson_fraction': round(frac, 3),
+                'vs_baseline': round(BASELINE_NS_PER_CELL_SUBSTEP / ns_full,
+                                     3),
+                'exec_path': path,
+            }
+            print(f'# {name}: {ns_full:.4f} ns/cell/substep, '
+                  f'poisson {frac:.1%}, {path}', flush=True)
+        payload = {'grid': tag, 'nsteps': nsteps, 'configs': results}
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'BENCH_MATRIX.json'), 'w') as f:
+            json.dump(payload, f, indent=1)
+        print(json.dumps(payload))
+        return
+
+    # headline config (BASELINE config #3 class; ptransform='mat' == the TPU
+    # 'auto' resolution, set explicitly so CPU smoke runs of the sharded
+    # path skip an XLA-CPU rfft+GSPMD bug)
     cfg = Config(ng=ng, l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=1.0,
                  visci=20_000.0, inivel='log', is_wallturb=True,
                  is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
                  sgstype='smag', dtype='float32', ptransform='mat')
-    grid = make_grid_from_config(cfg)
-    sim = Simulation(cfg, grid, mesh=mesh)
-    u, v, w, p = initflow(cfg, grid)
-    state = sim.initial_state(u, v, w, p)
-    if mesh is not None:
-        from cales_tpu.parallel.mesh import field_sharding
-        sh = field_sharding(mesh)
-        state = state._replace(
-            u=jax.device_put(state.u, sh), v=jax.device_put(state.v, sh),
-            w=jax.device_put(state.w, sh), p=jax.device_put(state.p, sh),
-            visct=jax.device_put(state.visct, sh))
-    dt = 1e-4
-    nsteps = args.nsteps
-
-    def timed_advance(st, n):
-        # multi_step donates its input state; always use the returned state
-        t0 = time.perf_counter()
-        out = sim.multi_step(st, dt, n)
-        # force full completion through the runtime (dispatch is async and
-        # block_until_ready is unreliable on this runtime; see CLAUDE.md)
-        chk = float(jnp.sum(out.u[0, 0, :8]))
-        el = time.perf_counter() - t0
-        assert np.isfinite(chk)
-        return out, el
-
-    # compile both step counts + warm the pipeline
-    state, _ = timed_advance(state, 1)
-    state, _ = timed_advance(state, nsteps)
-    # measure
-    state, t1 = timed_advance(state, 1)
-    state, tN = timed_advance(state, nsteps)
-    per_step = max((tN - t1) / (nsteps - 1), 1e-9)
-
-    ncell = ng[0] * ng[1] * ng[2]
-    ns_per_cell_substep = per_step / 3.0 / ncell * 1e9
-    tag = f'{ng[0]}x{ng[1]}x{ng[2]} f32'
-    if mesh is not None:
-        tag += f', mesh {args.mesh}'
+    ns_per_cell_substep, _path = measure(cfg)
     out = {
         "metric": f"channel LES (smag) ns/cell/RK3-substep, {tag}",
         "value": round(ns_per_cell_substep, 4),

@@ -156,14 +156,42 @@ class _PlaneAccessor:
     Window layout: rows [0:8) wrap-lo, [8:8+ty) interior tile, [8+ty:+8)
     wrap-hi; the interior tile's row r corresponds to window row 8+r.
     x shifts are periodic rolls, cached per (field, dk, di).
+
+    xe/xlane: x-ghost-column bundle window for x-SHARDED runs (the
+    updthalo-in-x analogue, bound.f90:619-723): after a periodic roll the
+    edge lane holds the local wrap, which is wrong at a shard boundary —
+    it is replaced by the neighbor's ghost column carried in the packed
+    `xe` window (field m: lane 2m = value at local padded x=0, lane 2m+1 =
+    padded nx+1).  The xe window has the same (z, y-halo) structure as the
+    field windows, so shifted reads pick corner-consistent values.
     """
 
-    def __init__(self, windows, kk, ty, interpret=False):
+    def __init__(self, windows, kk, ty, interpret=False, xe=None, xlane=None):
         self.win = windows            # dict: field key -> scratch ref
         self.kk = kk
         self.ty = ty
         self.interpret = interpret
+        self.xe = xe
+        self.xlane = xlane or {}
         self._cache = {}
+        self._iota = None
+
+    def _fix_roll(self, p, fid, dk, di):
+        if self.xe is None or fid not in self.xlane:
+            return p
+        m = self.xlane[fid]
+        xkey = ('xe', dk)
+        if xkey not in self._cache:
+            self._cache[xkey] = self.xe[self.kk + 1 + dk]
+        xp = self._cache[xkey]
+        nx = p.shape[-1]
+        if self._iota is None:
+            self._iota = jax.lax.broadcasted_iota(jnp.int32, p.shape,
+                                                  len(p.shape) - 1)
+        if di == 1:
+            return jnp.where(self._iota == nx - 1, xp[:, 2 * m + 1:2 * m + 2],
+                             p)
+        return jnp.where(self._iota == 0, xp[:, 2 * m:2 * m + 1], p)
 
     def plane(self, f, dk, di):
         key = (id(f), dk, di)
@@ -174,8 +202,10 @@ class _PlaneAccessor:
             p = self._cache[base_key]
             if di == 1:
                 p = (_np_roll_variant(p, 1) if self.interpret else _roll_xp(p))
+                p = self._fix_roll(p, id(f), dk, 1)
             elif di == -1:
                 p = (_np_roll_variant(p, -1) if self.interpret else _roll_xm(p))
+                p = self._fix_roll(p, id(f), dk, -1)
             self._cache[key] = p
         return self._cache[key]
 
@@ -201,11 +231,14 @@ def pick_tiles(nz, ny, itemsize, nx, nwin=5, nio=9):
     return None
 
 
-def mom_tiles(nz, ny, itemsize, nx):
+def mom_tiles(nz, ny, itemsize, nx, split=None):
     """Tile pick with fused_mom_rk's exact VMEM budget (the largest of the
     kernel path) — the constructor gate MUST use this same function so a
-    shape that passes the gate can never fail inside the wrapper."""
-    return pick_tiles(nz, ny, itemsize, nx, nwin=10, nio=9)
+    shape that passes the gate can never fail inside the wrapper.  split:
+    the implicit-diffusion mode (None / '1d' / 'xy+z'), which adds three
+    diffusive-RHS outputs."""
+    return pick_tiles(nz, ny, itemsize, nx, nwin=10,
+                      nio=9 if split is None else 12)
 
 
 def _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j, interpret,
@@ -253,18 +286,36 @@ def _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j, interpret,
 
 
 def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
-                y_ext=False):
-    def kernel(sc, dzci_s, dzfi_s, u, v, w, s, p, ue, ve, we, se, pe,
-               ruo, rvo, rwo,
-               u_o, v_o, w_o, ru_o, rv_o, rw_o,
-               su2, sv2, sw2, ss2, sp2, sems):
+                y_ext=False, split=None, has_xe=False):
+    def kernel(sc, dzci_s, dzfi_s, u, v, w, s, p, ue, ve, we, se, pe, *rest):
+        rest = list(rest)
+        xe = xze = None
+        if has_xe:
+            xe, xze = rest[0], rest[1]
+            del rest[0:2]
+        ruo, rvo, rwo = rest[0:3]
+        del rest[0:3]
+        if split is None:
+            u_o, v_o, w_o, ru_o, rv_o, rw_o = rest[0:6]
+            del rest[0:6]
+        else:
+            (u_o, v_o, w_o, ru_o, rv_o, rw_o,
+             rud_o, rvd_o, rwd_o) = rest[0:9]
+            del rest[0:9]
+        su2, sv2, sw2, ss2, sp2 = rest[0:5]
+        sxe2 = rest[5] if has_xe else None
+        sems = rest[-1]
         k = pl.program_id(0)
         j = pl.program_id(1)
         z0 = k * tz
-        su, sv, sw, ss, sp_ = _pipelined_windows(
-            [(u, ue, su2), (v, ve, sv2), (w, we, sw2), (s, se, ss2),
-             (p, pe, sp2)], sems, nz, ny, tz, ty, k, j, interpret,
-            y_ext=y_ext)
+        specs = [(u, ue, su2), (v, ve, sv2), (w, we, sw2), (s, se, ss2),
+                 (p, pe, sp2)]
+        if has_xe:
+            specs.append((xe, xze, sxe2))
+        wins = _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j,
+                                  interpret, y_ext=y_ext)
+        su, sv, sw, ss, sp_ = wins[0:5]
+        sxe = wins[5] if has_xe else None
 
         f1 = sc[0, 0]
         f2 = sc[0, 1]
@@ -274,7 +325,9 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
             kz = z0 + kk + 1          # padded z index (Fortran k)
             acc = _PlaneAccessor(
                 {id(su): su, id(sv): sv, id(sw): sw, id(ss): ss, id(sp_): sp_},
-                kk, ty, interpret=interpret)
+                kk, ty, interpret=interpret, xe=sxe,
+                xlane={id(su): 0, id(sv): 1, id(sw): 2, id(ss): 3,
+                       id(sp_): 4})
             metrics = {
                 'dzci_c': dzci_s[kz, 0],
                 'dzci_m': dzci_s[kz - 1, 0],
@@ -284,16 +337,36 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
             (eu, exyu, ezu), (ev, exyv, ezv), (ew, exyw, ezw) = \
                 st.momentum_rhs_core(acc.V, metrics.__getitem__,
                                      su, sv, sw, ss, visc, dxi, dyi)
-            ru = eu + exyu + ezu
-            rv = ev + exyv + ezv
-            rw = ew + exyw + ezw
+            # explicit/implicit split (mom.f90:277-303 runtime analogue)
+            if split is None:
+                ru, rv, rw = eu + exyu + ezu, ev + exyv + ezv, ew + exyw + ezw
+                rud = rvd = rwd = None
+            elif split == '1d':
+                ru, rv, rw = eu + exyu, ev + exyv, ew + exyw
+                rud, rvd, rwd = ezu, ezv, ezw
+            else:
+                ru, rv, rw = eu, ev, ew
+                rud, rvd, rwd = exyu + ezu, exyv + ezv, exyw + ezw
             pc = acc.V(sp_)
             gpx = dxi * (acc.V(sp_, i=1) - pc)
             gpy = dyi * (acc.V(sp_, j=1) - pc)
             gpz = metrics['dzci_c'] * (acc.V(sp_, k=1) - pc)
-            u_o[kk] = acc.V(su) + f1 * ru + f2 * ruo[kk] + f12 * (bforce[0] - gpx)
-            v_o[kk] = acc.V(sv) + f1 * rv + f2 * rvo[kk] + f12 * (bforce[1] - gpy)
-            w_o[kk] = acc.V(sw) + f1 * rw + f2 * rwo[kk] + f12 * (bforce[2] - gpz)
+            un = acc.V(su) + f1 * ru + f2 * ruo[kk] + f12 * (bforce[0] - gpx)
+            vn = acc.V(sv) + f1 * rv + f2 * rvo[kk] + f12 * (bforce[1] - gpy)
+            wn = acc.V(sw) + f1 * rw + f2 * rwo[kk] + f12 * (bforce[2] - gpz)
+            if split is not None:
+                # the full diffusive term enters the RK update; the caller
+                # subtracts 0.5*f12*rd before the CN Helmholtz solves
+                # (rk.f90:90-94 + main.f90:423-431 ordering)
+                un = un + f12 * rud
+                vn = vn + f12 * rvd
+                wn = wn + f12 * rwd
+                rud_o[kk] = rud
+                rvd_o[kk] = rvd
+                rwd_o[kk] = rwd
+            u_o[kk] = un
+            v_o[kk] = vn
+            w_o[kk] = wn
             ru_o[kk] = ru
             rv_o[kk] = rv
             rw_o[kk] = rw
@@ -313,7 +386,7 @@ def _grid_specs(nz, ny, nx, tz, ty):
 
 def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                  dzci, dzfi, f1, f2, visc, dxi, dyi, bforce, interpret=False,
-                 y_ext=False):
+                 y_ext=False, split=None, xe=None, xze=None):
     """Momentum RHS + RK3 update in one HBM pass.
 
     u..p: interior (nz, ny, nx) fields; ue..pe: (3, ny, nx) z-edge stacks
@@ -322,14 +395,25 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
     (u, v, w, ru, rv, rw) interiors, or None if no tiling fits (caller
     falls back to the XLA path).  y_ext=True: u..p and ue..pe carry 8
     exchanged y-halo rows per side (the shard_map path); ruo..rwo and the
-    outputs stay interior-sized."""
+    outputs stay interior-sized.
+
+    split: implicit-diffusion RHS split (mom.f90:277-303): None = fully
+    explicit; '1d' = z diffusion implicit; 'xy+z' = all molecular diffusion
+    implicit.  With a split the velocity outputs include the FULL f12*rd
+    diffusive update (the caller subtracts 0.5*f12*rd before its CN
+    Helmholtz solves, main.f90:423-431) and three extra outputs
+    (rud, rvd, rwd) carry the implicit RHS parts.
+
+    xe/xze: packed x-ghost-column bundle (+ its z-edge stack) for x-SHARDED
+    runs — see _PlaneAccessor; lane layout 2m/2m+1 for window field m in
+    (u, v, w, s, p) order."""
     nz, ny, nx = u.shape
     if y_ext:
         ny -= 16
     dt = u.dtype
     if nx % 128 or ny % 8:
         return None
-    tiles = mom_tiles(nz, ny, dt.itemsize, nx)
+    tiles = mom_tiles(nz, ny, dt.itemsize, nx, split=split)
     if tiles is None:
         return None
     tz, ty = tiles
@@ -338,28 +422,35 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
     dzci_s = jnp.asarray(dzci, dt).reshape(-1, 1)
     dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
 
+    has_xe = xe is not None
+    nout = 6 if split is None else 9
+    nwin = 6 if has_xe else 5
     grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
     kern = _mom_kernel(tz, ty, nz, ny, nx, float(visc), float(dxi), float(dyi),
                        tuple(float(b) for b in bforce), interpret,
-                       y_ext=y_ext)
+                       y_ext=y_ext, split=split, has_xe=has_xe)
+    xargs = (xe, xze) if has_xe else ()
     outs = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[smem_spec, smem_spec, smem_spec] + [any_spec] * 10
-                 + [int_spec] * 3,
-        out_specs=[int_spec] * 6,
-        out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 6,
+        in_specs=[smem_spec, smem_spec, smem_spec]
+                 + [any_spec] * (10 + 2 * has_xe) + [int_spec] * 3,
+        out_specs=[int_spec] * nout,
+        out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * nout,
         scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
                         for _ in range(5)]
-                       + [pltpu.SemaphoreType.DMA((2, 5, 9))],
+                       + ([pltpu.VMEM((2, tz + 2, ty + 16, 128), dt)]
+                          if has_xe else [])
+                       + [pltpu.SemaphoreType.DMA((2, nwin, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(sc, dzci_s, dzfi_s, u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo)
+    )(sc, dzci_s, dzfi_s, u, v, w, s, p, ue, ve, we, se, pe, *xargs,
+      ruo, rvo, rwo)
     return outs
 
 
 def _smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls, interpret,
-                 y_ext=False):
+                 y_ext=False, has_xe=False):
     """strain rate + nu_t = (Cs*Delta(z)*fd)^2 |S| in one pass.
 
     van Driest damping for the z-walls-only case (channel/Couette class,
@@ -368,18 +459,31 @@ def _smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls, interpret,
     have_zwalls=False skips fd (fd=1, tri-periodic class).
     """
     def kernel(csd2_s, dw_s, msk_s, dzci_s, dzfi_s, u, v, w, ue, ve, we,
-               tlo, thi, s_o, su2, sv2, sw2, sems):
+               *rest):
+        rest = list(rest)
+        xe = xze = None
+        if has_xe:
+            xe, xze = rest[0], rest[1]
+            del rest[0:2]
+        tlo, thi, s_o, su2, sv2, sw2 = rest[0:6]
+        sxe2 = rest[6] if has_xe else None
+        sems = rest[-1]
         k = pl.program_id(0)
         j = pl.program_id(1)
         z0 = k * tz
-        su, sv, sw = _pipelined_windows(
-            [(u, ue, su2), (v, ve, sv2), (w, we, sw2)], sems,
-            nz, ny, tz, ty, k, j, interpret, y_ext=y_ext)
+        specs = [(u, ue, su2), (v, ve, sv2), (w, we, sw2)]
+        if has_xe:
+            specs.append((xe, xze, sxe2))
+        wins = _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j,
+                                  interpret, y_ext=y_ext)
+        su, sv, sw = wins[0:3]
+        sxe = wins[3] if has_xe else None
 
         def body(kk, _):
             kz = z0 + kk + 1
             acc = _PlaneAccessor({id(su): su, id(sv): sv, id(sw): sw},
-                                 kk, ty, interpret=interpret)
+                                 kk, ty, interpret=interpret, xe=sxe,
+                                 xlane={id(su): 0, id(sv): 1, id(sw): 2})
             metrics = {
                 'dzci_c': dzci_s[kz, 0],
                 'dzci_m': dzci_s[kz - 1, 0],
@@ -403,7 +507,7 @@ def _smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls, interpret,
 
 def fused_smag(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi, visc, cs_delta2_1d,
                dw_1d=None, nearlo_1d=None, tauw_lo=None, tauw_hi=None,
-               interpret=False, y_ext=False):
+               interpret=False, y_ext=False, xe=None, xze=None):
     """Static Smagorinsky nu_t in one pass (z walls or no walls).
 
     u, v, w: interior (nz, ny, nx); ue, ve, we: (3, ny, nx) z-edge stacks
@@ -442,38 +546,59 @@ def fused_smag(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi, visc, cs_delta2_1d,
         tauw_lo = jnp.asarray(tauw_lo, dt).reshape(1, ny, nx)
         tauw_hi = jnp.asarray(tauw_hi, dt).reshape(1, ny, nx)
 
+    has_xe = xe is not None
     grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
     plane_spec = pl.BlockSpec((1, ty, nx), lambda k, j: (0, j, 0))
     kern = _smag_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
-                        float(visc), have_zwalls, interpret, y_ext=y_ext)
+                        float(visc), have_zwalls, interpret, y_ext=y_ext,
+                        has_xe=has_xe)
+    xargs = (xe, xze) if has_xe else ()
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[smem_spec] * 5 + [any_spec] * 6 + [plane_spec] * 2,
+        in_specs=[smem_spec] * 5 + [any_spec] * (6 + 2 * has_xe)
+                 + [plane_spec] * 2,
         out_specs=int_spec,
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
         scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
                         for _ in range(3)]
-                       + [pltpu.SemaphoreType.DMA((2, 3, 9))],
+                       + ([pltpu.VMEM((2, tz + 2, ty + 16, 128), dt)]
+                          if has_xe else [])
+                       + [pltpu.SemaphoreType.DMA((2, 3 + has_xe, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(csd2, dw, msk, dzci_s, dzfi_s, u, v, w, ue, ve, we, tauw_lo, tauw_hi)
+    )(csd2, dw, msk, dzci_s, dzfi_s, u, v, w, ue, ve, we, *xargs,
+      tauw_lo, tauw_hi)
 
 
-def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False):
-    def kernel(sc, dzfi_s, u, v, w, ue, ve, we, rhs_o, su2, sv2, sw2, sems):
+def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
+                   has_xe=False):
+    def kernel(sc, dzfi_s, u, v, w, ue, ve, we, *rest):
+        rest = list(rest)
+        xe = xze = None
+        if has_xe:
+            xe, xze = rest[0], rest[1]
+            del rest[0:2]
+        rhs_o, su2, sv2, sw2 = rest[0:4]
+        sxe2 = rest[4] if has_xe else None
+        sems = rest[-1]
         k = pl.program_id(0)
         j = pl.program_id(1)
         z0 = k * tz
-        su, sv, sw = _pipelined_windows(
-            [(u, ue, su2), (v, ve, sv2), (w, we, sw2)], sems,
-            nz, ny, tz, ty, k, j, interpret, y_ext=y_ext)
+        specs = [(u, ue, su2), (v, ve, sv2), (w, we, sw2)]
+        if has_xe:
+            specs.append((xe, xze, sxe2))
+        wins = _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j,
+                                  interpret, y_ext=y_ext)
+        su, sv, sw = wins[0:3]
+        sxe = wins[3] if has_xe else None
         dti = sc[0, 0]
 
         def body(kk, _):
             kz = z0 + kk + 1
             acc = _PlaneAccessor({id(su): su, id(sv): sv, id(sw): sw},
-                                 kk, ty, interpret=interpret)
+                                 kk, ty, interpret=interpret, xe=sxe,
+                                 xlane={id(su): 0, id(sv): 1, id(sw): 2})
             rhs_o[kk] = ((acc.V(sw) - acc.V(sw, k=-1)) * dti * dzfi_s[kz, 0]
                          + (acc.V(sv) - acc.V(sv, j=-1)) * (dti * dyi)
                          + (acc.V(su) - acc.V(su, i=-1)) * (dti * dxi))
@@ -484,12 +609,13 @@ def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False):
 
 
 def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False,
-                 y_ext=False):
+                 y_ext=False, xe=None, xze=None):
     """Poisson RHS div(u)/dt_rk in one pass (fillps.f90:14-48).
 
     u, v, w: prediction-velocity interiors; ue, ve, we: prediction-fill
     z-edge stacks; dti: traced 1/dt_rk.  Returns (nz, ny, nx) or None.
-    y_ext: see fused_mom_rk."""
+    y_ext: see fused_mom_rk.  xe/xze: x-ghost bundle in (u, v, w) lane
+    order for x-sharded runs."""
     nz, ny, nx = u.shape
     if y_ext:
         ny -= 16
@@ -502,43 +628,73 @@ def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False,
     tz, ty = tiles
     sc = jnp.asarray(dti, dt).reshape(1, 1)
     dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
+    has_xe = xe is not None
+    xargs = (xe, xze) if has_xe else ()
     grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
     kern = _fillps_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
-                          interpret, y_ext=y_ext)
+                          interpret, y_ext=y_ext, has_xe=has_xe)
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[smem_spec, smem_spec] + [any_spec] * 6,
+        in_specs=[smem_spec, smem_spec] + [any_spec] * (6 + 2 * has_xe),
         out_specs=int_spec,
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
         scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
                         for _ in range(3)]
-                       + [pltpu.SemaphoreType.DMA((2, 3, 9))],
+                       + ([pltpu.VMEM((2, tz + 2, ty + 16, 128), dt)]
+                          if has_xe else [])
+                       + [pltpu.SemaphoreType.DMA((2, 3 + has_xe, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(sc, dzfi_s, u, v, w, ue, ve, we)
+    )(sc, dzfi_s, u, v, w, ue, ve, we, *xargs)
 
 
-def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False):
-    def kernel(sc, dzci_s, w, pp, we, ppe, u_i, v_i, p_i,
-               u_o, v_o, w_o, p_o, sw2, spp2, sems):
+def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
+                   impdiff=False, impdiff_1d=False, has_xe=False):
+    def kernel(sc, dzci_s, dzfi_s, w, pp, we, ppe, *rest):
+        rest = list(rest)
+        xe = xze = None
+        if has_xe:
+            xe, xze = rest[0], rest[1]
+            del rest[0:2]
+        (u_i, v_i, p_i, u_o, v_o, w_o, p_o, sw2, spp2) = rest[0:9]
+        sxe2 = rest[9] if has_xe else None
+        sems = rest[-1]
         k = pl.program_id(0)
         j = pl.program_id(1)
         z0 = k * tz
-        sw, spp = _pipelined_windows(
-            [(w, we, sw2), (pp, ppe, spp2)], sems,
-            nz, ny, tz, ty, k, j, interpret, y_ext=y_ext)
+        specs = [(w, we, sw2), (pp, ppe, spp2)]
+        if has_xe:
+            specs.append((xe, xze, sxe2))
+        wins = _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j,
+                                  interpret, y_ext=y_ext)
+        sw, spp = wins[0:2]
+        sxe = wins[2] if has_xe else None
         dtrk = sc[0, 0]
+        alpha = sc[0, 1]
 
         def body(kk, _):
             kz = z0 + kk + 1
             acc = _PlaneAccessor({id(sw): sw, id(spp): spp}, kk, ty,
-                                 interpret=interpret)
+                                 interpret=interpret, xe=sxe,
+                                 xlane={id(sw): 0, id(spp): 1})
             ppc = acc.V(spp)
             u_o[kk] = u_i[kk] - dtrk * dxi * (acc.V(spp, i=1) - ppc)
             v_o[kk] = v_i[kk] - dtrk * dyi * (acc.V(spp, j=1) - ppc)
             w_o[kk] = acc.V(sw) - dtrk * dzci_s[kz, 0] * (acc.V(spp, k=1) - ppc)
-            p_o[kk] = p_i[kk] + ppc
+            pn = p_i[kk] + ppc
+            if impdiff:
+                # p += alpha * L(pp) correction (updatep.f90:26-50)
+                lap = ((acc.V(spp, k=1) - ppc) * dzci_s[kz, 0]
+                       - (ppc - acc.V(spp, k=-1)) * dzci_s[kz - 1, 0]) \
+                    * dzfi_s[kz, 0]
+                if not impdiff_1d:
+                    lap = lap + (acc.V(spp, i=1) - 2.0 * ppc
+                                 + acc.V(spp, i=-1)) * dxi * dxi \
+                              + (acc.V(spp, j=1) - 2.0 * ppc
+                                 + acc.V(spp, j=-1)) * dyi * dyi
+                pn = pn + alpha * lap
+            p_o[kk] = pn
             return 0
 
         jax.lax.fori_loop(0, tz, body, 0)
@@ -546,7 +702,9 @@ def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False):
 
 
 def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
-                         interpret=False, y_ext=False):
+                         interpret=False, y_ext=False,
+                         alpha=0.0, impdiff=False, impdiff_1d=False,
+                         dzfi=None, xe=None, xze=None):
     """Velocity correction + pressure update in one pass (correc.f90:14-68,
     updatep.f90:14-24 explicit-diffusion branch).
 
@@ -557,7 +715,9 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
     RK factor.  Returns (u, v, w, p_new) interiors or None.  The lower
     wall-face plane (vlo) update is a plane-sized host-side expression done
     by the caller (timeloop).  y_ext: w, pp, we, ppe carry the 8-row y
-    halos; u, v, p stay interior-sized (read as output-aligned tiles)."""
+    halos; u, v, p stay interior-sized (read as output-aligned tiles).
+    impdiff/impdiff_1d + alpha (traced scalar) + dzfi: apply the implicit-
+    diffusion pressure correction p += alpha*L(pp) (updatep.f90:26-50)."""
     nz, ny, nx = u.shape
     dt = u.dtype
     if nx % 128 or ny % 8:
@@ -566,20 +726,29 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
     if tiles is None:
         return None
     tz, ty = tiles
-    sc = jnp.asarray(dtrk, dt).reshape(1, 1)
+    sc = jnp.stack([jnp.asarray(dtrk, dt),
+                    jnp.asarray(alpha, dt)]).reshape(1, 2)
     dzci_s = jnp.asarray(dzci, dt).reshape(-1, 1)
+    dzfi_s = jnp.asarray(dzfi if dzfi is not None else np.zeros(nz + 2),
+                         dt).reshape(-1, 1)
+    has_xe = xe is not None
+    xargs = (xe, xze) if has_xe else ()
     grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
     kern = _correc_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
-                          interpret, y_ext=y_ext)
+                          interpret, y_ext=y_ext, impdiff=impdiff,
+                          impdiff_1d=impdiff_1d, has_xe=has_xe)
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[smem_spec, smem_spec] + [any_spec] * 4 + [int_spec] * 3,
+        in_specs=[smem_spec, smem_spec, smem_spec]
+                 + [any_spec] * (4 + 2 * has_xe) + [int_spec] * 3,
         out_specs=[int_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 4,
         scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
                         for _ in range(2)]
-                       + [pltpu.SemaphoreType.DMA((2, 2, 9))],
+                       + ([pltpu.VMEM((2, tz + 2, ty + 16, 128), dt)]
+                          if has_xe else [])
+                       + [pltpu.SemaphoreType.DMA((2, 2 + has_xe, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(sc, dzci_s, w, pp, we, ppe, u, v, p)
+    )(sc, dzci_s, dzfi_s, w, pp, we, ppe, *xargs, u, v, p)

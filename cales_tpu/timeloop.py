@@ -122,30 +122,39 @@ class Simulation:
             and all(cfg.cbc_pre(d) == 'PP' for d in (0, 1))
             and all(cfg.cbcsgs[0][d] + cfg.cbcsgs[1][d] == 'PP' for d in (0, 1)))
         nx, ny, nz = cfg.ng
-        # kernels under a mesh: 1D y decomposition only (gx == 1) — the
-        # in-kernel x rolls assume an unsharded x axis; the y halos arrive
-        # as ppermute strips and the kernels run in y_ext mode per shard
+        # kernels under a mesh: per-shard Pallas under shard_map.  y halos
+        # arrive as ppermute 8-row strips (y_ext mode); with gx > 1 the
+        # in-kernel x rolls are corrected at the shard-edge lanes from a
+        # packed ppermute'd ghost-column bundle (pallas_kernels xe protocol)
         self._kernel_sharded = False
+        self._gx_sharded = False
         self._fallback_reason = ''
 
         def _why(msg):
             if not self._fallback_reason:
                 self._fallback_reason = msg
-        ny_local = ny
+        ny_local, nx_local = ny, nx
         if mesh is not None:
             gx = dict(zip(mesh.axis_names, mesh.devices.shape)).get('gx', 1)
             gy = dict(zip(mesh.axis_names, mesh.devices.shape)).get('gy', 1)
-            if gx == 1 and ny % gy == 0 and ny // gy >= 16:
+            if (ny % gy == 0 and ny // gy >= 16 and nx % gx == 0
+                    and (nx // gx) % 128 == 0):
                 ny_local = ny // gy
+                nx_local = nx // gx
                 self._kernel_sharded = True
+                self._gx_sharded = gx > 1
             else:
-                _why(f'mesh gx={gx}, ny%gy={ny % gy}, ny//gy={ny // gy} '
-                     '(need gx==1, ny%gy==0, ny//gy>=16)')
+                _why(f'mesh ({gy},{gx}) vs ng: need ny%gy==0, ny//gy>=16, '
+                     f'(nx//gx)%128==0 (ny={ny}, nx={nx})')
+        # implicit-diffusion split mode for the kernel (mom.f90:277-303)
+        self._mom_split = (None if not cfg.impdiff
+                           else ('1d' if cfg.impdiff_1d else 'xy+z'))
         # gate with the SAME pick function/budget fused_mom_rk uses so a
         # gated shape can never fail inside the wrapper (ADVICE r2)
-        tiles_ok = (nx % 128 == 0 and ny_local % 8 == 0 and
+        tiles_ok = (nx_local % 128 == 0 and ny_local % 8 == 0 and
                     pk.mom_tiles(nz, ny_local, np.dtype(self.dtype).itemsize,
-                                 nx) is not None)
+                                 nx_local,
+                                 split=self._mom_split) is not None)
         if self._kernel_sharded and (self.solver_p.trx.kind == 'fft'
                                      or self.solver_p.try_.kind == 'fft'):
             # the CPU rfft path under the shard_map+GSPMD combination trips
@@ -156,21 +165,18 @@ class Simulation:
                  'present)')
         if not cfg.use_pallas:
             _why('use_pallas=False in config')
-        if cfg.impdiff:
-            _why('implicit diffusion')
         if cfg.scalar:
             _why('scalar transport')
         if not xy_periodic:
             _why('non-periodic x/y BCs')
         if not tiles_ok:
-            _why(f'no VMEM tiling for (nz,ny_local,nx)=({nz},{ny_local},{nx})'
-                 ' (need nx%128==0, ny%8==0)')
+            _why('no VMEM tiling for (nz,ny_local,nx_local)='
+                 f'({nz},{ny_local},{nx_local}) (need nx%128==0, ny%8==0)')
         if not (on_tpu and cfg.dtype == 'float32' or self._pallas_interpret):
             _why(f'backend={jax.default_backend()}, dtype={cfg.dtype} '
                  '(kernels need TPU f32, or CALES_PALLAS_INTERPRET=1)')
         self.use_pallas_mom = bool(
             cfg.use_pallas and (mesh is None or self._kernel_sharded)
-            and not cfg.impdiff
             and not cfg.scalar and xy_periodic and tiles_ok
             and (on_tpu and cfg.dtype == 'float32' or self._pallas_interpret))
         self._kernel_sharded = self._kernel_sharded and self.use_pallas_mom
@@ -181,12 +187,20 @@ class Simulation:
         self.use_pallas_smag = (self.use_pallas_mom and cfg.sgstype == 'smag'
                                 and walls_z_only)
         self.use_pallas_dsmag = False
-        if self.use_pallas_mom and cfg.sgstype == 'dsmag' and walls_z_only:
+        if (self.use_pallas_mom and cfg.sgstype == 'dsmag' and walls_z_only
+                and not self._gx_sharded):
+            # gx > 1 excluded: the dsmag pipeline's in-kernel test filter
+            # needs 2-deep x ghosts for intermediate products (sgs.f90
+            # filter stencils), not carried by the 1-column xe bundle
             from .ops import pallas_dsmag as pds
             self.use_pallas_dsmag = (
                 pds.eligible(cfg, self.sgs_setup)
                 and pds.ds_tiles(nz, ny_local, np.dtype(self.dtype).itemsize,
-                                 nx) is not None)
+                                 nx_local) is not None)
+        # benchmark instrumentation: skip the pressure solve (pp = 0) so the
+        # Poisson fraction can be measured by difference (bench.py --matrix);
+        # set BEFORE the first step call (the step traces lazily)
+        self.ablate_solve = False
         self._step = jax.jit(self._step_impl)
         self._chk = jax.jit(self._chk_impl)
         self._init_jit = jax.jit(self._init_impl)
@@ -277,9 +291,12 @@ class Simulation:
         cbcs = tuple((self.cfg.cbcsgs[0][d], self.cfg.cbcsgs[1][d]) for d in range(3))
         return bnd.pad_scalar(s, cbcs, self.bcs_vals, self.cfg.dl, self.grid.dzc)
 
-    # --- shard_map kernel dispatch (1D y decomposition, gx == 1) ---
+    # --- shard_map kernel dispatch (1D/2D pencil decomposition) ---
     def _gy(self):
         return dict(zip(self.mesh.axis_names, self.mesh.devices.shape))['gy']
+
+    def _gx(self):
+        return dict(zip(self.mesh.axis_names, self.mesh.devices.shape))['gx']
 
     def _halo_y(self, a):
         """Exchange 8-row y halo strips with the cyclic neighbors and return
@@ -293,12 +310,31 @@ class Simulation:
         hi = jax.lax.ppermute(a[:, :8], 'gy', bwd)
         return jnp.concatenate([lo, a, hi], axis=1)
 
+    def _xe_pack(self, arrays):
+        """Packed x-ghost-column bundle for the per-shard kernels (gx > 1):
+        ppermute each array's boundary columns with the cyclic x neighbors
+        and pack lane 2m = lo ghost (left neighbor's last column), lane
+        2m+1 = hi ghost (right neighbor's first column); padded to 128
+        lanes (Mosaic DMA granularity).  Runs inside shard_map.  The
+        corner rows are completed by _halo_y of the RESULT (a 2-hop
+        exchange reaching the diagonal neighbor)."""
+        gx = self._gx()
+        fwd = [(i, (i + 1) % gx) for i in range(gx)]
+        bwd = [(i, (i - 1) % gx) for i in range(gx)]
+        cols = []
+        for a in arrays:
+            cols.append(jax.lax.ppermute(a[..., -1:], 'gx', fwd))
+            cols.append(jax.lax.ppermute(a[..., :1], 'gx', bwd))
+        pad = jnp.zeros(cols[0].shape[:-1] + (128 - len(cols),),
+                        cols[0].dtype)
+        return jnp.concatenate(cols + [pad], axis=-1)
+
     def _smap(self, fn, n_field_in, n_scalar_in, n_out):
-        """shard_map a per-device kernel wrapper: field args (z, y:'gy', x),
-        trailing scalars replicated."""
+        """shard_map a per-device kernel wrapper: field args
+        (z, y:'gy', x:'gx'), trailing scalars replicated."""
         from jax import shard_map
         from jax.sharding import PartitionSpec as Pspec
-        F = Pspec(None, 'gy', None)
+        F = Pspec(None, 'gy', 'gx')
         S = Pspec()
         out_specs = (F,) * n_out if n_out > 1 else F
         return shard_map(fn, mesh=self.mesh,
@@ -352,8 +388,8 @@ class Simulation:
                                      interpret=self._pallas_interpret, **kw)
             from jax import shard_map
             from jax.sharding import PartitionSpec as Pspec
-            F = Pspec(None, 'gy', None)
-            F2 = Pspec('gy', None)
+            F = Pspec(None, 'gy', 'gx')
+            F2 = Pspec('gy', 'gx')
             halo = self._halo_y
             statics = {k: kw[k] for k in ('dw_1d', 'nearlo_1d') if k in kw}
             planes = [kw[k] for k in ('tauw_lo', 'tauw_hi') if k in kw]
@@ -362,6 +398,9 @@ class Simulation:
                 pkw = dict(statics)
                 if pl:
                     pkw['tauw_lo'], pkw['tauw_hi'] = pl
+                if self._gx_sharded:
+                    pkw['xe'] = halo(self._xe_pack([u_, v_, w_]))
+                    pkw['xze'] = halo(self._xe_pack([ue_, ve_, we_]))
                 return pk.fused_smag(halo(u_), halo(v_), halo(w_), halo(ue_),
                                      halo(ve_), halo(we_), grid.dzci,
                                      grid.dzfi, cfg.dli[0], cfg.dli[1],
@@ -419,7 +458,7 @@ class Simulation:
         if self._kernel_sharded:
             from jax import shard_map
             from jax.sharding import PartitionSpec as Pspec
-            F = Pspec(None, 'gy', None)
+            F = Pspec(None, 'gy', 'gx')   # dsmag runs only at gx == 1
             halo = self._halo_y
 
             def ds1_local(u_, v_, w_, ue_, ve_, we_):
@@ -523,16 +562,23 @@ class Simulation:
         u, v, w, p, visct = map(self._lc, (u, v, w, p, visct))
 
         scal_state = None
+        rud = rvd = rwd = None
         if self.use_pallas_mom:
             # fused momentum+RK Pallas path: the z-edge cache from the
             # previous substep's post-correc fill is the kernel input (the
             # reference reads the same ghosts, bound.f90:117-123 reuse)
             from .ops import pallas_kernels as pk
+            split = self._mom_split
+            nout = 6 if split is None else 9
+            if cfg.impdiff:
+                # the CN Helmholtz RHS planes use the beginning-of-substep
+                # BC values (same fill the XLA path computes up front)
+                bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
             if state.zq is not None:
                 ue, ve, we = state.zq
             else:
-                bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
-                ue, ve, we = self._zedge_vel(u, v, w, bcu, bcv, bcw,
+                bcu0, bcv0, bcw0 = self._dynamic_bcs(u, v, w)
+                ue, ve, we = self._zedge_vel(u, v, w, bcu0, bcv0, bcw0,
                                              vlo=state.vlo, is_correc=True)
             pe = self._zedge_p(p)
             se = self._zedge_s(visct)
@@ -542,21 +588,31 @@ class Simulation:
 
                     def mom_local(u_, v_, w_, s_, p_, ue_, ve_, we_, se_,
                                   pe_, r1, r2, r3, f1_, f2_):
+                        xe = xze = None
+                        if self._gx_sharded:
+                            xe = halo(self._xe_pack([u_, v_, w_, s_, p_]))
+                            xze = halo(self._xe_pack([ue_, ve_, we_, se_,
+                                                      pe_]))
                         return pk.fused_mom_rk(
                             halo(u_), halo(v_), halo(w_), halo(s_), halo(p_),
                             halo(ue_), halo(ve_), halo(we_), halo(se_),
                             halo(pe_), r1, r2, r3, dzci, dzfi, f1_, f2_,
                             visc, dxi, dyi, cfg.bforce,
-                            interpret=self._pallas_interpret, y_ext=True)
-                    u, v, w, ru, rv, rw = self._smap(mom_local, 13, 2, 6)(
+                            interpret=self._pallas_interpret, y_ext=True,
+                            split=split, xe=xe, xze=xze)
+                    outs = self._smap(mom_local, 13, 2, nout)(
                         u, v, w, visct, p, ue, ve, we, se, pe,
                         ru_o, rv_o, rw_o, f1, f2)
                 else:
-                    u, v, w, ru, rv, rw = pk.fused_mom_rk(
+                    outs = pk.fused_mom_rk(
                         u, v, w, visct, p, ue, ve, we, se, pe,
                         ru_o, rv_o, rw_o, dzci, dzfi, f1, f2, visc,
                         dxi, dyi, cfg.bforce,
-                        interpret=self._pallas_interpret)
+                        interpret=self._pallas_interpret, split=split)
+            if split is None:
+                u, v, w, ru, rv, rw = outs
+            else:
+                u, v, w, ru, rv, rw, rud, rvd, rwd = outs
             rhs_old = (ru, rv, rw)
         else:
             # ghosts of the current state (same fill the previous substep left)
@@ -665,10 +721,15 @@ class Simulation:
                     halo = self._halo_y
 
                     def fillps_local(u_, v_, w_, ue_, ve_, we_, dti_):
+                        xe = xze = None
+                        if self._gx_sharded:
+                            xe = halo(self._xe_pack([u_, v_, w_]))
+                            xze = halo(self._xe_pack([ue_, ve_, we_]))
                         return pk.fused_fillps(
                             halo(u_), halo(v_), halo(w_), halo(ue_),
                             halo(ve_), halo(we_), dzfi, dti_, dxi, dyi,
-                            interpret=self._pallas_interpret, y_ext=True)
+                            interpret=self._pallas_interpret, y_ext=True,
+                            xe=xe, xze=xze)
                     rhs = self._smap(fillps_local, 6, 1, 1)(
                         u, v, w, ue2, ve2, we2, 1.0 / dtrk)
                 else:
@@ -677,23 +738,32 @@ class Simulation:
                                           interpret=self._pallas_interpret)
                 rhs = poisson.add_rhs_bound(cfg, ('c', 'c', 'c'), self.cbcpre,
                                             rhs, self.rhsb_p)
-                pp = poisson.solve(self.solver_p, rhs, hints=self.hints)
+                pp = (jnp.zeros_like(rhs) if self.ablate_solve else
+                      poisson.solve(self.solver_p, rhs, hints=self.hints))
             ppe = self._zedge_p(pp)
             with jax.named_scope('correc_updatep_pallas'):
+                imp_kw = dict(impdiff=cfg.impdiff, impdiff_1d=cfg.impdiff_1d,
+                              dzfi=dzfi)
                 if self._kernel_sharded:
                     halo = self._halo_y
 
-                    def correc_local(u_, v_, w_, pp_, p_, we_, ppe_, dt_):
+                    def correc_local(u_, v_, w_, pp_, p_, we_, ppe_, dt_, al_):
+                        xe = xze = None
+                        if self._gx_sharded:
+                            xe = halo(self._xe_pack([w_, pp_]))
+                            xze = halo(self._xe_pack([we_, ppe_]))
                         return pk.fused_correc_updatep(
                             u_, v_, halo(w_), halo(pp_), p_, halo(we_),
                             halo(ppe_), dt_, dxi, dyi, dzci,
-                            interpret=self._pallas_interpret, y_ext=True)
-                    u, v, w, p = self._smap(correc_local, 7, 1, 4)(
-                        u, v, w, pp, p, we2, ppe, dtrk)
+                            interpret=self._pallas_interpret, y_ext=True,
+                            alpha=al_, xe=xe, xze=xze, **imp_kw)
+                    u, v, w, p = self._smap(correc_local, 7, 2, 4)(
+                        u, v, w, pp, p, we2, ppe, dtrk, alpha)
                 else:
                     u, v, w, p = pk.fused_correc_updatep(
                         u, v, w, pp, p, we2, ppe, dtrk, dxi, dyi, dzci,
-                        interpret=self._pallas_interpret)
+                        interpret=self._pallas_interpret, alpha=alpha,
+                        **imp_kw)
             # lower-wall w face plane: the padded-row-0 entry of the correc
             # ghost-range sweep (correc.f90:45-67), a plane-sized update;
             # the x/y planes are unused under periodic x/y (pad_velocity's
@@ -719,7 +789,8 @@ class Simulation:
                 rhs = st.fillps(up, vp, wp, 1.0 / dtrk, dxi, dyi, dzfi)
                 rhs = poisson.add_rhs_bound(cfg, ('c', 'c', 'c'), self.cbcpre,
                                             rhs, self.rhsb_p)
-                pp = poisson.solve(self.solver_p, rhs, hints=self.hints)
+                pp = (jnp.zeros_like(rhs) if self.ablate_solve else
+                      poisson.solve(self.solver_p, rhs, hints=self.hints))
             pppad = self._pad_p(pp)
             u, v, w, vlo = st.correc(up, vp, wp, pppad, dtrk, dxi, dyi, dzci)
 

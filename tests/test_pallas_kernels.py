@@ -404,3 +404,103 @@ def test_y_ext_mode_matches_wrap():
                     common[8], common[9], 0.01, np.full(nz, 0.1),
                     interpret=True, y_ext=True)
     np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+
+
+def test_pallas_step_integration_impdiff(monkeypatch):
+    """Kernel path with implicit diffusion (BASELINE config #2 class): the
+    mom kernel emits the explicit/implicit RHS split, the CN Helmholtz
+    solves stay on the XLA/matmul path, and the correc kernel applies the
+    alpha*L(pp) pressure correction (main.f90:423-491, updatep.f90:26-50)."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    for imp1d in (False, True):
+        base = dict(ng=(128, 16, 16), l=(2 * np.pi, np.pi, 2.0), gtype=1,
+                    gr=0.9, visci=2000.0, inivel='log', is_wallturb=True,
+                    dtype='float64', is_forced=(True, False, False),
+                    velf=(1.0, 0.0, 0.0), sgstype='none', impdiff=True,
+                    impdiff_1d=imp1d)
+        results = []
+        for use_pallas in (False, True):
+            cfg = Config(**base, use_pallas=use_pallas)
+            grid = make_grid_from_config(cfg)
+            sim = Simulation(cfg, grid)
+            if use_pallas:
+                assert sim.use_pallas_mom, sim.exec_path()
+                assert sim._mom_split == ('1d' if imp1d else 'xy+z')
+            s = sim.initial_state(*initflow(cfg, grid))
+            for _ in range(3):
+                s, _ = sim.step(s, 1e-3)
+            results.append(s)
+        a, b = results
+        np.testing.assert_allclose(np.asarray(b.u), np.asarray(a.u),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(b.v), np.asarray(a.v),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(b.w), np.asarray(a.w),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(b.p), np.asarray(a.p),
+                                   atol=1e-11)
+        np.testing.assert_allclose(np.asarray(b.rhs_old[0]),
+                                   np.asarray(a.rhs_old[0]), atol=1e-12)
+
+
+def _xe_pack(fields, lo_cols, hi_cols):
+    """Packed x-ghost bundle: lane 2m = lo ghost col, 2m+1 = hi ghost col."""
+    cols = []
+    for m in range(len(fields)):
+        cols.append(np.asarray(lo_cols[m])[..., None])
+        cols.append(np.asarray(hi_cols[m])[..., None])
+    z = np.zeros(cols[0].shape[:-1] + (128 - len(cols),), cols[0].dtype)
+    return jnp.asarray(np.concatenate(cols + [z], axis=-1))
+
+
+def test_mom_rk_x_split_with_xe_bundle():
+    """x-sharded kernel protocol: run fused_mom_rk on each x half with the
+    neighbor's ghost columns in the xe bundle; the concatenation must equal
+    the full-array (periodic-roll) kernel bitwise."""
+    ng = (256, 16, 16)
+    cfg = Config(ng=ng, l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=1.0,
+                 dtype='float64')
+    grid = make_grid_from_config(cfg)
+    nx, ny, nz = ng
+    rng = np.random.default_rng(3)
+    fields = {}
+    for name, rw in (('u', False), ('v', False), ('w', True), ('s', False),
+                     ('p', False)):
+        fields[name] = _rand_field_edges(rng, nz, ny, nx, rewrite_last=rw)
+    ruo, rvo, rwo = (jnp.asarray(rng.standard_normal((nz, ny, nx)))
+                     for _ in range(3))
+    common = dict(f1=0.5e-3, f2=-0.2e-3, visc=0.01,
+                  dxi=float(nx / cfg.l[0]), dyi=float(ny / cfg.l[1]),
+                  bforce=(0.1, 0.0, 0.0))
+    names = ('u', 'v', 'w', 's', 'p')
+    full = fused_mom_rk(*[fields[n][0] for n in names],
+                        *[fields[n][1] for n in names],
+                        ruo, rvo, rwo, grid.dzci, grid.dzfi,
+                        interpret=True, **common)
+    assert full is not None
+
+    h = nx // 2
+    parts = []
+    for sh in range(2):
+        sl = slice(0, h) if sh == 0 else slice(h, nx)
+        osl = slice(h, nx) if sh == 0 else slice(0, h)
+        ints = [np.asarray(fields[n][0]) for n in names]
+        edges = [np.asarray(fields[n][1]) for n in names]
+        xe = _xe_pack(names, [i[:, :, osl][:, :, -1] for i in ints],
+                      [i[:, :, osl][:, :, 0] for i in ints])
+        xze = _xe_pack(names, [e[:, :, osl][:, :, -1] for e in edges],
+                       [e[:, :, osl][:, :, 0] for e in edges])
+        out = fused_mom_rk(*[jnp.asarray(i[:, :, sl]) for i in ints],
+                           *[jnp.asarray(e[:, :, sl]) for e in edges],
+                           ruo[:, :, sl], rvo[:, :, sl], rwo[:, :, sl],
+                           grid.dzci, grid.dzfi, interpret=True,
+                           xe=xe, xze=xze, **common)
+        assert out is not None
+        parts.append(out)
+    for m in range(6):
+        merged = np.concatenate([np.asarray(parts[0][m]),
+                                 np.asarray(parts[1][m])], axis=2)
+        np.testing.assert_array_equal(merged, np.asarray(full[m]))

@@ -193,3 +193,48 @@ def test_dsmag_kernel_path_sharded_matches_single(monkeypatch):
             a, b = a - a.mean(), b - b.mean()
         err = np.abs(a - b).max()
         assert err < 1e-11, f"{name} dsmag kernel-sharded mismatch: {err}"
+
+
+def test_kernel_path_2d_mesh_matches_single(monkeypatch):
+    """The Pallas kernel path under a 2D (gy, gx) pencil decomposition:
+    y halos via ppermute strips AND x shard-edge roll fixups via the
+    ppermute'd ghost-column bundle (xe protocol) must reproduce the
+    single-device kernel path (interpret mode).  This is the
+    reference-canonical pencil layout (initmpi.f90:56-73) that previously
+    fell back to the XLA path."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = Config(ng=(256, 32, 16), l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=0.9,
+                 visci=2000.0, inivel='log', is_wallturb=True, dtype='float64',
+                 is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
+                 sgstype='smag', ptransform='mat', **_channel_bcs)
+    grid = make_grid_from_config(cfg)
+    u, v, w, p = initflow(cfg, grid)
+    dt = 1e-3
+
+    sim1 = Simulation(cfg, grid)
+    assert sim1.use_pallas_mom
+    s1 = sim1.initial_state(u, v, w, p)
+    for _ in range(2):
+        s1, _ = sim1.step(s1, dt)
+
+    mesh = make_mesh((2, 2))
+    simN = Simulation(cfg, grid, mesh=mesh)
+    assert simN.use_pallas_mom and simN._kernel_sharded, simN.exec_path()
+    assert simN._gx_sharded
+    sN = simN.initial_state(u, v, w, p)
+    sh = field_sharding(mesh)
+    sN = sN._replace(u=jax.device_put(sN.u, sh), v=jax.device_put(sN.v, sh),
+                     w=jax.device_put(sN.w, sh), p=jax.device_put(sN.p, sh),
+                     visct=jax.device_put(sN.visct, sh))
+    for _ in range(2):
+        sN, _ = simN.step(sN, dt)
+
+    for name in ('u', 'v', 'w', 'p', 'visct'):
+        a = np.asarray(getattr(s1, name))
+        b = np.asarray(getattr(sN, name))
+        if name == 'p':
+            a, b = a - a.mean(), b - b.mean()
+        err = np.abs(a - b).max()
+        assert err < 1e-11, f"{name} 2D-mesh kernel mismatch: {err}"
