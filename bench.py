@@ -72,9 +72,11 @@ def _matrix_configs(ng):
             inivel='duc', is_wallturb=True, is_forced=(True, False, False),
             velf=(1.0, 0.0, 0.0), sgstype='dsmag', dsmag_avg='duct',
             dtype='float32', ptransform='mat', **_DUCT_BCS),
+        # inivel 'tgv' (not 'zer'): a dsmag step from an identically-zero
+        # field is 0/0; any smooth field times the same code path
         'cavity_les_dsmag': dict(
             ng=ng, l=(1.0, 1.0, 1.0), gtype=1, gr=0.0, visci=5_000.0,
-            inivel='zer', sgstype='dsmag', dsmag_avg='cavity',
+            inivel='tgv', sgstype='dsmag', dsmag_avg='cavity',
             dtype='float32', ptransform='mat',
             bcvel=(((0.0,) * 3,) * 3,
                    ((0.0, 0.0, 0.0), (0.0, 0.0, 0.0), (1.0, 0.0, 0.0))),
@@ -105,9 +107,12 @@ def main(argv=None):
     import jax.numpy as jnp
 
     # persistent executable cache: the Pallas mega-kernels take ~2 min of
-    # Mosaic compile per shape on first use; cached across runs
-    jax.config.update('jax_compilation_cache_dir',
-                      os.path.expanduser('~/.jax_cache'))
+    # Mosaic compile per shape on first use; cached across runs.  TPU only:
+    # XLA:CPU AOT cache entries are machine-feature-pinned and a feature
+    # mismatch silently yields corrupt executables (observed NaNs)
+    if jax.default_backend() == 'tpu':
+        jax.config.update('jax_compilation_cache_dir',
+                          os.path.expanduser('~/.jax_cache'))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from cales_tpu.config import Config

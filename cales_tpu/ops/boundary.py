@@ -260,6 +260,121 @@ def zedge_velocity(u, v, w, cbcvel, bcu, bcv, bcw, dzc, dzf,
     return ue, ve, we
 
 
+def _bc_row(val, nz, nx, dtype):
+    """BC value as an interior (nz, nx) y-face row (scalar broadcast; full
+    padded planes are cropped)."""
+    if hasattr(val, 'ndim') and getattr(val, 'ndim', 0) == 2:
+        return val[1:-1, 1:-1].astype(dtype)
+    return jnp.full((nz, nx), val, dtype=dtype)
+
+
+def _yrows_centered(q, letters, bcvals, dr):
+    """(nz, 3, nx) y-row stack [padded y 0, padded y ny+1, padded y ny] for
+    a y-centered field — the y-wall analogue of _zedge_centered, consumed by
+    the Pallas kernels' in-window ghost-row fixes (set_bc semantics,
+    bound.f90:232-352 along y)."""
+    nz, _, nx = q.shape
+    first, last = q[:, 0], q[:, -1]
+    if letters[0] == 'P':
+        lo, hi = last, first
+    else:
+        b0 = _bc_row(bcvals[0], nz, nx, q.dtype)
+        b1 = _bc_row(bcvals[1], nz, nx, q.dtype)
+        lo = 2.0 * b0 - first if letters[0] == 'D' else -dr[0] * b0 + first
+        hi = 2.0 * b1 - last if letters[1] == 'D' else dr[1] * b1 + last
+    return jnp.stack([lo, hi, last], axis=1)
+
+
+def _yrows_face(q, letters, bcvals, dr, lo_keep=None, keep=False):
+    """y-row stack for the y-face-staggered component (v): rows
+    [padded y 0, padded y ny+1, padded y ny (the set_bc rewrite slot,
+    bound.f90:292-293/365-366)]."""
+    nz, _, nx = q.shape
+    first, second_last, last = q[:, 0], q[:, -2], q[:, -1]
+    if letters[0] == 'P':
+        return jnp.stack([last, first, last], axis=1)
+    if keep:
+        hi = second_last if letters[1] == 'D' else last
+        lo = lo_keep[1:-1, 1:-1].astype(q.dtype)
+        return jnp.stack([lo, hi, last], axis=1)
+    b0 = _bc_row(bcvals[0], nz, nx, q.dtype)
+    b1 = _bc_row(bcvals[1], nz, nx, q.dtype)
+    lo = b0 if letters[0] == 'D' else -dr[0] * b0 + first
+    if letters[1] == 'D':
+        newlast, hi = b1, second_last
+    else:
+        newlast, hi = dr[1] * b1 + second_last, last
+    return jnp.stack([lo, hi, newlast], axis=1)
+
+
+def _zedge_of_yrows(rows, letters, bcval_scalars, dr, face=False,
+                    vlo_plane=None, keep=False):
+    """z-edge stack (3, 3, nx) of a (nz, 3, nx) y-row stack — the corner
+    values of the reference's sequential x->y->z fill: the z formula applied
+    to the y-ghost rows.  BC values must be scalars (wall-model plane values
+    are gated out by the caller)."""
+    first, second_last, last = rows[0], rows[-2], rows[-1]
+    b0, b1 = bcval_scalars
+    if not face:
+        if letters[0] == 'P':
+            lo, hi = last, first
+        else:
+            lo = 2.0 * b0 - first if letters[0] == 'D' else -dr[0] * b0 + first
+            hi = 2.0 * b1 - last if letters[1] == 'D' else dr[1] * b1 + last
+        return jnp.stack([lo, last, hi])
+    if letters[0] == 'P':
+        return jnp.stack([last, last, first])
+    if keep:
+        # w corners at the retained lower wall face: the vlo plane's y-ghost
+        # entries (padded plane rows [0, ny+1, ny] == our y-row order)
+        lo = jnp.stack([vlo_plane[0, 1:-1], vlo_plane[-1, 1:-1],
+                        vlo_plane[-2, 1:-1]]).astype(rows.dtype)
+        hi = second_last if letters[1] == 'D' else last
+        return jnp.stack([lo, last, hi])
+    lo = jnp.full_like(first, b0) if letters[0] == 'D' \
+        else -dr[0] * b0 + first
+    if letters[1] == 'D':
+        newlast, hi = jnp.full_like(first, b1), second_last
+    else:
+        newlast, hi = dr[1] * b1 + second_last, last
+    return jnp.stack([lo, newlast, hi])
+
+
+def yedge_velocity(u, v, w, cbcvel, bcu, bcv, bcw, dl, dzc, dzf,
+                   vlo=None, is_correc=False):
+    """y-row stacks (nz, 3, nx) for (u, v, w) + their z-edge corner stacks
+    (3, 3, nx) — the y-wall kernel-input protocol (rows [padded y 0,
+    padded y ny+1, padded y ny]).  Same semantics as pad_velocity's y and z
+    passes; BC values must be scalars except the retained vlo plane."""
+    nz = u.shape[0]
+    dr_y_par = (dl[1], dl[1])
+    dr_z_par = (float(dzc[0]), float(dzc[nz]))
+    dr_z_nrm = (float(dzf[0]), float(dzf[nz]))
+    ylts = lambda ivel: (cbcvel[0][1][ivel], cbcvel[1][1][ivel])
+    zlts = lambda ivel: (cbcvel[0][2][ivel], cbcvel[1][2][ivel])
+    keep_v = is_correc and ylts(1)[0] != 'P' and vlo is not None
+    yu = _yrows_centered(u, ylts(0), bcu[1], dr_y_par)
+    yv = _yrows_face(v, ylts(1), bcv[1], dr_y_par,
+                     lo_keep=vlo[1] if keep_v else None, keep=keep_v)
+    yw = _yrows_centered(w, ylts(2), bcw[1], dr_y_par)
+    keep_w = is_correc and zlts(2)[0] != 'P' and vlo is not None
+    zyu = _zedge_of_yrows(yu, zlts(0), bcu[2], dr_z_par)
+    zyv = _zedge_of_yrows(yv, zlts(1), bcv[2], dr_z_par)
+    zyw = _zedge_of_yrows(yw, zlts(2), bcw[2], dr_z_nrm, face=True,
+                          vlo_plane=vlo[2] if keep_w else None, keep=keep_w)
+    return (yu, yv, yw), (zyu, zyv, zyw)
+
+
+def yedge_scalar(p, cbc, bcvals, dl, dzc):
+    """y-row stack + z-edge corner stack for a cell-centered scalar
+    (boundp y/z semantics)."""
+    nz = p.shape[0]
+    yp = _yrows_centered(p, cbc[1], bcvals[1], (dl[1], dl[1]))
+    zyp = _zedge_of_yrows(yp, cbc[2], bcvals[2],
+                          (float(dzc[0]), float(dzc[nz])))
+    return yp, zyp
+
+
 def pad_velocity(u, v, w, cbcvel, bcu, bcv, bcw, dl, dzc, dzf,
                  vlo=None, is_correc=False):
     """Ghost fill for the staggered velocity (bounduvw, bound.f90:18-154).

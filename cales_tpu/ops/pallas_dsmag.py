@@ -56,26 +56,36 @@ def ds_tiles(nz, ny, itemsize, nx):
 
 
 def eligible(cfg, setup):
-    """In-kernel z-ghost recipes are exact: each z face is a wall
-    (extrapolation) or a homogeneous-Neumann scalar fill."""
+    """In-kernel ghost recipes are exact when each non-periodic z (and,
+    for the duct/cavity class, y) face is a wall (one-sided extrapolation)
+    or a homogeneous-Neumann scalar fill."""
     if cfg.filter_2d:
         return False
     if any(cfg.lwm[ib][d] != 0 for ib in range(2) for d in range(3)):
         return False
-    for ib in range(2):
-        if setup.wall_flags[(ib, 2)]:
-            continue
-        if cfg.cbcsgs[ib][2] != 'N' or float(cfg.bcsgs[ib][2]) != 0.0:
-            return False
-        # the velocity fill of u,v must also reduce to ghost==interior for
-        # the filtered-velocity path (extrapolate skips non-wall faces, so
-        # the fill ghost is used): N with value 0 qualifies
-        for iv in range(2):
-            if (cfg.cbcvel[ib][2][iv] != 'N'
-                    or float(cfg.bcvel[ib][2][iv]) != 0.0):
+
+    def face_ok(d):
+        """Non-wall faces along direction d must be homogeneous-N fills
+        (ghost == interior for scalars and wall-parallel velocity) with a
+        zero-Dirichlet normal component."""
+        for ib in range(2):
+            if setup.wall_flags[(ib, d)]:
+                continue
+            if cfg.cbcsgs[ib][d] != 'N' or float(cfg.bcsgs[ib][d]) != 0.0:
                 return False
-        if cfg.cbcvel[ib][2][2] != 'D' or float(cfg.bcvel[ib][2][2]) != 0.0:
-            return False
+            for iv in range(3):
+                want = 'D' if iv == d else 'N'
+                if (cfg.cbcvel[ib][d][iv] != want
+                        or float(cfg.bcvel[ib][d][iv]) != 0.0):
+                    return False
+        return True
+
+    if not face_ok(2):
+        return False
+    y_periodic = all(cfg.cbcvel[ib][1][iv] == 'P'
+                     for ib in range(2) for iv in range(3))
+    if not y_periodic and not face_ok(1):
+        return False
     return True
 
 
@@ -88,12 +98,18 @@ def _roll_x(p, i, interpret):
 
 
 def _zwin2_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty, case,
-                  y_ext=False):
+                  y_ext=False, mode='tile'):
     """+-2 z window: rows w = 0..tz+3 hold interior z row z0-2+w; the ghost
     rows g=-1 (w with z0=0 -> w=1) and g=nz come from the edge stack.  Valid
     for fills that do not rewrite the padded-row-nz slot (the corrected
-    velocity fill).  y_ext: see pallas_kernels._zwin_copies."""
+    velocity fill).  y_ext: see pallas_kernels._zwin_copies.  mode='ally':
+    full-y-extent bundle source (the 16-row y-edge bundle)."""
     def ycop(src, sz, rows, dr, b):
+        if mode == 'ally':
+            return [
+                pltpu.make_async_copy(src.at[pl.ds(sz, rows)],
+                                      scr.at[pl.ds(dr, rows)], sem.at[b]),
+            ]
         y0a = pl.multiple_of(y0, 8)
         if y_ext:
             return [
@@ -133,9 +149,11 @@ def _assemble_windows2(fields, k, z0, y0, ny, nz, tz, ty, action,
     klast = nz // tz - 1
 
     def run(case):
-        for fint, zedge, scr, sem in fields:
+        for entry in fields:
+            fint, zedge, scr, sem = entry[:4]
+            mode = entry[4] if len(entry) > 4 else 'tile'
             for c in _zwin2_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty,
-                                   case, y_ext=y_ext):
+                                   case, y_ext=y_ext, mode=mode):
                 getattr(c, action)()
 
     if klast == 0:
@@ -167,15 +185,15 @@ def _pipelined_windows2(specs, sems, nz, ny, tz, ty, k, j, interpret,
         gj_t = jnp.asarray(gj, jnp.int32)
         k2 = jax.lax.div(jnp.asarray(tt, jnp.int32), gj_t)
         j2 = jax.lax.rem(jnp.asarray(tt, jnp.int32), gj_t)
-        fields = [(f, e, scr2.at[sl], sems.at[sl, m])
-                  for m, (f, e, scr2) in enumerate(specs)]
+        fields = [(s[0], s[1], s[2].at[sl], sems.at[sl, m]) + tuple(s[3:])
+                  for m, s in enumerate(specs)]
         _assemble_windows2(fields, k2, k2 * tz, j2 * ty, ny, nz, tz, ty,
                            action, y_ext=y_ext)
 
     if interpret:
         assemble(t, 0, 'start')
         assemble(t, 0, 'wait')
-        return [scr2.at[0] for _, _, scr2 in specs]
+        return [s[2].at[0] for s in specs]
 
     slot = jax.lax.rem(t, 2)
 
@@ -189,7 +207,7 @@ def _pipelined_windows2(specs, sems, nz, ny, tz, ty, k, j, interpret,
     def _():
         assemble(t + 1, jax.lax.rem(t + 1, 2), 'start')
 
-    return [scr2.at[slot] for _, _, scr2 in specs]
+    return [s[2].at[slot] for s in specs]
 
 
 def _pick_tiles_ds(nz, ny, itemsize, nx, nwin, nring, nio):
@@ -208,29 +226,65 @@ def _pick_tiles_ds(nz, ny, itemsize, nx, nwin, nring, nio):
 
 
 def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret,
-                y_ext=False):
+                y_ext=False, ywalls=None):
     """Ghost recipes (gated by `eligible`): 'wall' -> 2 q0 - q1, else
-    ghost == nearest interior plane."""
-    klast = nz // tz - 1
+    ghost == nearest interior plane.
 
-    def kernel(dzci_s, dzfi_s, u, v, w, ue, ve, we,
-               fm0, fm1, fm2, fm3, fm4, fm5, fu_o, fv_o, fw_o,
-               fc0, fc1, fc2, fl0, fl1, fl2, fl3, fl4, fl5, s0_o,
-               su2, sv2, sw2, ring, s0ring, sems):
+    ywalls: None (y periodic) or (lo_is_wall, hi_is_wall) — y non-periodic:
+    the velocity windows' wall-tile ghost rows are fixed from the 16-row
+    y-edge bundle (fill ghosts), source planes get the same
+    extrapolate-or-copy ghost recipe in y as in z, and the wall-parallel
+    filter-input velocities (u, w) are one-sided extrapolated at y walls
+    (sgs.f90:682-767 for idir=2)."""
+    klast = nz // tz - 1
+    has_ye = ywalls is not None
+    gj = ny // ty
+
+    def kernel(dzci_s, dzfi_s, u, v, w, ue, ve, we, *rest):
+        rest = list(rest)
+        ye = yze = None
+        if has_ye:
+            ye, yze = rest[0], rest[1]
+            del rest[0:2]
+        (fm0, fm1, fm2, fm3, fm4, fm5, fu_o, fv_o, fw_o,
+         fc0, fc1, fc2, fl0, fl1, fl2, fl3, fl4, fl5, s0_o) = rest[0:19]
+        del rest[0:19]
+        su2, sv2, sw2 = rest[0:3]
+        del rest[0:3]
+        sye2 = rest.pop(0) if has_ye else None
+        ring, s0ring, sems = rest[0:3]
         k = pl.program_id(0)
         j = pl.program_id(1)
         z0 = k * tz
-        su, sv, sw = _pipelined_windows2(
-            [(u, ue, su2), (v, ve, sv2), (w, we, sw2)], sems,
-            nz, ny, tz, ty, k, j, interpret, y_ext=y_ext)
+        specs = [(u, ue, su2), (v, ve, sv2), (w, we, sw2)]
+        if has_ye:
+            specs.append((ye, yze, sye2, 'ally'))
+        wins_l = _pipelined_windows2(specs, sems, nz, ny, tz, ty, k, j,
+                                     interpret, y_ext=y_ext)
+        su, sv, sw = wins_l[0:3]
+        sye = wins_l[3] if has_ye else None
         fm_o = (fm0, fm1, fm2, fm3, fm4, fm5)
         fc_o = (fc0, fc1, fc2)
         fl_o = (fl0, fl1, fl2, fl3, fl4, fl5)
         wins = {id(su): su, id(sv): sv, id(sw): sw}
+        ybase = {id(su): 0, id(sv): 3, id(sw): 6}
+        y_lo_t = (j == 0) if has_ye else None
+        y_hi_t = (j == gj - 1) if has_ye else None
+
+        def _riota(shape):
+            return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
 
         def row(P, lg):
-            """window plane of interior z row z0+lg (lg traced, >= -2)."""
-            return wins[id(P)][2 + lg]
+            """window plane of interior z row z0+lg (lg traced, >= -2);
+            y-walled runs fix the wall tiles' ghost rows from the bundle."""
+            p = wins[id(P)][2 + lg]
+            if has_ye:
+                yp = sye[2 + lg]
+                b = ybase[id(P)]
+                r = _riota(p.shape)
+                p = jnp.where((r == 7) & y_lo_t, yp[b:b + 1], p)
+                p = jnp.where((r == 8 + ty) & y_hi_t, yp[b + 1:b + 2], p)
+            return p
 
         def compute_source(r):
             """NWQ source planes + s0 at interior row z0+r (traced r),
@@ -258,19 +312,34 @@ def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret,
             planes += [uc * uc, vc * vc, wc * wc, uc * vc, uc * wc, vc * wc]
             return planes, s0r
 
+        def yfix_src(zf):
+            """y-ghost recipe on a width-(ty+14) source plane (rows m <->
+            global y0-7+m; ghosts at m=6 and m=ty+7): extrapolate at y
+            walls, copy at homogeneous-N faces — linear in each axis, so
+            applying it after the z filter commutes with the reference's
+            extrapolate-then-filter order."""
+            if not has_ye:
+                return zf
+            r = _riota(zf.shape)
+            glo = 2.0 * zf[7:8] - zf[8:9] if ywalls[0] else zf[7:8]
+            zf = jnp.where((r == 6) & y_lo_t, glo, zf)
+            ghi = (2.0 * zf[ty + 6:ty + 7] - zf[ty + 5:ty + 6]
+                   if ywalls[1] else zf[ty + 6:ty + 7])
+            return jnp.where((r == ty + 7) & y_hi_t, ghi, zf)
+
         def filt_src(pm, pc, pp):
             """filter3d on width-(ty+14) source planes -> (ty, nx)."""
-            zf = 0.25 * (pm + 2.0 * pc + pp)
+            zf = yfix_src(0.25 * (pm + 2.0 * pc + pp))
             q = 0.25 * (_roll_x(zf, -1, interpret) + 2.0 * zf
                         + _roll_x(zf, 1, interpret))
             q = 0.25 * (q[:-2] + 2.0 * q[1:-1] + q[2:])   # width ty+12
             return q[6:6 + ty]
 
-        def vel_row(P, lg, parallel):
+        def vel_row(P, lg, parallel, parallel_y=False):
             """filter-input velocity plane at interior row z0+lg: the wall
             faces use the one-sided extrapolation for the wall-parallel
             components (extrapolate skips the normal component's own
-            direction, sgs.f90:700-707)."""
+            direction, sgs.f90:700-707); same per component in y."""
             p = row(P, lg)
             if parallel and wall_lo:
                 p = jnp.where(jnp.logical_and(k == 0, lg == -1),
@@ -278,13 +347,22 @@ def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret,
             if parallel and wall_hi:
                 p = jnp.where(jnp.logical_and(k == klast, lg == tz),
                               2.0 * row(P, tz - 1) - row(P, tz - 2), p)
+            if has_ye and parallel_y:
+                r = _riota(p.shape)
+                if ywalls[0]:
+                    p = jnp.where((r == 7) & y_lo_t,
+                                  2.0 * p[8:9] - p[9:10], p)
+                if ywalls[1]:
+                    p = jnp.where((r == 8 + ty) & y_hi_t,
+                                  2.0 * p[7 + ty:8 + ty] - p[6 + ty:7 + ty],
+                                  p)
             return p
 
-        def filt_vel(P, kk, parallel):
+        def filt_vel(P, kk, parallel, parallel_y=False):
             """filter3d of the velocity window -> (ty, nx) at row kk."""
-            zf = 0.25 * (vel_row(P, kk - 1, parallel)
-                         + 2.0 * vel_row(P, kk, parallel)
-                         + vel_row(P, kk + 1, parallel))
+            zf = 0.25 * (vel_row(P, kk - 1, parallel, parallel_y)
+                         + 2.0 * vel_row(P, kk, parallel, parallel_y)
+                         + vel_row(P, kk + 1, parallel, parallel_y))
             q = 0.25 * (_roll_x(zf, -1, interpret) + 2.0 * zf
                         + _roll_x(zf, 1, interpret))
             q = 0.25 * (q[:-2] + 2.0 * q[1:-1] + q[2:])   # width ty+14
@@ -321,9 +399,9 @@ def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret,
                     tgt = (fm_o[q] if q < 6 else
                            fc_o[q - 6] if q < 9 else fl_o[q - 9])
                     tgt[kk] = out
-                fu_o[kk] = filt_vel(su, kk, True)
-                fv_o[kk] = filt_vel(sv, kk, True)
-                fw_o[kk] = filt_vel(sw, kk, False)
+                fu_o[kk] = filt_vel(su, kk, True, parallel_y=True)
+                fv_o[kk] = filt_vel(sv, kk, True, parallel_y=False)
+                fw_o[kk] = filt_vel(sw, kk, False, parallel_y=True)
                 s0_o[kk] = s0ring[sc2][7:7 + ty]
             return carry
 
@@ -332,12 +410,16 @@ def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret,
 
 
 def fused_dsmag_level1(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi,
-                       wall_lo, wall_hi, interpret=False, y_ext=False):
+                       wall_lo, wall_hi, interpret=False, y_ext=False,
+                       ye=None, yze=None, ywalls=None):
     """DS1: returns (fm[6], fvel[3], fc[3], fl[6], s0) interiors or None.
 
     u, v, w: corrected-fill velocity interiors; ue, ve, we: their z-edge
     stacks (is_correc fill — no wall-face rewrite, required by the +-2
-    window assembly).  y_ext: see pallas_kernels.fused_mom_rk."""
+    window assembly).  y_ext: see pallas_kernels.fused_mom_rk.
+    ye/yze + ywalls: 16-row y-edge bundle of the same fill (rows 3m per
+    field in u, v, w order) + per-side y-wall flags for non-periodic y
+    (duct/cavity class)."""
     nz, ny, nx = u.shape
     if y_ext:
         ny -= 16
@@ -352,44 +434,70 @@ def fused_dsmag_level1(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi,
         return None
     dzci_s = jnp.asarray(dzci, dt).reshape(-1, 1)
     dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
+    has_ye = ye is not None
+    yargs = (ye, yze) if has_ye else ()
     grid = (nz // tz, ny // ty)
     int_spec = pl.BlockSpec((tz, ty, nx), lambda k, j: (k, j, 0))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     kern = _ds1_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
-                       bool(wall_lo), bool(wall_hi), interpret, y_ext=y_ext)
+                       bool(wall_lo), bool(wall_hi), interpret, y_ext=y_ext,
+                       ywalls=ywalls if has_ye else None)
     outs = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[smem_spec, smem_spec] + [any_spec] * 6,
+        in_specs=[smem_spec, smem_spec] + [any_spec] * (6 + 2 * has_ye),
         out_specs=[int_spec] * 19,
         out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 19,
         scratch_shapes=[pltpu.VMEM((2, tz + 4, ty + 16, nx), dt)
                         for _ in range(3)]
+                       + ([pltpu.VMEM((2, tz + 4, 16, nx), dt)]
+                          if has_ye else [])
                        + [pltpu.VMEM((3, NWQ, ty + 14, nx), dt),
                           pltpu.VMEM((3, ty + 14, nx), dt),
-                          pltpu.SemaphoreType.DMA((2, 3, 9))],
+                          pltpu.SemaphoreType.DMA((2, 3 + has_ye, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(dzci_s, dzfi_s, u, v, w, ue, ve, we)
+    )(dzci_s, dzfi_s, u, v, w, ue, ve, we, *yargs)
     return outs[0:6], outs[6:9], outs[9:12], outs[12:18], outs[18]
 
 
-def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret, y_ext=False):
-    def kernel(alph2_s, dzci_s, dzfi_s, fu, fv, fw, fue, fve, fwe,
-               fm0, fm1, fm2, fm3, fm4, fm5,
-               fc0, fc1, fc2, fl0, fl1, fl2, fl3, fl4, fl5, s0_i,
-               *rest):
+def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret, y_ext=False,
+                ywalls=None):
+    has_ye = ywalls is not None
+    gj = ny // ty
+
+    def kernel(alph2_s, dzci_s, dzfi_s, fu, fv, fw, fue, fve, fwe, *rest):
+        rest = list(rest)
+        ye = yze = None
+        if has_ye:
+            ye, yze = rest[0], rest[1]
+            del rest[0:2]
+        (fm0, fm1, fm2, fm3, fm4, fm5,
+         fc0, fc1, fc2, fl0, fl1, fl2, fl3, fl4, fl5, s0_i) = rest[0:16]
+        del rest[0:16]
         if avg == 'cavity':
-            (visct_o, su2, sv2, sw2, sems) = rest
+            visct_o = rest.pop(0)
+            num_o = den_o = None
         else:
-            (num_o, den_o, su2, sv2, sw2, sems) = rest
+            num_o, den_o = rest[0:2]
+            del rest[0:2]
+        su2, sv2, sw2 = rest[0:3]
+        del rest[0:3]
+        sye2 = rest.pop(0) if has_ye else None
+        sems = rest[-1]
         k = pl.program_id(0)
         j = pl.program_id(1)
         z0 = k * tz
-        su, sv, sw = _pipelined_windows(
-            [(fu, fue, su2), (fv, fve, sv2), (fw, fwe, sw2)], sems,
-            nz, ny, tz, ty, k, j, interpret, y_ext=y_ext)
+        specs = [(fu, fue, su2), (fv, fve, sv2), (fw, fwe, sw2)]
+        if has_ye:
+            specs.append((ye, yze, sye2, 'ally'))
+        wins = _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j,
+                                  interpret, y_ext=y_ext)
+        su, sv, sw = wins[0:3]
+        sye = wins[3] if has_ye else None
+        y_lo_t = (j == 0) if has_ye else None
+        y_hi_t = (j == gj - 1) if has_ye else None
         fm_i = (fm0, fm1, fm2, fm3, fm4, fm5)
         fc_i = (fc0, fc1, fc2)
         fl_i = (fl0, fl1, fl2, fl3, fl4, fl5)
@@ -397,7 +505,10 @@ def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret, y_ext=False):
         def body(kk, carry):
             kz = z0 + kk + 1
             acc = _PlaneAccessor({id(su): su, id(sv): sv, id(sw): sw},
-                                 kk, ty, interpret=interpret)
+                                 kk, ty, interpret=interpret,
+                                 ye=sye,
+                                 ylane={id(su): 0, id(sv): 3, id(sw): 6},
+                                 ystag={id(sv)}, y_lo=y_lo_t, y_hi=y_hi_t)
             metrics = {
                 'dzci_c': dzci_s[kz, 0],
                 'dzci_m': dzci_s[kz - 1, 0],
@@ -407,6 +518,14 @@ def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret, y_ext=False):
                                             su, sv, sw, dxi, dyi,
                                             with_sij=True)
             a2 = alph2_s[kz, 0]
+            if has_ye and (ywalls[0] or ywalls[1]):
+                # first off-wall y layer has the 2.52 filter ratio
+                # (cmpt_alph2, sgs.f90:769-822)
+                rt = jax.lax.broadcasted_iota(jnp.int32, (ty, nx), 0)
+                if ywalls[0]:
+                    a2 = jnp.where((rt == 0) & y_lo_t, 2.52, a2)
+                if ywalls[1]:
+                    a2 = jnp.where((rt == ty - 1) & y_hi_t, 2.52, a2)
             mij = [2.0 * (fm_i[q][kk] - a2 * s0f * sijf[q])
                    for q in range(6)]
             fcs = [fc_i[0][kk], fc_i[1][kk], fc_i[2][kk]]
@@ -439,7 +558,8 @@ def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret, y_ext=False):
 
 def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0,
                        alph2_1d, dzci, dzfi, dxi, dyi, avg,
-                       interpret=False, y_ext=False):
+                       interpret=False, y_ext=False,
+                       ye=None, yze=None, ywalls=None):
     """DS2: Mij/Lij contraction from the DS1 outputs.
 
     fue..fwe: zedge stacks of the filtered-velocity BC fill (pad_vel
@@ -462,12 +582,15 @@ def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0,
         jnp.asarray(alph2_1d, dt))
     dzci_s = jnp.asarray(dzci, dt).reshape(-1, 1)
     dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
+    has_ye = ye is not None
+    yargs = (ye, yze) if has_ye else ()
     grid = (nz // tz, ny // ty)
     int_spec = pl.BlockSpec((tz, ty, nx), lambda k, j: (k, j, 0))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     kern = _ds2_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi), avg,
-                       interpret, y_ext=y_ext)
+                       interpret, y_ext=y_ext,
+                       ywalls=ywalls if has_ye else None)
     if avg == 'cavity':
         out_specs = int_spec
         out_shape = jax.ShapeDtypeStruct((nz, ny, nx), dt)
@@ -481,12 +604,16 @@ def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0,
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[smem_spec] * 3 + [any_spec] * 6 + [int_spec] * 16,
+        in_specs=[smem_spec] * 3 + [any_spec] * (6 + 2 * has_ye)
+                 + [int_spec] * 16,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
                         for _ in range(3)]
-                       + [pltpu.SemaphoreType.DMA((2, 3, 9))],
+                       + ([pltpu.VMEM((2, tz + 2, 16, nx), dt)]
+                          if has_ye else [])
+                       + [pltpu.SemaphoreType.DMA((2, 3 + has_ye, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(alph2_s, dzci_s, dzfi_s, fu, fv, fw, fue, fve, fwe, *fm, *fc, *fl, s0)
+    )(alph2_s, dzci_s, dzfi_s, fu, fv, fw, fue, fve, fwe, *yargs,
+      *fm, *fc, *fl, s0)

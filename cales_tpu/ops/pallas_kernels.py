@@ -72,7 +72,7 @@ def _np_roll_variant(p, i):
 
 
 def _zwin_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty, case,
-                 y_ext=False):
+                 y_ext=False, mode='tile'):
     """Async copies assembling the (tz+2, ty+16, nx) halo window for one
     field from its interior array + z-edge stack.
 
@@ -84,8 +84,17 @@ def _zwin_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty, case,
     ty interior rows, 8 wrap rows above (periodic y) — or, with y_ext=True
     (the shard_map path), ONE contiguous DMA from arrays that already carry
     8 exchanged halo rows on each y side (row y of the ext array = local
-    interior row y-8)."""
+    interior row y-8).
+
+    mode='ally': the source is a small bundle whose full y extent equals
+    the scratch's (e.g. the 16-row y-edge bundle): one whole-extent DMA per
+    z block, no tiling/wrap in y."""
     def ycop(src, sz, rows, dr, b):
+        if mode == 'ally':
+            return [
+                pltpu.make_async_copy(src.at[pl.ds(sz, rows)],
+                                      scr.at[pl.ds(dr, rows)], sem.at[b]),
+            ]
         y0a = pl.multiple_of(y0, 8)
         if y_ext:
             return [
@@ -121,16 +130,18 @@ def _zwin_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty, case,
 
 def _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, action,
                       y_ext=False):
-    """Start or wait the window DMAs of every (fint, zedge, scr, sem)
-    quadruple, branching once on the z-tile position.  `action` is 'start'
-    or 'wait'; both calls must use identical structure so every started
-    copy is waited exactly once."""
+    """Start or wait the window DMAs of every (fint, zedge, scr, sem[,
+    mode]) entry, branching once on the z-tile position.  `action` is
+    'start' or 'wait'; both calls must use identical structure so every
+    started copy is waited exactly once."""
     klast = nz // tz - 1
 
     def run(case):
-        for fint, zedge, scr, sem in fields:
+        for entry in fields:
+            fint, zedge, scr, sem = entry[:4]
+            mode = entry[4] if len(entry) > 4 else 'tile'
             for c in _zwin_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty,
-                                  case, y_ext=y_ext):
+                                  case, y_ext=y_ext, mode=mode):
                 getattr(c, action)()
 
     if klast == 0:
@@ -166,15 +177,27 @@ class _PlaneAccessor:
     field windows, so shifted reads pick corner-consistent values.
     """
 
-    def __init__(self, windows, kk, ty, interpret=False, xe=None, xlane=None):
+    def __init__(self, windows, kk, ty, interpret=False, xe=None, xlane=None,
+                 ye=None, ylane=None, ystag=None, y_lo=None, y_hi=None):
         self.win = windows            # dict: field key -> scratch ref
         self.kk = kk
         self.ty = ty
         self.interpret = interpret
         self.xe = xe
         self.xlane = xlane or {}
+        # y-wall ghost-row fix (see _fix_y): ye = 16-row bundle window;
+        # ylane: fid -> row base (rows base+0/1/2 = lo ghost, hi ghost,
+        # padded-ny rewrite); ystag: fids whose padded-ny row is rewritten
+        # (the y-staggered component under a prediction fill); y_lo / y_hi:
+        # traced booleans — this tile touches the lower / upper y wall
+        self.ye = ye
+        self.ylane = ylane or {}
+        self.ystag = ystag or set()
+        self.y_lo = y_lo
+        self.y_hi = y_hi
         self._cache = {}
         self._iota = None
+        self._riota = None
 
     def _fix_roll(self, p, fid, dk, di):
         if self.xe is None or fid not in self.xlane:
@@ -193,12 +216,40 @@ class _PlaneAccessor:
                              p)
         return jnp.where(self._iota == 0, xp[:, 2 * m:2 * m + 1], p)
 
+    def _fix_y(self, p, fid, dk):
+        """Replace the y-ghost rows of a wall-adjacent tile's window plane:
+        the wrap DMAs put periodic-wrap data there, which is wrong at a y
+        wall — rows 7 (padded y 0), 8+ty (padded ny+1) and, for the
+        y-staggered rewrite, 7+ty (padded ny) come from the ye bundle
+        (ops/boundary.yedge_*).  Only the +-1 rows a 3-point stencil reads
+        are fixed; deeper halo rows stay wrap garbage and are never read."""
+        if self.ye is None or fid not in self.ylane:
+            return p
+        base = self.ylane[fid]
+        ykey = ('ye', dk)
+        if ykey not in self._cache:
+            self._cache[ykey] = self.ye[self.kk + 1 + dk]
+        yp = self._cache[ykey]
+        if self._riota is None:
+            self._riota = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+        r = self._riota
+        if self.y_lo is not None:
+            p = jnp.where((r == 7) & self.y_lo, yp[base:base + 1], p)
+        if self.y_hi is not None:
+            p = jnp.where((r == 8 + self.ty) & self.y_hi,
+                          yp[base + 1:base + 2], p)
+            if fid in self.ystag:
+                p = jnp.where((r == 7 + self.ty) & self.y_hi,
+                              yp[base + 2:base + 3], p)
+        return p
+
     def plane(self, f, dk, di):
         key = (id(f), dk, di)
         if key not in self._cache:
             base_key = (id(f), dk, 0)
             if base_key not in self._cache:
-                self._cache[base_key] = self.win[id(f)][self.kk + 1 + dk]
+                self._cache[base_key] = self._fix_y(
+                    self.win[id(f)][self.kk + 1 + dk], id(f), dk)
             p = self._cache[base_key]
             if di == 1:
                 p = (_np_roll_variant(p, 1) if self.interpret else _roll_xp(p))
@@ -231,14 +282,14 @@ def pick_tiles(nz, ny, itemsize, nx, nwin=5, nio=9):
     return None
 
 
-def mom_tiles(nz, ny, itemsize, nx, split=None):
+def mom_tiles(nz, ny, itemsize, nx, split=None, fuse_fillps=False):
     """Tile pick with fused_mom_rk's exact VMEM budget (the largest of the
     kernel path) — the constructor gate MUST use this same function so a
     shape that passes the gate can never fail inside the wrapper.  split:
     the implicit-diffusion mode (None / '1d' / 'xy+z'), which adds three
-    diffusive-RHS outputs."""
+    diffusive-RHS outputs; fuse_fillps adds the projection-RHS output."""
     return pick_tiles(nz, ny, itemsize, nx, nwin=10,
-                      nio=9 if split is None else 12)
+                      nio=(9 if split is None else 12) + 2 * fuse_fillps)
 
 
 def _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j, interpret,
@@ -260,15 +311,15 @@ def _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j, interpret,
         gj_t = jnp.asarray(gj, jnp.int32)
         k2 = jax.lax.div(jnp.asarray(tt, jnp.int32), gj_t)
         j2 = jax.lax.rem(jnp.asarray(tt, jnp.int32), gj_t)
-        fields = [(f, e, scr2.at[sl], sems.at[sl, m])
-                  for m, (f, e, scr2) in enumerate(specs)]
+        fields = [(s[0], s[1], s[2].at[sl], sems.at[sl, m]) + tuple(s[3:])
+                  for m, s in enumerate(specs)]
         _assemble_windows(fields, k2, k2 * tz, j2 * ty, ny, nz, tz, ty,
                           action, y_ext=y_ext)
 
     if interpret:
         assemble(t, 0, 'start')
         assemble(t, 0, 'wait')
-        return [scr2.at[0] for _, _, scr2 in specs]
+        return [s[2].at[0] for s in specs]
 
     slot = jax.lax.rem(t, 2)
 
@@ -282,19 +333,42 @@ def _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j, interpret,
     def _():
         assemble(t + 1, jax.lax.rem(t + 1, 2), 'start')
 
-    return [scr2.at[slot] for _, _, scr2 in specs]
+    return [s[2].at[slot] for s in specs]
 
 
 def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
-                y_ext=False, split=None, has_xe=False):
+                y_ext=False, split=None, has_xe=False,
+                ywalls=(False, False), fuse_fillps=False, wrec=None,
+                sum_flags=(False, False)):
+    """fuse_fillps: also emit the projection RHS div(u_new)/dt_rk in the
+    same pass (fillps.f90 folded into the momentum tail): the RHS core is
+    evaluated one y row wide (row 7, the j-1 neighbor of tile row 0 — the
+    v RK update there needs the rvo halo strip), the w(k-1) face flows
+    through a fori carry + a per-y-tile stash across z tiles, and the
+    prediction fill's z faces are synthesized from `wrec` (w's z-ghost
+    recipe; periodic z is gated out).  The deferred-forcing contract:
+    bulk forcing along PERIODIC directions adds a constant, which cancels
+    in the divergence, so the caller measures the bulk means from the
+    `sum_flags` partial-sum outputs and folds the forcing constants into
+    the projection kernel instead (rk.f90:197-222 reordered, exactly)."""
+    has_ye = any(ywalls)
+    gj = ny // ty
+    klast = nz // tz - 1
+
     def kernel(sc, dzci_s, dzfi_s, u, v, w, s, p, ue, ve, we, se, pe, *rest):
         rest = list(rest)
-        xe = xze = None
+        xe = xze = ye = yze = None
         if has_xe:
             xe, xze = rest[0], rest[1]
             del rest[0:2]
+        if has_ye:
+            ye, yze = rest[0], rest[1]
+            del rest[0:2]
         ruo, rvo, rwo = rest[0:3]
         del rest[0:3]
+        rvo_any = None
+        if fuse_fillps:
+            rvo_any = rest.pop(0)
         if split is None:
             u_o, v_o, w_o, ru_o, rv_o, rw_o = rest[0:6]
             del rest[0:6]
@@ -302,8 +376,25 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
             (u_o, v_o, w_o, ru_o, rv_o, rw_o,
              rud_o, rvd_o, rwd_o) = rest[0:9]
             del rest[0:9]
+        rhs_o = usum_o = vsum_o = None
+        if fuse_fillps:
+            rhs_o = rest.pop(0)
+            if sum_flags[0]:
+                usum_o = rest.pop(0)
+            if sum_flags[1]:
+                vsum_o = rest.pop(0)
         su2, sv2, sw2, ss2, sp2 = rest[0:5]
-        sxe2 = rest[5] if has_xe else None
+        del rest[0:5]
+        sxe2 = sye2 = None
+        if has_xe:
+            sxe2 = rest.pop(0)
+        if has_ye:
+            sye2 = rest.pop(0)
+        strip = wstash = ssem = None
+        if fuse_fillps:
+            strip = rest.pop(0)
+            wstash = rest.pop(0)
+            ssem = rest.pop(0)
         sems = rest[-1]
         k = pl.program_id(0)
         j = pl.program_id(1)
@@ -312,22 +403,43 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
                  (p, pe, sp2)]
         if has_xe:
             specs.append((xe, xze, sxe2))
+        if has_ye:
+            specs.append((ye, yze, sye2, 'ally'))
         wins = _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j,
                                   interpret, y_ext=y_ext)
         su, sv, sw, ss, sp_ = wins[0:5]
         sxe = wins[5] if has_xe else None
+        sye = wins[5 + has_xe] if has_ye else None
+        y_lo = (j == 0) if ywalls[0] else None
+        y_hi = (j == gj - 1) if ywalls[1] else None
+        if fuse_fillps:
+            # rvo halo strip (the j-1 row's previous-RHS, y-wrap aligned)
+            ylo = pl.multiple_of((j * ty - 8) % ny, 8)
+            cp = pltpu.make_async_copy(
+                rvo_any.at[pl.ds(z0, tz), pl.ds(ylo, 8)], strip, ssem)
+            cp.start()
+            cp.wait()
 
         f1 = sc[0, 0]
         f2 = sc[0, 1]
         f12 = f1 + f2
+        # V slices one row wide when fusing fillps (row 0 <-> global j-1)
+        voff, vext = (7, ty + 1) if fuse_fillps else (8, ty)
 
-        def body(kk, _):
+        def body(kk, w_prev):
             kz = z0 + kk + 1          # padded z index (Fortran k)
             acc = _PlaneAccessor(
                 {id(su): su, id(sv): sv, id(sw): sw, id(ss): ss, id(sp_): sp_},
                 kk, ty, interpret=interpret, xe=sxe,
                 xlane={id(su): 0, id(sv): 1, id(sw): 2, id(ss): 3,
-                       id(sp_): 4})
+                       id(sp_): 4},
+                ye=sye, ylane={id(su): 0, id(sv): 3, id(sw): 6, id(ss): 9,
+                               id(sp_): 12},
+                ystag={id(sv)}, y_lo=y_lo, y_hi=y_hi)
+
+            def V(f, k=0, j=0, i=0):
+                return acc.plane(f, k, i)[voff + j:voff + j + vext]
+
             metrics = {
                 'dzci_c': dzci_s[kz, 0],
                 'dzci_m': dzci_s[kz - 1, 0],
@@ -335,7 +447,7 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
                 'dzfi_p': dzfi_s[kz + 1, 0],
             }
             (eu, exyu, ezu), (ev, exyv, ezv), (ew, exyw, ezw) = \
-                st.momentum_rhs_core(acc.V, metrics.__getitem__,
+                st.momentum_rhs_core(V, metrics.__getitem__,
                                      su, sv, sw, ss, visc, dxi, dyi)
             # explicit/implicit split (mom.f90:277-303 runtime analogue)
             if split is None:
@@ -347,32 +459,81 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
             else:
                 ru, rv, rw = eu, ev, ew
                 rud, rvd, rwd = exyu + ezu, exyv + ezv, exyw + ezw
-            pc = acc.V(sp_)
-            gpx = dxi * (acc.V(sp_, i=1) - pc)
-            gpy = dyi * (acc.V(sp_, j=1) - pc)
-            gpz = metrics['dzci_c'] * (acc.V(sp_, k=1) - pc)
-            un = acc.V(su) + f1 * ru + f2 * ruo[kk] + f12 * (bforce[0] - gpx)
-            vn = acc.V(sv) + f1 * rv + f2 * rvo[kk] + f12 * (bforce[1] - gpy)
-            wn = acc.V(sw) + f1 * rw + f2 * rwo[kk] + f12 * (bforce[2] - gpz)
-            if split is not None:
-                # the full diffusive term enters the RK update; the caller
-                # subtracts 0.5*f12*rd before the CN Helmholtz solves
-                # (rk.f90:90-94 + main.f90:423-431 ordering)
-                un = un + f12 * rud
-                vn = vn + f12 * rvd
-                wn = wn + f12 * rwd
-                rud_o[kk] = rud
-                rvd_o[kk] = rvd
-                rwd_o[kk] = rwd
+            pc = V(sp_)
+            gpx = dxi * (V(sp_, i=1) - pc)
+            gpy = dyi * (V(sp_, j=1) - pc)
+            gpz = metrics['dzci_c'] * (V(sp_, k=1) - pc)
+            if not fuse_fillps:
+                un = V(su) + f1 * ru + f2 * ruo[kk] + f12 * (bforce[0] - gpx)
+                vn = V(sv) + f1 * rv + f2 * rvo[kk] + f12 * (bforce[1] - gpy)
+                wn = V(sw) + f1 * rw + f2 * rwo[kk] + f12 * (bforce[2] - gpz)
+                if split is not None:
+                    # the full diffusive term enters the RK update; the
+                    # caller subtracts 0.5*f12*rd before the CN Helmholtz
+                    # solves (rk.f90:90-94 + main.f90:423-431 ordering)
+                    un = un + f12 * rud
+                    vn = vn + f12 * rvd
+                    wn = wn + f12 * rwd
+                    rud_o[kk] = rud
+                    rvd_o[kk] = rvd
+                    rwd_o[kk] = rwd
+                u_o[kk] = un
+                v_o[kk] = vn
+                w_o[kk] = wn
+                ru_o[kk] = ru
+                rv_o[kk] = rv
+                rw_o[kk] = rw
+                return 0
+
+            # --- fused fillps tail (explicit path only) ---
+            un = (V(su)[1:] + f1 * ru[1:] + f2 * ruo[kk]
+                  + f12 * (bforce[0] - gpx[1:]))
+            rvo_ext = jnp.concatenate([strip[kk, 7:8], rvo[kk]], axis=0)
+            vn_w = (V(sv) + f1 * rv + f2 * rvo_ext
+                    + f12 * (bforce[1] - gpy))          # (ty+1, nx)
+            wn = (V(sw)[1:] + f1 * rw[1:] + f2 * rwo[kk]
+                  + f12 * (bforce[2] - gpz[1:]))
+            vn = vn_w[1:]
             u_o[kk] = un
             v_o[kk] = vn
             w_o[kk] = wn
-            ru_o[kk] = ru
-            rv_o[kk] = rv
-            rw_o[kk] = rw
-            return 0
+            ru_o[kk] = ru[1:]
+            rv_o[kk] = rv[1:]
+            rw_o[kk] = rw[1:]
 
-        jax.lax.fori_loop(0, tz, body, 0)
+            # prediction-fill z faces (set_bc on the new field; wrec =
+            # (lt_lo, b_lo, dr_lo, lt_hi, b_hi, dr_hi) for w's z faces)
+            lt_lo, b_lo, dr_lo, lt_hi, b_hi, dr_hi = wrec
+            w_km = w_prev
+            at_lo = jnp.logical_and(k == 0, kk == 0)
+            glo = (jnp.full_like(wn, b_lo) if lt_lo == 'D'
+                   else -dr_lo * b_lo + wn)
+            w_km = jnp.where(at_lo, glo, w_km)
+            at_hi = jnp.logical_and(k == klast, kk == tz - 1)
+            ghi = (jnp.full_like(wn, b_hi) if lt_hi == 'D'
+                   else dr_hi * b_hi + w_prev)
+            w_cur = jnp.where(at_hi, ghi, wn)
+
+            dti = 1.0 / f12
+            un_m = (_np_roll_variant(un, -1) if interpret else _roll_xm(un))
+            rhs_o[kk] = ((w_cur - w_km) * dti * dzfi_s[kz, 0]
+                         + (vn_w[1:] - vn_w[:-1]) * (dti * dyi)
+                         + (un - un_m) * (dti * dxi))
+            if sum_flags[0]:
+                usum_o[kk] = jnp.broadcast_to(jnp.sum(un).reshape(1, 1),
+                                              (8, 128))
+            if sum_flags[1]:
+                vsum_o[kk] = jnp.broadcast_to(jnp.sum(vn).reshape(1, 1),
+                                              (8, 128))
+            @pl.when(kk == tz - 1)
+            def _():
+                wstash[j] = wn
+            return wn
+
+        # fused carry: w face of the previous z plane; seeded from the
+        # per-y-tile stash written by the previous z tile (sequential grid)
+        init = wstash[j] if fuse_fillps else 0
+        jax.lax.fori_loop(0, tz, body, init)
     return kernel
 
 
@@ -386,7 +547,9 @@ def _grid_specs(nz, ny, nx, tz, ty):
 
 def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                  dzci, dzfi, f1, f2, visc, dxi, dyi, bforce, interpret=False,
-                 y_ext=False, split=None, xe=None, xze=None):
+                 y_ext=False, split=None, xe=None, xze=None,
+                 ye=None, yze=None, ywalls=(False, False),
+                 fuse_fillps=False, wrec=None, sum_flags=(False, False)):
     """Momentum RHS + RK3 update in one HBM pass.
 
     u..p: interior (nz, ny, nx) fields; ue..pe: (3, ny, nx) z-edge stacks
@@ -406,7 +569,12 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
 
     xe/xze: packed x-ghost-column bundle (+ its z-edge stack) for x-SHARDED
     runs — see _PlaneAccessor; lane layout 2m/2m+1 for window field m in
-    (u, v, w, s, p) order."""
+    (u, v, w, s, p) order.
+
+    ye/yze + ywalls: packed 16-row y-edge bundle (+ its z-edge corner
+    stack) for y-WALLED configs (duct/cavity class): rows 3m+0/1/2 = lo
+    ghost / hi ghost / padded-ny row per field; the wall-adjacent tiles'
+    wrap rows are fixed in-register (_PlaneAccessor._fix_y)."""
     nz, ny, nx = u.shape
     if y_ext:
         ny -= 16
@@ -423,29 +591,56 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
     dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
 
     has_xe = xe is not None
+    has_ye = ye is not None
+    if fuse_fillps:
+        assert split is None and not y_ext and not has_xe and not has_ye
     nout = 6 if split is None else 9
-    nwin = 6 if has_xe else 5
+    nwin = 5 + has_xe + has_ye
+    gj = ny // ty
     grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
     kern = _mom_kernel(tz, ty, nz, ny, nx, float(visc), float(dxi), float(dyi),
                        tuple(float(b) for b in bforce), interpret,
-                       y_ext=y_ext, split=split, has_xe=has_xe)
+                       y_ext=y_ext, split=split, has_xe=has_xe,
+                       ywalls=ywalls if has_ye else (False, False),
+                       fuse_fillps=fuse_fillps, wrec=wrec,
+                       sum_flags=sum_flags)
     xargs = (xe, xze) if has_xe else ()
+    yargs = (ye, yze) if has_ye else ()
+    fargs = (rvo,) if fuse_fillps else ()     # rvo again, halo-strip source
+    out_specs = [int_spec] * nout
+    out_shape = [jax.ShapeDtypeStruct((nz, ny, nx), dt)] * nout
+    fextra = []
+    if fuse_fillps:
+        out_specs.append(int_spec)
+        out_shape.append(jax.ShapeDtypeStruct((nz, ny, nx), dt))
+        sum_spec = pl.BlockSpec((tz, 8, 128), lambda k, j: (k, j, 0))
+        for flag in sum_flags:
+            if flag:
+                out_specs.append(sum_spec)
+                out_shape.append(jax.ShapeDtypeStruct((nz, gj * 8, 128), dt))
+        fextra = [pltpu.VMEM((tz, 8, nx), dt),
+                  pltpu.VMEM((gj, ty, nx), dt),
+                  pltpu.SemaphoreType.DMA(())]
     outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[smem_spec, smem_spec, smem_spec]
-                 + [any_spec] * (10 + 2 * has_xe) + [int_spec] * 3,
-        out_specs=[int_spec] * nout,
-        out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * nout,
+                 + [any_spec] * (10 + 2 * has_xe + 2 * has_ye)
+                 + [int_spec] * 3 + [any_spec] * len(fargs),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
                         for _ in range(5)]
                        + ([pltpu.VMEM((2, tz + 2, ty + 16, 128), dt)]
                           if has_xe else [])
+                       + ([pltpu.VMEM((2, tz + 2, 16, nx), dt)]
+                          if has_ye else [])
+                       + fextra
                        + [pltpu.SemaphoreType.DMA((2, nwin, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(sc, dzci_s, dzfi_s, u, v, w, s, p, ue, ve, we, se, pe, *xargs,
-      ruo, rvo, rwo)
+    )(sc, dzci_s, dzfi_s, u, v, w, s, p, ue, ve, we, se, pe, *xargs, *yargs,
+      ruo, rvo, rwo, *fargs)
     return outs
 
 
@@ -572,15 +767,26 @@ def fused_smag(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi, visc, cs_delta2_1d,
 
 
 def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
-                   has_xe=False):
+                   has_xe=False, ywalls=(False, False)):
+    has_ye = any(ywalls)
+    gj = ny // ty
+
     def kernel(sc, dzfi_s, u, v, w, ue, ve, we, *rest):
         rest = list(rest)
-        xe = xze = None
+        xe = xze = ye = yze = None
         if has_xe:
             xe, xze = rest[0], rest[1]
             del rest[0:2]
+        if has_ye:
+            ye, yze = rest[0], rest[1]
+            del rest[0:2]
         rhs_o, su2, sv2, sw2 = rest[0:4]
-        sxe2 = rest[4] if has_xe else None
+        del rest[0:4]
+        sxe2 = sye2 = None
+        if has_xe:
+            sxe2 = rest.pop(0)
+        if has_ye:
+            sye2 = rest.pop(0)
         sems = rest[-1]
         k = pl.program_id(0)
         j = pl.program_id(1)
@@ -588,17 +794,25 @@ def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
         specs = [(u, ue, su2), (v, ve, sv2), (w, we, sw2)]
         if has_xe:
             specs.append((xe, xze, sxe2))
+        if has_ye:
+            specs.append((ye, yze, sye2, 'ally'))
         wins = _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j,
                                   interpret, y_ext=y_ext)
         su, sv, sw = wins[0:3]
         sxe = wins[3] if has_xe else None
+        sye = wins[3 + has_xe] if has_ye else None
+        y_lo = (j == 0) if ywalls[0] else None
+        y_hi = (j == gj - 1) if ywalls[1] else None
         dti = sc[0, 0]
 
         def body(kk, _):
             kz = z0 + kk + 1
             acc = _PlaneAccessor({id(su): su, id(sv): sv, id(sw): sw},
                                  kk, ty, interpret=interpret, xe=sxe,
-                                 xlane={id(su): 0, id(sv): 1, id(sw): 2})
+                                 xlane={id(su): 0, id(sv): 1, id(sw): 2},
+                                 ye=sye,
+                                 ylane={id(su): 0, id(sv): 3, id(sw): 6},
+                                 ystag={id(sv)}, y_lo=y_lo, y_hi=y_hi)
             rhs_o[kk] = ((acc.V(sw) - acc.V(sw, k=-1)) * dti * dzfi_s[kz, 0]
                          + (acc.V(sv) - acc.V(sv, j=-1)) * (dti * dyi)
                          + (acc.V(su) - acc.V(su, i=-1)) * (dti * dxi))
@@ -609,13 +823,16 @@ def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
 
 
 def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False,
-                 y_ext=False, xe=None, xze=None):
+                 y_ext=False, xe=None, xze=None, ye=None, yze=None,
+                 ywalls=(False, False)):
     """Poisson RHS div(u)/dt_rk in one pass (fillps.f90:14-48).
 
     u, v, w: prediction-velocity interiors; ue, ve, we: prediction-fill
     z-edge stacks; dti: traced 1/dt_rk.  Returns (nz, ny, nx) or None.
     y_ext: see fused_mom_rk.  xe/xze: x-ghost bundle in (u, v, w) lane
-    order for x-sharded runs."""
+    order for x-sharded runs.  ye/yze + ywalls: y-edge bundle (rows
+    3m+0/1/2 per field) — v's padded-ny rewrite row is REQUIRED here (the
+    prediction fill's wall-face value enters the divergence)."""
     nz, ny, nx = u.shape
     if y_ext:
         ny -= 16
@@ -629,36 +846,236 @@ def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False,
     sc = jnp.asarray(dti, dt).reshape(1, 1)
     dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
     has_xe = xe is not None
+    has_ye = ye is not None
     xargs = (xe, xze) if has_xe else ()
+    yargs = (ye, yze) if has_ye else ()
+    nwin = 3 + has_xe + has_ye
     grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
     kern = _fillps_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
-                          interpret, y_ext=y_ext, has_xe=has_xe)
+                          interpret, y_ext=y_ext, has_xe=has_xe,
+                          ywalls=ywalls if has_ye else (False, False))
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[smem_spec, smem_spec] + [any_spec] * (6 + 2 * has_xe),
+        in_specs=[smem_spec, smem_spec]
+                 + [any_spec] * (6 + 2 * has_xe + 2 * has_ye),
         out_specs=int_spec,
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
         scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
                         for _ in range(3)]
                        + ([pltpu.VMEM((2, tz + 2, ty + 16, 128), dt)]
                           if has_xe else [])
-                       + [pltpu.SemaphoreType.DMA((2, 3 + has_xe, 9))],
+                       + ([pltpu.VMEM((2, tz + 2, 16, nx), dt)]
+                          if has_ye else [])
+                       + [pltpu.SemaphoreType.DMA((2, nwin, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(sc, dzfi_s, u, v, w, ue, ve, we, *xargs)
+    )(sc, dzfi_s, u, v, w, ue, ve, we, *xargs, *yargs)
+
+
+def _roll_rows_up(p, interpret):
+    """plane with row r holding input row r+1 (sublane roll; the wrapped
+    last row is never read by the callers)."""
+    if interpret:
+        return jnp.roll(p, -1, axis=0)
+    return pltpu.roll(p, p.shape[0] - 1, 0)
+
+
+def _correc_smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls,
+                        zrec, interpret):
+    """Velocity correction + pressure update + static-Smagorinsky nu_t in
+    ONE pass: the strain rate is evaluated on corrected values built
+    in-register from the prediction windows + the pp window (correc.f90 +
+    updatep.f90 + sgs.f90:69-152 fused).  Single-chip, periodic x/y,
+    non-periodic z, scalar BCs, no wall model (timeloop gates).
+
+    zrec: per-field (u, v) z-ghost recipes (lt_lo, b_lo, dr_lo, lt_hi,
+    b_hi, dr_hi) — the post-correction fill's ghosts are synthesized from
+    corrected interior planes (the prediction ghosts corrected in-head
+    would carry the pre-projection gradient, which is wrong for D/N
+    letters); w's z=0 face keeps its corrected value (impose_norm_bc
+    =.false.) so its generic in-head correction IS the post-fill value."""
+    klast = nz // tz - 1
+
+    def kernel(sc, dzci_s, dzfi_s, csd2_s, dw_s, msk_s,
+               u, v, w, pp, ue, ve, we, ppe, tlo, thi, p_i,
+               u_o, v_o, w_o, p_o, s_o, su2, sv2, sw2, spp2, sems):
+        k = pl.program_id(0)
+        j = pl.program_id(1)
+        z0 = k * tz
+        su, sv, sw, spp = _pipelined_windows(
+            [(u, ue, su2), (v, ve, sv2), (w, we, sw2), (pp, ppe, spp2)],
+            sems, nz, ny, tz, ty, k, j, interpret)
+        dtrk = sc[0, 0]
+        fu = sc[0, 2]     # deferred bulk-forcing constants (fused-fillps
+        fv = sc[0, 3]     # momentum path; zero otherwise)
+
+        def ghost(letters_b_dr, side, q1):
+            lt, b, dr = letters_b_dr[3 * side:3 * side + 3]
+            if lt == 'D':
+                return 2.0 * b - q1
+            return (-dr * b + q1) if side == 0 else (dr * b + q1)
+
+        def body(kk, _):
+            kz = z0 + kk + 1
+            acc = _PlaneAccessor(
+                {id(su): su, id(sv): sv, id(sw): sw, id(spp): spp},
+                kk, ty, interpret=interpret)
+            ccache = {}
+
+            def cbase(P, dk):
+                """corrected plane at z offset dk (cached)."""
+                if (id(P), dk) in ccache:
+                    return ccache[(id(P), dk)]
+                ppc = acc.plane(spp, dk, 0)
+                if P is sw:
+                    q = acc.plane(sw, dk, 0) - dtrk * dzci_s[kz + dk, 0] * (
+                        acc.plane(spp, dk + 1, 0) - ppc)
+                elif P is su:
+                    q = fu + acc.plane(su, dk, 0) - dtrk * dxi * (
+                        acc.plane(spp, dk, 1) - ppc)
+                else:
+                    q = fv + acc.plane(sv, dk, 0) - dtrk * dyi * (
+                        _roll_rows_up(ppc, interpret) - ppc)
+                if P is not sw and dk != 0:
+                    # global z-ghost planes: post-fill synthesis from the
+                    # corrected first/last interior plane
+                    rec = zrec[0] if P is su else zrec[1]
+                    if dk == -1:
+                        cond = jnp.logical_and(k == 0, kk == 0)
+                        q = jnp.where(cond, ghost(rec, 0, cbase(P, 0)), q)
+                    else:
+                        cond = jnp.logical_and(k == klast, kk == tz - 1)
+                        q = jnp.where(cond, ghost(rec, 1, cbase(P, 0)), q)
+                ccache[(id(P), dk)] = q
+                return q
+
+            def cplane(P, dk, di):
+                key = (id(P), dk, di)
+                if key not in ccache:
+                    p = cbase(P, dk)
+                    if di == 1:
+                        p = (_np_roll_variant(p, 1) if interpret
+                             else _roll_xp(p))
+                    elif di == -1:
+                        p = (_np_roll_variant(p, -1) if interpret
+                             else _roll_xm(p))
+                    ccache[key] = p
+                return ccache[key]
+
+            def cV(P, k=0, j=0, i=0):
+                return cplane(P, k, i)[8 + j:8 + j + ty]
+
+            u_o[kk] = cV(su)
+            v_o[kk] = cV(sv)
+            w_o[kk] = cV(sw)
+            p_o[kk] = p_i[kk] + acc.V(spp)
+
+            metrics = {
+                'dzci_c': dzci_s[kz, 0],
+                'dzci_m': dzci_s[kz - 1, 0],
+                'dzfi_c': dzfi_s[kz, 0],
+            }
+            s0 = st.strain_rate_core(cV, metrics.__getitem__,
+                                     su, sv, sw, dxi, dyi)
+            if have_zwalls:
+                tauw = jnp.where(msk_s[kz, 0] > 0.5, tlo[0], thi[0])
+                tauw_s = 0.5 * visc * tauw
+                dw_plus = dw_s[kz, 0] * jnp.sqrt(tauw_s) / visc
+                fd = 1.0 - jnp.exp(-dw_plus / 25.0)
+                s_o[kk] = csd2_s[kz, 0] * fd * fd * s0
+            else:
+                s_o[kk] = csd2_s[kz, 0] * s0
+            return 0
+
+        jax.lax.fori_loop(0, tz, body, 0)
+    return kernel
+
+
+def fused_correc_updatep_smag(u, v, w, pp, p, ue, ve, we, ppe, dtrk,
+                              dxi, dyi, dzci, dzfi, visc, cs_delta2_1d,
+                              zrec, dw_1d=None, nearlo_1d=None,
+                              tauw_lo=None, tauw_hi=None, interpret=False,
+                              fu=0.0, fv=0.0):
+    """Projection + pressure update + static Smagorinsky in one HBM pass
+    (explicit-diffusion channel class): reads the prediction-velocity and
+    solver-output windows ONCE and emits (u, v, w, p, nu_t) — removes the
+    separate smag kernel's 3 window reads + 1 write per substep.
+
+    ue/ve/we: PREDICTION z-edge stacks (is_correc=False); zrec: z-ghost
+    recipes for (u, v) — see _correc_smag_kernel; tauw planes are computed
+    by the caller from the host-side-corrected wall-adjacent planes."""
+    nz, ny, nx = u.shape
+    dt = u.dtype
+    if nx % 128 or ny % 8:
+        return None
+    tiles = pick_tiles(nz, ny, dt.itemsize, nx, nwin=8, nio=6)
+    if tiles is None:
+        return None
+    tz, ty = tiles
+    sc = jnp.stack([jnp.asarray(dtrk, dt), jnp.asarray(0.0, dt),
+                    jnp.asarray(fu, dt),
+                    jnp.asarray(fv, dt)]).reshape(1, 4)
+    dzci_s = jnp.asarray(dzci, dt).reshape(-1, 1)
+    dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
+    have_zwalls = dw_1d is not None
+
+    def prof(p_):
+        return jnp.zeros((nz + 2,), dt).at[1:nz + 1].set(
+            jnp.asarray(p_, dt)).reshape(-1, 1)
+
+    csd2 = prof(cs_delta2_1d)
+    dw = prof(dw_1d if have_zwalls else np.zeros(nz))
+    msk = prof(nearlo_1d if have_zwalls else np.zeros(nz))
+    if tauw_lo is None:
+        tauw_lo = jnp.zeros((1, ny, nx), dt)
+        tauw_hi = jnp.zeros((1, ny, nx), dt)
+    else:
+        tauw_lo = jnp.asarray(tauw_lo, dt).reshape(1, ny, nx)
+        tauw_hi = jnp.asarray(tauw_hi, dt).reshape(1, ny, nx)
+
+    grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
+    plane_spec = pl.BlockSpec((1, ty, nx), lambda k, j: (0, j, 0))
+    kern = _correc_smag_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
+                               float(visc), have_zwalls, zrec, interpret)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[smem_spec] * 6 + [any_spec] * 8 + [plane_spec] * 2
+                 + [int_spec],
+        out_specs=[int_spec] * 5,
+        out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 5,
+        scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
+                        for _ in range(4)]
+                       + [pltpu.SemaphoreType.DMA((2, 4, 9))],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(sc, dzci_s, dzfi_s, csd2, dw, msk, u, v, w, pp, ue, ve, we, ppe,
+      tauw_lo, tauw_hi, p)
 
 
 def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
-                   impdiff=False, impdiff_1d=False, has_xe=False):
+                   impdiff=False, impdiff_1d=False, has_xe=False,
+                   ywalls=(False, False)):
+    has_ye = any(ywalls)
+    gj = ny // ty
+
     def kernel(sc, dzci_s, dzfi_s, w, pp, we, ppe, *rest):
         rest = list(rest)
-        xe = xze = None
+        xe = xze = ye = yze = None
         if has_xe:
             xe, xze = rest[0], rest[1]
             del rest[0:2]
+        if has_ye:
+            ye, yze = rest[0], rest[1]
+            del rest[0:2]
         (u_i, v_i, p_i, u_o, v_o, w_o, p_o, sw2, spp2) = rest[0:9]
-        sxe2 = rest[9] if has_xe else None
+        del rest[0:9]
+        sxe2 = sye2 = None
+        if has_xe:
+            sxe2 = rest.pop(0)
+        if has_ye:
+            sye2 = rest.pop(0)
         sems = rest[-1]
         k = pl.program_id(0)
         j = pl.program_id(1)
@@ -666,21 +1083,38 @@ def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
         specs = [(w, we, sw2), (pp, ppe, spp2)]
         if has_xe:
             specs.append((xe, xze, sxe2))
+        if has_ye:
+            specs.append((ye, yze, sye2, 'ally'))
         wins = _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j,
                                   interpret, y_ext=y_ext)
         sw, spp = wins[0:2]
         sxe = wins[2] if has_xe else None
+        sye = wins[2 + has_xe] if has_ye else None
+        y_lo = (j == 0) if ywalls[0] else None
+        y_hi = (j == gj - 1) if ywalls[1] else None
         dtrk = sc[0, 0]
         alpha = sc[0, 1]
+        fu = sc[0, 2]     # deferred bulk-forcing constants (fused-fillps
+        fv = sc[0, 3]     # momentum path; zero otherwise)
 
         def body(kk, _):
             kz = z0 + kk + 1
             acc = _PlaneAccessor({id(sw): sw, id(spp): spp}, kk, ty,
                                  interpret=interpret, xe=sxe,
-                                 xlane={id(sw): 0, id(spp): 1})
+                                 xlane={id(sw): 0, id(spp): 1},
+                                 ye=sye, ylane={id(sw): 0, id(spp): 3},
+                                 y_lo=y_lo, y_hi=y_hi)
             ppc = acc.V(spp)
-            u_o[kk] = u_i[kk] - dtrk * dxi * (acc.V(spp, i=1) - ppc)
-            v_o[kk] = v_i[kk] - dtrk * dyi * (acc.V(spp, j=1) - ppc)
+            vin = v_i[kk]
+            if ywalls[1]:
+                # v's interior last row is the wall face: the prediction
+                # fill's set_bc rewrite (bundle row 8 = v rewrite) must
+                # enter the correction (correc.f90:45-67 padded sweep)
+                riota = jax.lax.broadcasted_iota(jnp.int32, vin.shape, 0)
+                vrw = sye[kk + 1][8:9]
+                vin = jnp.where((riota == ty - 1) & y_hi, vrw, vin)
+            u_o[kk] = fu + u_i[kk] - dtrk * dxi * (acc.V(spp, i=1) - ppc)
+            v_o[kk] = fv + vin - dtrk * dyi * (acc.V(spp, j=1) - ppc)
             w_o[kk] = acc.V(sw) - dtrk * dzci_s[kz, 0] * (acc.V(spp, k=1) - ppc)
             pn = p_i[kk] + ppc
             if impdiff:
@@ -704,7 +1138,8 @@ def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
 def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
                          interpret=False, y_ext=False,
                          alpha=0.0, impdiff=False, impdiff_1d=False,
-                         dzfi=None, xe=None, xze=None):
+                         dzfi=None, xe=None, xze=None, ye=None, yze=None,
+                         ywalls=(False, False), fu=0.0, fv=0.0):
     """Velocity correction + pressure update in one pass (correc.f90:14-68,
     updatep.f90:14-24 explicit-diffusion branch).
 
@@ -726,29 +1161,37 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
     if tiles is None:
         return None
     tz, ty = tiles
-    sc = jnp.stack([jnp.asarray(dtrk, dt),
-                    jnp.asarray(alpha, dt)]).reshape(1, 2)
+    sc = jnp.stack([jnp.asarray(dtrk, dt), jnp.asarray(alpha, dt),
+                    jnp.asarray(fu, dt),
+                    jnp.asarray(fv, dt)]).reshape(1, 4)
     dzci_s = jnp.asarray(dzci, dt).reshape(-1, 1)
     dzfi_s = jnp.asarray(dzfi if dzfi is not None else np.zeros(nz + 2),
                          dt).reshape(-1, 1)
     has_xe = xe is not None
+    has_ye = ye is not None
     xargs = (xe, xze) if has_xe else ()
+    yargs = (ye, yze) if has_ye else ()
+    nwin = 2 + has_xe + has_ye
     grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
     kern = _correc_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
                           interpret, y_ext=y_ext, impdiff=impdiff,
-                          impdiff_1d=impdiff_1d, has_xe=has_xe)
+                          impdiff_1d=impdiff_1d, has_xe=has_xe,
+                          ywalls=ywalls if has_ye else (False, False))
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[smem_spec, smem_spec, smem_spec]
-                 + [any_spec] * (4 + 2 * has_xe) + [int_spec] * 3,
+                 + [any_spec] * (4 + 2 * has_xe + 2 * has_ye)
+                 + [int_spec] * 3,
         out_specs=[int_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 4,
         scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
                         for _ in range(2)]
                        + ([pltpu.VMEM((2, tz + 2, ty + 16, 128), dt)]
                           if has_xe else [])
-                       + [pltpu.SemaphoreType.DMA((2, 2 + has_xe, 9))],
+                       + ([pltpu.VMEM((2, tz + 2, 16, nx), dt)]
+                          if has_ye else [])
+                       + [pltpu.SemaphoreType.DMA((2, nwin, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(sc, dzci_s, dzfi_s, w, pp, we, ppe, *xargs, u, v, p)
+    )(sc, dzci_s, dzfi_s, w, pp, we, ppe, *xargs, *yargs, u, v, p)

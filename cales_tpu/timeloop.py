@@ -117,10 +117,29 @@ class Simulation:
         self._pallas_interpret = _os.environ.get(
             'CALES_PALLAS_INTERPRET', '') == '1'
         on_tpu = jax.default_backend() == 'tpu'
-        xy_periodic = (
-            all(cfg.cbc_vel(d, iv) == 'PP' for d in (0, 1) for iv in range(3))
-            and all(cfg.cbc_pre(d) == 'PP' for d in (0, 1))
-            and all(cfg.cbcsgs[0][d] + cfg.cbcsgs[1][d] == 'PP' for d in (0, 1)))
+        self._fallback_reason = ''
+
+        def _why(msg):
+            if not self._fallback_reason:
+                self._fallback_reason = msg
+
+        def _dir_periodic(d):
+            return (all(cfg.cbc_vel(d, iv) == 'PP' for iv in range(3))
+                    and cfg.cbc_pre(d) == 'PP'
+                    and cfg.cbcsgs[0][d] + cfg.cbcsgs[1][d] == 'PP')
+        x_periodic = _dir_periodic(0)
+        y_periodic = _dir_periodic(1)
+        # non-periodic y (duct/cavity class) runs the kernels with the
+        # ye-bundle ghost-row fixes — scalar BC values only (no wall model)
+        # and unsharded for now
+        y_wall_ok = (not y_periodic and not self.has_wm and mesh is None)
+        self._ywalled = not y_periodic
+        xy_periodic = x_periodic and (y_periodic or y_wall_ok)
+        if not x_periodic:
+            _why('non-periodic x BCs')
+        elif not (y_periodic or y_wall_ok):
+            _why('y-walled config with wall model or mesh '
+                 '(ye-bundle path is single-chip, scalar-BC only)')
         nx, ny, nz = cfg.ng
         # kernels under a mesh: per-shard Pallas under shard_map.  y halos
         # arrive as ppermute 8-row strips (y_ext mode); with gx > 1 the
@@ -128,11 +147,6 @@ class Simulation:
         # packed ppermute'd ghost-column bundle (pallas_kernels xe protocol)
         self._kernel_sharded = False
         self._gx_sharded = False
-        self._fallback_reason = ''
-
-        def _why(msg):
-            if not self._fallback_reason:
-                self._fallback_reason = msg
         ny_local, nx_local = ny, nx
         if mesh is not None:
             gx = dict(zip(mesh.axis_names, mesh.devices.shape)).get('gx', 1)
@@ -186,9 +200,46 @@ class Simulation:
                                          for d in (0, 1))
         self.use_pallas_smag = (self.use_pallas_mom and cfg.sgstype == 'smag'
                                 and walls_z_only)
+        # single-pass projection+updatep+smag fusion (channel-LES class):
+        # removes the separate smag kernel's window reads (ops/
+        # pallas_kernels.fused_correc_updatep_smag); needs in-kernel z-ghost
+        # synthesis -> scalar-BC non-periodic z, unsharded, explicit, no wm
+        self._fuse_correc_smag = (
+            self.use_pallas_smag and not self._kernel_sharded
+            and mesh is None and not self._ywalled and not cfg.impdiff
+            and not self.has_wm
+            and cfg.cbc_vel(2, 0)[0] != 'P')
+        if self._fuse_correc_smag:
+            dzc = grid.dzc
+            self._zrec_uv = tuple(
+                (self.cbcvel[0][2][iv], float(bvals[2][0]), float(dzc[0]),
+                 self.cbcvel[1][2][iv], float(bvals[2][1]), float(dzc[nz]))
+                for iv, bvals in ((0, self.bcu_vals), (1, self.bcv_vals)))
+        # momentum+fillps single-pass fusion (explicit channel class): the
+        # projection RHS comes out of the momentum kernel; bulk forcing
+        # along periodic directions cancels in the divergence, so it is
+        # measured from in-kernel partial sums and folded into the
+        # projection kernel instead (pallas_kernels fused_mom_rk docstring)
+        self._fuse_mom_fillps = (
+            self.use_pallas_mom and self._mom_split is None
+            and mesh is None and not self._ywalled and not self.has_wm
+            and not cfg.scalar
+            and cfg.cbc_vel(2, 2)[0] != 'P' and not cfg.is_forced[2]
+            and pk.mom_tiles(nz, ny_local, np.dtype(self.dtype).itemsize,
+                             nx_local, fuse_fillps=True) is not None)
+        if self._fuse_mom_fillps:
+            dzf = grid.dzf
+            self._zrec_w = (self.cbcvel[0][2][2], float(self.bcw_vals[2][0]),
+                            float(dzf[0]),
+                            self.cbcvel[1][2][2], float(self.bcw_vals[2][1]),
+                            float(dzf[nz]))
+            self._sum_flags = (bool(cfg.is_forced[0]),
+                               bool(cfg.is_forced[1]))
         self.use_pallas_dsmag = False
-        if (self.use_pallas_mom and cfg.sgstype == 'dsmag' and walls_z_only
+        if (self.use_pallas_mom and cfg.sgstype == 'dsmag'
                 and not self._gx_sharded):
+            # pds.eligible checks the y/z face recipes (wall-extrapolation
+            # or homogeneous-N), covering the duct/cavity class too
             # gx > 1 excluded: the dsmag pipeline's in-kernel test filter
             # needs 2-deep x ghosts for intermediate products (sgs.f90
             # filter stencils), not carried by the 1-column xe bundle
@@ -355,6 +406,35 @@ class Simulation:
         cbc_z = (self.cfg.cbcsgs[0][2], self.cfg.cbcsgs[1][2])
         return bnd.zedge_scalar(s, cbc_z, self.bcs_vals[2], self.grid.dzc)
 
+    # --- y-edge bundles (y-walled kernel path, ops/boundary.yedge_*) ---
+    def _pack_ybundle(self, stacks, zstacks):
+        """Pack per-field (nz, 3, nx) y-row stacks + (3, 3, nx) corner
+        stacks into the 16-row kernel bundles (rows 3m+0/1/2)."""
+        nz, _, nx = stacks[0].shape
+        dt = stacks[0].dtype
+        nrows = 3 * len(stacks)
+        ye = jnp.concatenate(
+            list(stacks) + [jnp.zeros((nz, 16 - nrows, nx), dt)], axis=1)
+        yze = jnp.concatenate(
+            list(zstacks) + [jnp.zeros((3, 16 - nrows, nx), dt)], axis=1)
+        return ye, yze
+
+    def _ybundle_vel(self, u, v, w, vlo=None, is_correc=False):
+        return bnd.yedge_velocity(
+            u, v, w, self.cbcvel, self.bcu_vals, self.bcv_vals,
+            self.bcw_vals, self.cfg.dl, self.grid.dzc, self.grid.dzf,
+            vlo=vlo, is_correc=is_correc)
+
+    def _ybundle_p(self, p):
+        return bnd.yedge_scalar(p, self.cbcpre, self.bcp_vals, self.cfg.dl,
+                                self.grid.dzc)
+
+    def _ybundle_s(self, s):
+        cbcs = tuple((self.cfg.cbcsgs[0][d], self.cfg.cbcsgs[1][d])
+                     for d in range(3))
+        return bnd.yedge_scalar(s, cbcs, self.bcs_vals, self.cfg.dl,
+                                self.grid.dzc)
+
     def _compute_sgs_kernel(self, u, v, w, ue, ve, we):
         """Static Smagorinsky via the fused Pallas kernel (z-walls/no-walls
         configs; gated by use_pallas_smag).  Inputs: interiors + z-edge
@@ -445,16 +525,85 @@ class Simulation:
         assert out is not None, 'fused_smag gating inconsistency'
         return out
 
-    def _compute_dsmag_kernel(self, u, v, w, ue, ve, we):
+    def _ghost_row(self, rec, side, q1):
+        """scalar-BC z-ghost plane from the first/last interior plane."""
+        lt, b, dr = rec[3 * side:3 * side + 3]
+        if lt == 'D':
+            return 2.0 * b - q1
+        return (-dr * b + q1) if side == 0 else (dr * b + q1)
+
+    def _correc_smag_fused(self, u, v, w, pp, p, ue2, ve2, we2, ppe, dtrk,
+                           fu=0.0, fv=0.0):
+        """Single-pass projection + pressure update + smag nu_t
+        (pallas_kernels.fused_correc_updatep_smag).  The van Driest tauw
+        planes come from host-side-corrected wall-adjacent planes — tiny
+        (ny, nx) expressions, so no extra field pass.  fu/fv: deferred
+        bulk-forcing constants (fused-fillps momentum path)."""
+        from .ops import pallas_kernels as pk
+        from .config import C_SMAG
+        cfg, grid, setup = self.cfg, self.grid, self.sgs_setup
+        nz = cfg.ng[2]
+        dxi, dyi = cfg.dli[0], cfg.dli[1]
+        csd2 = (C_SMAG * setup.delta) ** 2
+        lo_wall, hi_wall = setup.is_wall6[4], setup.is_wall6[5]
+        kw = {}
+        if lo_wall or hi_wall:
+            dzci = grid.dzci
+
+            def corr_uv(uq, vq, ppq):
+                uq = fu + uq - dtrk * dxi * (jnp.roll(ppq, -1, axis=1) - ppq)
+                vq = fv + vq - dtrk * dyi * (jnp.roll(ppq, -1, axis=0) - ppq)
+                return uq, vq
+            u0, v0 = corr_uv(u[0], v[0], pp[0])
+            un, vn = corr_uv(u[-1], v[-1], pp[-1])
+            A = u0 - self._ghost_row(self._zrec_uv[0], 0, u0)
+            B = v0 - self._ghost_row(self._zrec_uv[1], 0, v0)
+            t1 = A + jnp.roll(A, 1, axis=1)
+            t2 = B + jnp.roll(B, 1, axis=0)
+            tauw_lo = jnp.sqrt(t1 ** 2 + t2 ** 2) * dzci[0]
+            A = un - self._ghost_row(self._zrec_uv[0], 1, un)
+            B = vn - self._ghost_row(self._zrec_uv[1], 1, vn)
+            t1 = A + jnp.roll(A, 1, axis=1)
+            t2 = B + jnp.roll(B, 1, axis=0)
+            tauw_hi = jnp.sqrt(t1 ** 2 + t2 ** 2) * dzci[nz]
+            zc = grid.zc[1:nz + 1]
+            dw_lo = zc if lo_wall else np.full(nz, np.inf)
+            dw_hi = (cfg.l[2] - zc) if hi_wall else np.full(nz, np.inf)
+            nearlo = (dw_lo <= dw_hi).astype(np.float64)
+            dw_1d = np.minimum(dw_lo, dw_hi)
+            if not lo_wall:
+                tauw_lo = tauw_hi
+            if not hi_wall:
+                tauw_hi = tauw_lo
+            kw = dict(dw_1d=dw_1d, nearlo_1d=nearlo, tauw_lo=tauw_lo,
+                      tauw_hi=tauw_hi)
+        out = pk.fused_correc_updatep_smag(
+            u, v, w, pp, p, ue2, ve2, we2, ppe, dtrk, dxi, dyi,
+            grid.dzci, grid.dzfi, cfg.visc, csd2, self._zrec_uv,
+            interpret=self._pallas_interpret, fu=fu, fv=fv, **kw)
+        assert out is not None, 'fused_correc_smag gating inconsistency'
+        return out
+
+    def _compute_dsmag_kernel(self, u, v, w, ue, ve, we, vlo=None):
         """Dynamic Smagorinsky via the two-pass Pallas pipeline
         (ops/pallas_dsmag.py); inputs are the corrected-fill interiors +
         z-edge stacks.  The homogeneous-direction averaging finishes here
-        from the kernel's partial sums (ave0d/1d/2d, sgs.f90:388-614)."""
+        from the kernel's partial sums (ave0d/1d/2d, sgs.f90:388-614).
+        y-walled (duct/cavity) configs pass the y-edge bundles + per-side
+        wall flags through both levels."""
         from .ops import pallas_dsmag as pds
         cfg, grid, setup = self.cfg, self.grid, self.sgs_setup
         nx, ny, nz = cfg.ng
         wall_lo = setup.wall_flags[(0, 2)]
         wall_hi = setup.wall_flags[(1, 2)]
+        ykw1 = {}
+        if self._ywalled:
+            (ydu, ydv, ydw), zyd = self._ybundle_vel(
+                u, v, w, vlo=vlo, is_correc=True)
+            ye1, yze1 = self._pack_ybundle([ydu, ydv, ydw], list(zyd))
+            ykw1 = dict(ye=ye1, yze=yze1,
+                        ywalls=(setup.wall_flags[(0, 1)],
+                                setup.wall_flags[(1, 1)]))
         if self._kernel_sharded:
             from jax import shard_map
             from jax.sharding import PartitionSpec as Pspec
@@ -475,13 +624,19 @@ class Simulation:
             fm, fvel, fc, fl, s0 = pds.fused_dsmag_level1(
                 u, v, w, ue, ve, we, grid.dzci, grid.dzfi,
                 cfg.dli[0], cfg.dli[1], wall_lo, wall_hi,
-                interpret=self._pallas_interpret)
+                interpret=self._pallas_interpret, **ykw1)
         fu, fv, fw = fvel
         # filtered-velocity BC fill (bounduvw on the filtered field with the
         # static planes, sgs.f90:256-257) as z-edge stacks
         fue, fve, fwe = bnd.zedge_velocity(
             fu, fv, fw, self.cbcvel, self.bcu_vals, self.bcv_vals,
             self.bcw_vals, grid.dzc, grid.dzf, is_correc=False)
+        ykw2 = {}
+        if self._ywalled:
+            (yfu, yfv, yfw), zyf = self._ybundle_vel(
+                fu, fv, fw, is_correc=False)
+            ye2, yze2 = self._pack_ybundle([yfu, yfv, yfw], list(zyf))
+            ykw2 = dict(ye=ye2, yze=yze2, ywalls=ykw1['ywalls'])
         alph2 = np.full(nz, 4.0)
         if wall_lo:
             alph2[0] = 2.52
@@ -503,7 +658,7 @@ class Simulation:
             out = pds.fused_dsmag_level2(
                 fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0, alph2,
                 grid.dzci, grid.dzfi, cfg.dli[0], cfg.dli[1], cfg.dsmag_avg,
-                interpret=self._pallas_interpret)
+                interpret=self._pallas_interpret, **ykw2)
         assert out is not None, 'fused_dsmag gating inconsistency'
         if cfg.dsmag_avg == 'cavity':
             return out
@@ -563,6 +718,8 @@ class Simulation:
 
         scal_state = None
         rud = rvd = rwd = None
+        rhs_fused = None
+        mom_sums = []
         if self.use_pallas_mom:
             # fused momentum+RK Pallas path: the z-edge cache from the
             # previous substep's post-correc fill is the kernel input (the
@@ -582,6 +739,15 @@ class Simulation:
                                              vlo=state.vlo, is_correc=True)
             pe = self._zedge_p(p)
             se = self._zedge_s(visct)
+            ye = yze = None
+            if self._ywalled:
+                # y-wall ghost-row bundles of the same (post-correc) fill
+                (yu, yv, yw), zy = self._ybundle_vel(
+                    u, v, w, vlo=state.vlo, is_correc=True)
+                ys, zys = self._ybundle_s(visct)
+                yp, zyp = self._ybundle_p(p)
+                ye, yze = self._pack_ybundle([yu, yv, yw, ys, yp],
+                                             list(zy) + [zys, zyp])
             with jax.named_scope('momentum_rk_pallas'):
                 if self._kernel_sharded:
                     halo = self._halo_y
@@ -604,13 +770,22 @@ class Simulation:
                         u, v, w, visct, p, ue, ve, we, se, pe,
                         ru_o, rv_o, rw_o, f1, f2)
                 else:
+                    fuse_fp = self._fuse_mom_fillps
                     outs = pk.fused_mom_rk(
                         u, v, w, visct, p, ue, ve, we, se, pe,
                         ru_o, rv_o, rw_o, dzci, dzfi, f1, f2, visc,
                         dxi, dyi, cfg.bforce,
-                        interpret=self._pallas_interpret, split=split)
+                        interpret=self._pallas_interpret, split=split,
+                        ye=ye, yze=yze, ywalls=(True, True),
+                        fuse_fillps=fuse_fp,
+                        wrec=self._zrec_w if fuse_fp else None,
+                        sum_flags=self._sum_flags if fuse_fp else
+                        (False, False))
             if split is None:
-                u, v, w, ru, rv, rw = outs
+                u, v, w, ru, rv, rw = outs[0:6]
+                if self._fuse_mom_fillps and len(outs) > 6:
+                    rhs_fused = outs[6]
+                    mom_sums = list(outs[7:])
             else:
                 u, v, w, ru, rv, rw, rud, rvd, rwd = outs
             rhs_old = (ru, rv, rw)
@@ -665,15 +840,32 @@ class Simulation:
 
         # bulk-velocity forcing controller (rk.f90:197-222 + mom.f90:311-335)
         f = [jnp.zeros((), u.dtype)] * 3
-        if cfg.is_forced[0]:
-            f[0] = cfg.velf[0] - st.bulk_mean(u, self.gvr_f)
-            u = u + f[0]
-        if cfg.is_forced[1]:
-            f[1] = cfg.velf[1] - st.bulk_mean(v, self.gvr_f)
-            v = v + f[1]
-        if cfg.is_forced[2]:
-            f[2] = cfg.velf[2] - st.bulk_mean(w, self.gvr_c)
-            w = w + f[2]
+        defer_f = (self.use_pallas_mom
+                   and getattr(self, '_fuse_mom_fillps', False)
+                   and rhs_fused is not None)
+        if defer_f:
+            # means from the momentum kernel's partial plane sums; the
+            # constants are folded into the projection kernel (the forcing
+            # cancels in the divergence along periodic directions)
+            gvr = jnp.asarray(self.gvr_f, u.dtype)
+            si = 0
+            if cfg.is_forced[0]:
+                f[0] = cfg.velf[0] - jnp.dot(
+                    jnp.sum(mom_sums[si][:, ::8, 0], axis=1), gvr)
+                si += 1
+            if cfg.is_forced[1]:
+                f[1] = cfg.velf[1] - jnp.dot(
+                    jnp.sum(mom_sums[si][:, ::8, 0], axis=1), gvr)
+        else:
+            if cfg.is_forced[0]:
+                f[0] = cfg.velf[0] - st.bulk_mean(u, self.gvr_f)
+                u = u + f[0]
+            if cfg.is_forced[1]:
+                f[1] = cfg.velf[1] - st.bulk_mean(v, self.gvr_f)
+                v = v + f[1]
+            if cfg.is_forced[2]:
+                f[2] = cfg.velf[2] - st.bulk_mean(w, self.gvr_c)
+                w = w + f[2]
         dpdl = jnp.stack(f)
 
         alpha = -0.5 * visc * dtrk
@@ -716,8 +908,18 @@ class Simulation:
             bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
             ue2, ve2, we2 = self._zedge_vel(u, v, w, bcu, bcv, bcw,
                                             is_correc=False)
+            ye2 = yze2 = None
+            if self._ywalled:
+                # prediction-fill y bundles (v's rewrite row participates
+                # in the divergence and the correction)
+                (yu2, yv2, yw2), (zyu2, zyv2, zyw2) = self._ybundle_vel(
+                    u, v, w, is_correc=False)
+                ye2, yze2 = self._pack_ybundle([yu2, yv2, yw2],
+                                               [zyu2, zyv2, zyw2])
             with jax.named_scope('poisson'):
-                if self._kernel_sharded:
+                if rhs_fused is not None:
+                    rhs = rhs_fused
+                elif self._kernel_sharded:
                     halo = self._halo_y
 
                     def fillps_local(u_, v_, w_, ue_, ve_, we_, dti_):
@@ -735,16 +937,26 @@ class Simulation:
                 else:
                     rhs = pk.fused_fillps(u, v, w, ue2, ve2, we2, dzfi,
                                           1.0 / dtrk, dxi, dyi,
-                                          interpret=self._pallas_interpret)
+                                          interpret=self._pallas_interpret,
+                                          ye=ye2, yze=yze2,
+                                          ywalls=(True, True))
                 rhs = poisson.add_rhs_bound(cfg, ('c', 'c', 'c'), self.cbcpre,
                                             rhs, self.rhsb_p)
                 pp = (jnp.zeros_like(rhs) if self.ablate_solve else
                       poisson.solve(self.solver_p, rhs, hints=self.hints))
             ppe = self._zedge_p(pp)
+            visct_done = False
             with jax.named_scope('correc_updatep_pallas'):
                 imp_kw = dict(impdiff=cfg.impdiff, impdiff_1d=cfg.impdiff_1d,
                               dzfi=dzfi)
-                if self._kernel_sharded:
+                fu_d = f[0] if defer_f else 0.0
+                fv_d = f[1] if defer_f else 0.0
+                if self._fuse_correc_smag:
+                    u, v, w, p, visct = self._correc_smag_fused(
+                        u, v, w, pp, p, ue2, ve2, we2, ppe, dtrk,
+                        fu=fu_d, fv=fv_d)
+                    visct_done = True
+                elif self._kernel_sharded:
                     halo = self._halo_y
 
                     def correc_local(u_, v_, w_, pp_, p_, we_, ppe_, dt_, al_):
@@ -760,18 +972,43 @@ class Simulation:
                     u, v, w, p = self._smap(correc_local, 7, 2, 4)(
                         u, v, w, pp, p, we2, ppe, dtrk, alpha)
                 else:
+                    ycor = yzcor = None
+                    if self._ywalled:
+                        ypp, zypp = self._ybundle_p(pp)
+                        ycor, yzcor = self._pack_ybundle(
+                            [yw2, ypp, yv2], [zyw2, zypp, zyv2])
                     u, v, w, p = pk.fused_correc_updatep(
                         u, v, w, pp, p, we2, ppe, dtrk, dxi, dyi, dzci,
                         interpret=self._pallas_interpret, alpha=alpha,
-                        **imp_kw)
+                        ye=ycor, yze=yzcor, ywalls=(True, True),
+                        fu=fu_d, fv=fv_d, **imp_kw)
             # lower-wall w face plane: the padded-row-0 entry of the correc
-            # ghost-range sweep (correc.f90:45-67), a plane-sized update;
-            # the x/y planes are unused under periodic x/y (pad_velocity's
-            # 'P' branch never reads vlo)
+            # ghost-range sweep (correc.f90:45-67), a plane-sized update
             wlo = we2[0] - dtrk * float(dzci[0]) * (pp[0] - ppe[0])
-            wlo = jnp.concatenate([wlo[-1:], wlo, wlo[:1]], axis=0)
-            wlo = jnp.concatenate([wlo[:, -1:], wlo, wlo[:, :1]], axis=1)
-            vlo = (state.vlo[0], state.vlo[1], wlo)
+            if self._ywalled:
+                # y-ghost entries of the w z=0 plane evolve through the
+                # padded correc sweep (they feed the next substep's corner
+                # stacks); the v lower-wall face plane likewise
+                dzci0 = float(dzci[0])
+                w_ylo = zyw2[0, 0] - dtrk * dzci0 * (ypp[0, 0] - zypp[0, 0])
+                w_yhi = zyw2[0, 1] - dtrk * dzci0 * (ypp[0, 1] - zypp[0, 1])
+                wlo = jnp.concatenate([w_ylo[None], wlo, w_yhi[None]], axis=0)
+                wlo = jnp.concatenate([wlo[:, -1:], wlo, wlo[:, :1]], axis=1)
+                # v wall-face plane: v(y=0) = v_pred(y=0) - dt dyi (pp(1)-pp(0))
+                vlo_i = yv2[:, 0] - dtrk * dyi * (pp[:, 0, :] - ypp[:, 0])
+                v_zlo = zyv2[0, 0] - dtrk * dyi * (ppe[0][0] - zypp[0, 0])
+                v_zhi = zyv2[2, 0] - dtrk * dyi * (ppe[2][0] - zypp[2, 0])
+                vlo_v = jnp.concatenate([v_zlo[None], vlo_i, v_zhi[None]],
+                                        axis=0)
+                vlo_v = jnp.concatenate([vlo_v[:, -1:], vlo_v, vlo_v[:, :1]],
+                                        axis=1)
+                vlo = (state.vlo[0], vlo_v, wlo)
+            else:
+                # the x/y planes are unused under periodic x/y
+                # (pad_velocity's 'P' branch never reads vlo)
+                wlo = jnp.concatenate([wlo[-1:], wlo, wlo[:1]], axis=0)
+                wlo = jnp.concatenate([wlo[:, -1:], wlo, wlo[:, :1]], axis=1)
+                vlo = (state.vlo[0], state.vlo[1], wlo)
             # post-correction fill (main.f90:500-501, is_correc=.true.,
             # is_updt_wm=.true.: the reference recomputes the wall-model
             # Neumann planes from the corrected velocity here too)
@@ -807,12 +1044,15 @@ class Simulation:
         # SGS eddy viscosity (main.f90:504-506)
         with jax.named_scope('sgs'):
             if self.use_pallas_mom:
-                if cfg.sgstype == 'none':
+                if getattr(self, '_fuse_correc_smag', False) and visct_done:
+                    pass   # nu_t came out of the fused projection kernel
+                elif cfg.sgstype == 'none':
                     visct = jnp.zeros_like(u)
                 elif self.use_pallas_smag:
                     visct = self._compute_sgs_kernel(u, v, w, *zq_new)
                 elif self.use_pallas_dsmag:
-                    visct = self._compute_dsmag_kernel(u, v, w, *zq_new)
+                    visct = self._compute_dsmag_kernel(u, v, w, *zq_new,
+                                                       vlo=vlo)
                 else:
                     up, vp, wp, _ = self._pad_vel(u, v, w, bcu, bcv, bcw,
                                                   vlo=vlo, is_correc=True)

@@ -504,3 +504,91 @@ def test_mom_rk_x_split_with_xe_bundle():
         merged = np.concatenate([np.asarray(parts[0][m]),
                                  np.asarray(parts[1][m])], axis=2)
         np.testing.assert_array_equal(merged, np.asarray(full[m]))
+
+
+def test_pallas_step_integration_ywalls_duct(monkeypatch):
+    """Kernel path on a y-walled duct-class config (x periodic, y and z
+    Dirichlet walls): the ye-bundle ghost-row fixes must reproduce the XLA
+    expression path near-bitwise (sgs falls back to XLA; the mom/fillps/
+    correc kernels carry the duct BCs in-window)."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    duct_bcs = dict(
+        cbcvel=((('P', 'P', 'P'), ('D', 'D', 'D'), ('D', 'D', 'D')),) * 2,
+        cbcpre=(('P', 'N', 'N'), ('P', 'N', 'N')),
+        cbcsgs=(('P', 'N', 'N'), ('P', 'N', 'N')))
+    for sgstype in ('none', 'smag'):
+        base = dict(ng=(128, 16, 16), l=(2 * np.pi, 2.0, 2.0), gtype=1,
+                    gr=0.5, visci=2000.0, inivel='duc', is_wallturb=False,
+                    dtype='float64', is_forced=(True, False, False),
+                    velf=(1.0, 0.0, 0.0), sgstype=sgstype, **duct_bcs)
+        results = []
+        for use_pallas in (False, True):
+            cfg = Config(**base, use_pallas=use_pallas)
+            grid = make_grid_from_config(cfg)
+            sim = Simulation(cfg, grid)
+            if use_pallas:
+                assert sim.use_pallas_mom, sim.exec_path()
+                assert sim._ywalled
+            s = sim.initial_state(*initflow(cfg, grid))
+            for _ in range(3):
+                s, _ = sim.step(s, 1e-3)
+            results.append(s)
+        a, b = results
+        for name in ('u', 'v', 'w', 'p', 'visct'):
+            x = np.asarray(getattr(a, name))
+            y = np.asarray(getattr(b, name))
+            err = np.abs(x - y).max()
+            assert err < 1e-11, f"{name} ({sgstype}) duct kernel mismatch: {err}"
+        # the retained wall-face planes must match too (vlo is solver state)
+        for m in (1, 2):
+            err = np.abs(np.asarray(a.vlo[m]) - np.asarray(b.vlo[m])).max()
+            assert err < 1e-11, f"vlo[{m}] ({sgstype}) mismatch: {err}"
+
+
+def test_pallas_dsmag_ywalls_duct_cavity(monkeypatch):
+    """Dynamic-Smagorinsky Pallas pipeline on y-walled configs (BASELINE
+    config #4): square duct (dsmag_avg='duct') and x-periodic lid-driven
+    cavity (dsmag_avg='cavity') must reproduce the XLA dsmag path
+    (sgs.f90:153-380 _DUCT/_CAVITY classes)."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    duct_bcs = dict(
+        cbcvel=((('P', 'P', 'P'), ('D', 'D', 'D'), ('D', 'D', 'D')),) * 2,
+        cbcpre=(('P', 'N', 'N'), ('P', 'N', 'N')),
+        cbcsgs=(('P', 'N', 'N'), ('P', 'N', 'N')))
+    cases = [
+        dict(ng=(128, 16, 16), l=(2 * np.pi, 2.0, 2.0), gtype=1, gr=0.5,
+             visci=2000.0, inivel='duc', is_wallturb=False, dtype='float64',
+             is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
+             sgstype='dsmag', dsmag_avg='duct', **duct_bcs),
+        dict(ng=(128, 16, 16), l=(1.0, 1.0, 1.0), gtype=1, gr=0.0,
+             visci=1000.0, inivel='tgv', is_wallturb=False, dtype='float64',
+             sgstype='dsmag', dsmag_avg='cavity',
+             bcvel=(((0.0,) * 3,) * 3,
+                    ((0.0, 0.0, 0.0), (0.0, 0.0, 0.0), (1.0, 0.0, 0.0))),
+             **duct_bcs),
+    ]
+    for base in cases:
+        results = []
+        for use_pallas in (False, True):
+            cfg = Config(**base, use_pallas=use_pallas)
+            grid = make_grid_from_config(cfg)
+            sim = Simulation(cfg, grid)
+            if use_pallas:
+                assert sim.use_pallas_dsmag, sim.exec_path()
+            s = sim.initial_state(*initflow(cfg, grid))
+            for _ in range(2):
+                s, _ = sim.step(s, 5e-4)
+            results.append(s)
+        a, b = results
+        for name in ('u', 'v', 'w', 'p', 'visct'):
+            x = np.asarray(getattr(a, name))
+            y = np.asarray(getattr(b, name))
+            err = np.abs(x - y).max()
+            assert err < 1e-11, \
+                f"{name} ({base['dsmag_avg']}) dsmag mismatch: {err}"
