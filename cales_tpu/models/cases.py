@@ -11,7 +11,7 @@ _P3 = (('P',) * 3,) * 3
 _PERIODIC = dict(cbcvel=(_P3, _P3),
                  cbcpre=(('P',) * 3, ('P',) * 3),
                  cbcsgs=(('P',) * 3, ('P',) * 3))
-_CHAN_V = (('P', 'P', 'D'),) * 3
+_CHAN_V = (('P', 'P', 'P'), ('P', 'P', 'P'), ('D', 'D', 'D'))
 _CHANNEL = dict(cbcvel=(_CHAN_V, _CHAN_V),
                 cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
                 cbcsgs=(('P', 'P', 'N'), ('P', 'P', 'N')))
@@ -61,8 +61,8 @@ def channel_wmles(ng=(192, 72, 48), visci=125000., hwm=0.1, **kw):
 def half_channel(ng=(64, 64, 32), visci=5000., **kw):
     """Half-channel: wall at the bottom, free-slip top
     (dns/half_channel; 'hcp'/'hcl' profiles)."""
-    v = (('P', 'P', 'D'),) * 3
-    vt = (('P', 'P', 'N'), ('P', 'P', 'N'), ('P', 'P', 'D'))
+    v = (('P', 'P', 'P'), ('P', 'P', 'P'), ('D', 'D', 'D'))
+    vt = (('P', 'P', 'P'), ('P', 'P', 'P'), ('N', 'N', 'D'))
     return Config(ng=ng, l=(2 * PI, PI, 1.), visci=visci, inivel='hcp',
                   is_forced=(True, False, False), velf=(1., 0., 0.),
                   cbcvel=(v, vt),
@@ -83,7 +83,7 @@ def couette(ng=(64, 48, 32), visci=1000., uwall=0.5, **kw):
 def lid_driven_cavity(ng=(64, 64, 64), visci=1000., ulid=1.0, **kw):
     """Lid-driven cavity (dns/_manuscript_lid_driven_cavity): x periodic,
     walls in y and z, top lid moving in x."""
-    v = (('P', 'D', 'D'),) * 3
+    v = (('P', 'P', 'P'), ('D', 'D', 'D'), ('D', 'D', 'D'))
     bcv = [[[0.] * 3 for _ in range(3)] for _ in range(2)]
     bcv[1][2][0] = ulid
     return Config(ng=ng, l=(1., 1., 1.), visci=visci, inivel='zer',
@@ -97,7 +97,7 @@ def lid_driven_cavity(ng=(64, 64, 64), visci=1000., ulid=1.0, **kw):
 def square_duct_les(ng=(96, 48, 48), visci=10000., sgstype='dsmag', **kw):
     """Square duct LES with dynamic Smagorinsky
     (les/_manuscript_turbulent_duct_wall_model class)."""
-    v = (('P', 'D', 'D'),) * 3
+    v = (('P', 'P', 'P'), ('D', 'D', 'D'), ('D', 'D', 'D'))
     return Config(ng=ng, l=(4 * PI, 2., 2.), gtype=1, gr=1.0, visci=visci,
                   inivel='duc', is_wallturb=True,
                   is_forced=(True, False, False), velf=(1., 0., 0.),
@@ -110,8 +110,8 @@ def square_duct_les(ng=(96, 48, 48), visci=10000., sgstype='dsmag', **kw):
 def temporal_boundary_layer(ng=(64, 64, 96), visci=2000., **kw):
     """Temporal boundary layer (dns/temporal_boundary_layer): moving bottom
     wall, free-slip top."""
-    vb = (('P', 'P', 'D'),) * 3
-    vt = (('P', 'P', 'N'), ('P', 'P', 'N'), ('P', 'P', 'D'))
+    vb = (('P', 'P', 'P'), ('P', 'P', 'P'), ('D', 'D', 'D'))
+    vt = (('P', 'P', 'P'), ('P', 'P', 'P'), ('N', 'N', 'D'))
     bcv = [[[0.] * 3 for _ in range(3)] for _ in range(2)]
     bcv[0][2][0] = 1.0  # wall velocity
     return Config(ng=ng, l=(10., 5., 12.), gtype=2, gr=1.5, visci=visci,

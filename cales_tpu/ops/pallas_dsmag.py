@@ -103,7 +103,13 @@ def _zwin2_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty, case,
     rows g=-1 (w with z0=0 -> w=1) and g=nz come from the edge stack.  Valid
     for fills that do not rewrite the padded-row-nz slot (the corrected
     velocity fill).  y_ext: see pallas_kernels._zwin_copies.  mode='ally':
-    full-y-extent bundle source (the 16-row y-edge bundle)."""
+    full-y-extent bundle source (the 16-row y-edge bundle);
+    mode=('strips', yh, yhz, base, ycase): sharded halo strips (see
+    pallas_kernels._zwin_copies)."""
+    strips = isinstance(mode, tuple)
+    if strips:
+        _, yh, yhz, sbase, ycase = mode
+
     def ycop(src, sz, rows, dr, b):
         if mode == 'ally':
             return [
@@ -119,6 +125,32 @@ def _zwin2_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty, case,
             ]
         ylo = pl.multiple_of((y0 - 8) % ny, 8)
         yhi = pl.multiple_of((y0 + ty) % ny, 8)
+        if strips:
+            hsrc = yhz if src is zedge else yh
+            if ycase in ('lo', 'both'):
+                lo_c = pltpu.make_async_copy(
+                    hsrc.at[pl.ds(sz, rows), sbase:sbase + 8],
+                    scr.at[pl.ds(dr, rows), 0:8], sem.at[b])
+            else:
+                lo_c = pltpu.make_async_copy(
+                    src.at[pl.ds(sz, rows), pl.ds(ylo, 8)],
+                    scr.at[pl.ds(dr, rows), 0:8], sem.at[b])
+            if ycase in ('hi', 'both'):
+                hi_c = pltpu.make_async_copy(
+                    hsrc.at[pl.ds(sz, rows), sbase + 8:sbase + 16],
+                    scr.at[pl.ds(dr, rows), 8 + ty:16 + ty], sem.at[b + 2])
+            else:
+                hi_c = pltpu.make_async_copy(
+                    src.at[pl.ds(sz, rows), pl.ds(yhi, 8)],
+                    scr.at[pl.ds(dr, rows), 8 + ty:16 + ty], sem.at[b + 2])
+            return [
+                lo_c,
+                pltpu.make_async_copy(src.at[pl.ds(sz, rows),
+                                             pl.ds(y0a, ty)],
+                                      scr.at[pl.ds(dr, rows), 8:8 + ty],
+                                      sem.at[b + 1]),
+                hi_c,
+            ]
         return [
             pltpu.make_async_copy(src.at[pl.ds(sz, rows), pl.ds(ylo, 8)],
                                   scr.at[pl.ds(dr, rows), 0:8], sem.at[b]),
@@ -147,30 +179,56 @@ def _zwin2_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty, case,
 def _assemble_windows2(fields, k, z0, y0, ny, nz, tz, ty, action,
                        y_ext=False):
     klast = nz // tz - 1
+    gj = ny // ty
+    has_strips = any(len(e) > 4 and isinstance(e[4], tuple) for e in fields)
 
-    def run(case):
+    def run(case, ycase=None):
         for entry in fields:
             fint, zedge, scr, sem = entry[:4]
             mode = entry[4] if len(entry) > 4 else 'tile'
+            if isinstance(mode, tuple):
+                mode = mode + (ycase,)
             for c in _zwin2_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty,
                                    case, y_ext=y_ext, mode=mode):
                 getattr(c, action)()
 
+    def run_y(case):
+        if not has_strips:
+            run(case)
+            return
+        if gj == 1:
+            run(case, 'both')
+            return
+        jj = jax.lax.div(jnp.asarray(y0, jnp.int32),
+                         jnp.asarray(ty, jnp.int32))
+
+        @pl.when(jj == 0)
+        def _():
+            run(case, 'lo')
+
+        @pl.when(jnp.logical_and(jj > 0, jj < gj - 1))
+        def _():
+            run(case, 'wrap')
+
+        @pl.when(jj == gj - 1)
+        def _():
+            run(case, 'hi')
+
     if klast == 0:
-        run('single')
+        run_y('single')
         return
 
     @pl.when(k == 0)
     def _():
-        run('lo')
+        run_y('lo')
 
     @pl.when(jnp.logical_and(k > 0, k < klast))
     def _():
-        run('mid')
+        run_y('mid')
 
     @pl.when(k == klast)
     def _():
-        run('hi')
+        run_y('hi')
 
 
 def _pipelined_windows2(specs, sems, nz, ny, tz, ty, k, j, interpret,
@@ -226,7 +284,7 @@ def _pick_tiles_ds(nz, ny, itemsize, nx, nwin, nring, nio):
 
 
 def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret,
-                y_ext=False, ywalls=None):
+                y_ext=False, ywalls=None, has_ystrips=False):
     """Ghost recipes (gated by `eligible`): 'wall' -> 2 q0 - q1, else
     ghost == nearest interior plane.
 
@@ -242,9 +300,12 @@ def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret,
 
     def kernel(dzci_s, dzfi_s, u, v, w, ue, ve, we, *rest):
         rest = list(rest)
-        ye = yze = None
+        ye = yze = yh = yhz = None
         if has_ye:
             ye, yze = rest[0], rest[1]
+            del rest[0:2]
+        if has_ystrips:
+            yh, yhz = rest[0], rest[1]
             del rest[0:2]
         (fm0, fm1, fm2, fm3, fm4, fm5, fu_o, fv_o, fw_o,
          fc0, fc1, fc2, fl0, fl1, fl2, fl3, fl4, fl5, s0_o) = rest[0:19]
@@ -257,6 +318,9 @@ def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret,
         j = pl.program_id(1)
         z0 = k * tz
         specs = [(u, ue, su2), (v, ve, sv2), (w, we, sw2)]
+        if has_ystrips:
+            specs = [e + (('strips', yh, yhz, 16 * m),)
+                     for m, e in enumerate(specs)]
         if has_ye:
             specs.append((ye, yze, sye2, 'ally'))
         wins_l = _pipelined_windows2(specs, sems, nz, ny, tz, ty, k, j,
@@ -411,7 +475,7 @@ def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret,
 
 def fused_dsmag_level1(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi,
                        wall_lo, wall_hi, interpret=False, y_ext=False,
-                       ye=None, yze=None, ywalls=None):
+                       ye=None, yze=None, ywalls=None, ystrips=None):
     """DS1: returns (fm[6], fvel[3], fc[3], fl[6], s0) interiors or None.
 
     u, v, w: corrected-fill velocity interiors; ue, ve, we: their z-edge
@@ -435,18 +499,22 @@ def fused_dsmag_level1(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi,
     dzci_s = jnp.asarray(dzci, dt).reshape(-1, 1)
     dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
     has_ye = ye is not None
+    has_ystrips = ystrips is not None
     yargs = (ye, yze) if has_ye else ()
+    sargs = tuple(ystrips) if has_ystrips else ()
     grid = (nz // tz, ny // ty)
     int_spec = pl.BlockSpec((tz, ty, nx), lambda k, j: (k, j, 0))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     kern = _ds1_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
                        bool(wall_lo), bool(wall_hi), interpret, y_ext=y_ext,
-                       ywalls=ywalls if has_ye else None)
+                       ywalls=ywalls if has_ye else None,
+                       has_ystrips=has_ystrips)
     outs = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[smem_spec, smem_spec] + [any_spec] * (6 + 2 * has_ye),
+        in_specs=[smem_spec, smem_spec]
+                 + [any_spec] * (6 + 2 * has_ye + 2 * has_ystrips),
         out_specs=[int_spec] * 19,
         out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 19,
         scratch_shapes=[pltpu.VMEM((2, tz + 4, ty + 16, nx), dt)
@@ -458,20 +526,23 @@ def fused_dsmag_level1(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi,
                           pltpu.SemaphoreType.DMA((2, 3 + has_ye, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(dzci_s, dzfi_s, u, v, w, ue, ve, we, *yargs)
+    )(dzci_s, dzfi_s, u, v, w, ue, ve, we, *yargs, *sargs)
     return outs[0:6], outs[6:9], outs[9:12], outs[12:18], outs[18]
 
 
 def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret, y_ext=False,
-                ywalls=None):
+                ywalls=None, has_ystrips=False):
     has_ye = ywalls is not None
     gj = ny // ty
 
     def kernel(alph2_s, dzci_s, dzfi_s, fu, fv, fw, fue, fve, fwe, *rest):
         rest = list(rest)
-        ye = yze = None
+        ye = yze = yh = yhz = None
         if has_ye:
             ye, yze = rest[0], rest[1]
+            del rest[0:2]
+        if has_ystrips:
+            yh, yhz = rest[0], rest[1]
             del rest[0:2]
         (fm0, fm1, fm2, fm3, fm4, fm5,
          fc0, fc1, fc2, fl0, fl1, fl2, fl3, fl4, fl5, s0_i) = rest[0:16]
@@ -490,6 +561,9 @@ def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret, y_ext=False,
         j = pl.program_id(1)
         z0 = k * tz
         specs = [(fu, fue, su2), (fv, fve, sv2), (fw, fwe, sw2)]
+        if has_ystrips:
+            specs = [e + (('strips', yh, yhz, 16 * m),)
+                     for m, e in enumerate(specs)]
         if has_ye:
             specs.append((ye, yze, sye2, 'ally'))
         wins = _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j,
@@ -559,7 +633,7 @@ def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret, y_ext=False,
 def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0,
                        alph2_1d, dzci, dzfi, dxi, dyi, avg,
                        interpret=False, y_ext=False,
-                       ye=None, yze=None, ywalls=None):
+                       ye=None, yze=None, ywalls=None, ystrips=None):
     """DS2: Mij/Lij contraction from the DS1 outputs.
 
     fue..fwe: zedge stacks of the filtered-velocity BC fill (pad_vel
@@ -583,14 +657,17 @@ def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0,
     dzci_s = jnp.asarray(dzci, dt).reshape(-1, 1)
     dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
     has_ye = ye is not None
+    has_ystrips = ystrips is not None
     yargs = (ye, yze) if has_ye else ()
+    sargs = tuple(ystrips) if has_ystrips else ()
     grid = (nz // tz, ny // ty)
     int_spec = pl.BlockSpec((tz, ty, nx), lambda k, j: (k, j, 0))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     kern = _ds2_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi), avg,
                        interpret, y_ext=y_ext,
-                       ywalls=ywalls if has_ye else None)
+                       ywalls=ywalls if has_ye else None,
+                       has_ystrips=has_ystrips)
     if avg == 'cavity':
         out_specs = int_spec
         out_shape = jax.ShapeDtypeStruct((nz, ny, nx), dt)
@@ -604,7 +681,8 @@ def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0,
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[smem_spec] * 3 + [any_spec] * (6 + 2 * has_ye)
+        in_specs=[smem_spec] * 3
+                 + [any_spec] * (6 + 2 * has_ye + 2 * has_ystrips)
                  + [int_spec] * 16,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -615,5 +693,5 @@ def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0,
                        + [pltpu.SemaphoreType.DMA((2, 3 + has_ye, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(alph2_s, dzci_s, dzfi_s, fu, fv, fw, fue, fve, fwe, *yargs,
+    )(alph2_s, dzci_s, dzfi_s, fu, fv, fw, fue, fve, fwe, *yargs, *sargs,
       *fm, *fc, *fl, s0)

@@ -88,7 +88,19 @@ def _zwin_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty, case,
 
     mode='ally': the source is a small bundle whose full y extent equals
     the scratch's (e.g. the 16-row y-edge bundle): one whole-extent DMA per
-    z block, no tiling/wrap in y."""
+    z block, no tiling/wrap in y.
+
+    mode=('strips', yh, yhz, base, ycase): SHARDED y halos from packed
+    ppermute'd strip arrays instead of materialized (ny+16)-extended copies
+    (which cost ~2 extra HBM passes per array per kernel invocation): when
+    this tile touches a shard edge (`ycase` in 'lo'/'hi'/'both', selected
+    by the caller's pl.when ladder) the corresponding 8-row block comes
+    from `yh` (nz, 16*nf, nx) / `yhz` (3, 16*nf, nx) at static row `base`
+    (+8 for the hi side); interior blocks read the local neighbor rows."""
+    strips = isinstance(mode, tuple)
+    if strips:
+        _, yh, yhz, base, ycase = mode
+
     def ycop(src, sz, rows, dr, b):
         if mode == 'ally':
             return [
@@ -104,6 +116,33 @@ def _zwin_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty, case,
             ]
         ylo = pl.multiple_of((y0 - 8) % ny, 8)
         yhi = pl.multiple_of((y0 + ty) % ny, 8)
+        if strips:
+            hsrc = yhz if src is zedge else yh
+            hz = 1 if src is zedge else 0   # strip z extent mirrors source
+            del hz
+            if ycase in ('lo', 'both'):
+                lo_c = pltpu.make_async_copy(
+                    hsrc.at[pl.ds(sz, rows), base:base + 8],
+                    scr.at[pl.ds(dr, rows), 0:8], sem.at[b])
+            else:
+                lo_c = pltpu.make_async_copy(
+                    src.at[pl.ds(sz, rows), pl.ds(ylo, 8)],
+                    scr.at[pl.ds(dr, rows), 0:8], sem.at[b])
+            if ycase in ('hi', 'both'):
+                hi_c = pltpu.make_async_copy(
+                    hsrc.at[pl.ds(sz, rows), base + 8:base + 16],
+                    scr.at[pl.ds(dr, rows), 8 + ty:16 + ty], sem.at[b + 2])
+            else:
+                hi_c = pltpu.make_async_copy(
+                    src.at[pl.ds(sz, rows), pl.ds(yhi, 8)],
+                    scr.at[pl.ds(dr, rows), 8 + ty:16 + ty], sem.at[b + 2])
+            return [
+                lo_c,
+                pltpu.make_async_copy(src.at[pl.ds(sz, rows), pl.ds(y0a, ty)],
+                                      scr.at[pl.ds(dr, rows), 8:8 + ty],
+                                      sem.at[b + 1]),
+                hi_c,
+            ]
         return [
             pltpu.make_async_copy(src.at[pl.ds(sz, rows), pl.ds(ylo, 8)],
                                   scr.at[pl.ds(dr, rows), 0:8], sem.at[b]),
@@ -131,34 +170,61 @@ def _zwin_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty, case,
 def _assemble_windows(fields, k, z0, y0, ny, nz, tz, ty, action,
                       y_ext=False):
     """Start or wait the window DMAs of every (fint, zedge, scr, sem[,
-    mode]) entry, branching once on the z-tile position.  `action` is
-    'start' or 'wait'; both calls must use identical structure so every
-    started copy is waited exactly once."""
+    mode]) entry, branching once on the z-tile position (and, for strips
+    entries, on the y-tile position).  `action` is 'start' or 'wait'; both
+    calls must use identical structure so every started copy is waited
+    exactly once."""
     klast = nz // tz - 1
+    gj = ny // ty
+    has_strips = any(len(e) > 4 and isinstance(e[4], tuple) for e in fields)
 
-    def run(case):
+    def run(case, ycase=None):
         for entry in fields:
             fint, zedge, scr, sem = entry[:4]
             mode = entry[4] if len(entry) > 4 else 'tile'
+            if isinstance(mode, tuple):
+                mode = mode + (ycase,)
             for c in _zwin_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty,
                                   case, y_ext=y_ext, mode=mode):
                 getattr(c, action)()
 
+    def run_y(case):
+        if not has_strips:
+            run(case)
+            return
+        if gj == 1:
+            run(case, 'both')
+            return
+        jj = jax.lax.div(jnp.asarray(y0, jnp.int32),
+                         jnp.asarray(ty, jnp.int32))
+
+        @pl.when(jj == 0)
+        def _():
+            run(case, 'lo')
+
+        @pl.when(jnp.logical_and(jj > 0, jj < gj - 1))
+        def _():
+            run(case, 'wrap')
+
+        @pl.when(jj == gj - 1)
+        def _():
+            run(case, 'hi')
+
     if klast == 0:
-        run('single')
+        run_y('single')
         return
 
     @pl.when(k == 0)
     def _():
-        run('lo')
+        run_y('lo')
 
     @pl.when(jnp.logical_and(k > 0, k < klast))
     def _():
-        run('mid')
+        run_y('mid')
 
     @pl.when(k == klast)
     def _():
-        run('hi')
+        run_y('hi')
 
 
 class _PlaneAccessor:
@@ -282,6 +348,27 @@ def pick_tiles(nz, ny, itemsize, nx, nwin=5, nio=9):
     return None
 
 
+def _dot_xop(a, b):
+    """In-kernel operator matmul at bf16x3 (f32) / full precision (f64).
+
+    Mosaic rejects jax.lax.Precision.HIGH on dots, so the 3-pass bf16
+    split is done by hand: a@b ~= ah@bh + ah@bl + al@bh with x = hi + lo,
+    hi = bf16(x) — the same error class as the solve's HIGH tensordots
+    (ops/transforms._matmul_axis)."""
+    if a.dtype != jnp.float32:
+        return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+    dims = (((1,), (0,)), ((), ()))
+
+    def d(x, y):
+        return jax.lax.dot_general(x, y, dims,
+                                   preferred_element_type=jnp.float32)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
 def mom_tiles(nz, ny, itemsize, nx, split=None, fuse_fillps=False):
     """Tile pick with fused_mom_rk's exact VMEM budget (the largest of the
     kernel path) — the constructor gate MUST use this same function so a
@@ -339,7 +426,7 @@ def _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j, interpret,
 def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
                 y_ext=False, split=None, has_xe=False,
                 ywalls=(False, False), fuse_fillps=False, wrec=None,
-                sum_flags=(False, False)):
+                sum_flags=(False, False), has_xop=False, has_ystrips=False):
     """fuse_fillps: also emit the projection RHS div(u_new)/dt_rk in the
     same pass (fillps.f90 folded into the momentum tail): the RHS core is
     evaluated one y row wide (row 7, the j-1 neighbor of tile row 0 — the
@@ -357,18 +444,23 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
 
     def kernel(sc, dzci_s, dzfi_s, u, v, w, s, p, ue, ve, we, se, pe, *rest):
         rest = list(rest)
-        xe = xze = ye = yze = None
+        xe = xze = ye = yze = yh = yhz = None
         if has_xe:
             xe, xze = rest[0], rest[1]
             del rest[0:2]
         if has_ye:
             ye, yze = rest[0], rest[1]
             del rest[0:2]
+        if has_ystrips:
+            yh, yhz = rest[0], rest[1]
+            del rest[0:2]
         ruo, rvo, rwo = rest[0:3]
         del rest[0:3]
-        rvo_any = None
+        rvo_any = xop = None
         if fuse_fillps:
             rvo_any = rest.pop(0)
+        if has_xop:
+            xop = rest.pop(0)
         if split is None:
             u_o, v_o, w_o, ru_o, rv_o, rw_o = rest[0:6]
             del rest[0:6]
@@ -399,10 +491,15 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
         k = pl.program_id(0)
         j = pl.program_id(1)
         z0 = k * tz
-        specs = [(u, ue, su2), (v, ve, sv2), (w, we, sw2), (s, se, ss2),
-                 (p, pe, sp2)]
+        base = [(u, ue, su2), (v, ve, sv2), (w, we, sw2), (s, se, ss2),
+                (p, pe, sp2)]
         if has_xe:
-            specs.append((xe, xze, sxe2))
+            base.append((xe, xze, sxe2))
+        if has_ystrips:
+            specs = [e + (('strips', yh, yhz, 16 * m),)
+                     for m, e in enumerate(base)]
+        else:
+            specs = list(base)
         if has_ye:
             specs.append((ye, yze, sye2, 'ally'))
         wins = _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j,
@@ -423,8 +520,6 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
         f1 = sc[0, 0]
         f2 = sc[0, 1]
         f12 = f1 + f2
-        # V slices one row wide when fusing fillps (row 0 <-> global j-1)
-        voff, vext = (7, ty + 1) if fuse_fillps else (8, ty)
 
         def body(kk, w_prev):
             kz = z0 + kk + 1          # padded z index (Fortran k)
@@ -436,16 +531,13 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
                 ye=sye, ylane={id(su): 0, id(sv): 3, id(sw): 6, id(ss): 9,
                                id(sp_): 12},
                 ystag={id(sv)}, y_lo=y_lo, y_hi=y_hi)
-
-            def V(f, k=0, j=0, i=0):
-                return acc.plane(f, k, i)[voff + j:voff + j + vext]
-
             metrics = {
                 'dzci_c': dzci_s[kz, 0],
                 'dzci_m': dzci_s[kz - 1, 0],
                 'dzfi_c': dzfi_s[kz, 0],
                 'dzfi_p': dzfi_s[kz + 1, 0],
             }
+            V = acc.V
             (eu, exyu, ezu), (ev, exyv, ezv), (ew, exyw, ezw) = \
                 st.momentum_rhs_core(V, metrics.__getitem__,
                                      su, sv, sw, ss, visc, dxi, dyi)
@@ -463,10 +555,10 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
             gpx = dxi * (V(sp_, i=1) - pc)
             gpy = dyi * (V(sp_, j=1) - pc)
             gpz = metrics['dzci_c'] * (V(sp_, k=1) - pc)
+            un = V(su) + f1 * ru + f2 * ruo[kk] + f12 * (bforce[0] - gpx)
+            vn = V(sv) + f1 * rv + f2 * rvo[kk] + f12 * (bforce[1] - gpy)
+            wn = V(sw) + f1 * rw + f2 * rwo[kk] + f12 * (bforce[2] - gpz)
             if not fuse_fillps:
-                un = V(su) + f1 * ru + f2 * ruo[kk] + f12 * (bforce[0] - gpx)
-                vn = V(sv) + f1 * rv + f2 * rvo[kk] + f12 * (bforce[1] - gpy)
-                wn = V(sw) + f1 * rw + f2 * rwo[kk] + f12 * (bforce[2] - gpz)
                 if split is not None:
                     # the full diffusive term enters the RK update; the
                     # caller subtracts 0.5*f12*rd before the CN Helmholtz
@@ -486,20 +578,26 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
                 return 0
 
             # --- fused fillps tail (explicit path only) ---
-            un = (V(su)[1:] + f1 * ru[1:] + f2 * ruo[kk]
-                  + f12 * (bforce[0] - gpx[1:]))
-            rvo_ext = jnp.concatenate([strip[kk, 7:8], rvo[kk]], axis=0)
-            vn_w = (V(sv) + f1 * rv + f2 * rvo_ext
-                    + f12 * (bforce[1] - gpy))          # (ty+1, nx)
-            wn = (V(sw)[1:] + f1 * rw[1:] + f2 * rwo[kk]
-                  + f12 * (bforce[2] - gpz[1:]))
-            vn = vn_w[1:]
             u_o[kk] = un
             v_o[kk] = vn
             w_o[kk] = wn
-            ru_o[kk] = ru[1:]
-            rv_o[kk] = rv[1:]
-            rw_o[kk] = rw[1:]
+            ru_o[kk] = ru
+            rv_o[kk] = rv
+            rw_o[kk] = rw
+            # v at tile row -1 (the j-1 neighbor of output row 0): a
+            # single-row v-only RHS eval + RK update with the rvo halo
+            # strip's last row (~2% extra work at ty=128, keeps the main
+            # eval 8-row aligned)
+
+            def V7(f, k=0, j=0, i=0):
+                return acc.plane(f, k, i)[7 + j:8 + j]
+
+            _, (ev7, exyv7, ezv7), _ = st.momentum_rhs_core(
+                V7, metrics.__getitem__, su, sv, sw, ss, visc, dxi, dyi,
+                components=('v',))
+            gpy7 = dyi * (V7(sp_, j=1) - V7(sp_))
+            v_prev = (V7(sv) + f1 * (ev7 + exyv7 + ezv7)
+                      + f2 * strip[kk, 7:8] + f12 * (bforce[1] - gpy7))
 
             # prediction-fill z faces (set_bc on the new field; wrec =
             # (lt_lo, b_lo, dr_lo, lt_hi, b_hi, dr_hi) for w's z faces)
@@ -515,10 +613,16 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
             w_cur = jnp.where(at_hi, ghi, wn)
 
             dti = 1.0 / f12
+            vn_w = jnp.concatenate([v_prev, vn], axis=0)   # (ty+1, nx)
             un_m = (_np_roll_variant(un, -1) if interpret else _roll_xm(un))
-            rhs_o[kk] = ((w_cur - w_km) * dti * dzfi_s[kz, 0]
-                         + (vn_w[1:] - vn_w[:-1]) * (dti * dyi)
-                         + (un - un_m) * (dti * dxi))
+            rhs = ((w_cur - w_km) * dti * dzfi_s[kz, 0]
+                   + (vn_w[1:] - vn_w[:-1]) * (dti * dyi)
+                   + (un - un_m) * (dti * dxi))
+            if has_xop:
+                # forward x transform on the otherwise-idle MXU (the
+                # solve's first stage, tr.fwd 'mat'): rhs_hat = rhs @ OxT
+                rhs = _dot_xop(rhs, xop[:, :])
+            rhs_o[kk] = rhs
             if sum_flags[0]:
                 usum_o[kk] = jnp.broadcast_to(jnp.sum(un).reshape(1, 1),
                                               (8, 128))
@@ -549,7 +653,8 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                  dzci, dzfi, f1, f2, visc, dxi, dyi, bforce, interpret=False,
                  y_ext=False, split=None, xe=None, xze=None,
                  ye=None, yze=None, ywalls=(False, False),
-                 fuse_fillps=False, wrec=None, sum_flags=(False, False)):
+                 fuse_fillps=False, wrec=None, sum_flags=(False, False),
+                 xop=None, ystrips=None):
     """Momentum RHS + RK3 update in one HBM pass.
 
     u..p: interior (nz, ny, nx) fields; ue..pe: (3, ny, nx) z-edge stacks
@@ -592,8 +697,12 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
 
     has_xe = xe is not None
     has_ye = ye is not None
+    has_xop = xop is not None
+    has_ystrips = ystrips is not None
     if fuse_fillps:
         assert split is None and not y_ext and not has_xe and not has_ye
+    if has_ystrips:
+        assert not y_ext and not has_ye and not has_xe
     nout = 6 if split is None else 9
     nwin = 5 + has_xe + has_ye
     gj = ny // ty
@@ -603,10 +712,15 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                        y_ext=y_ext, split=split, has_xe=has_xe,
                        ywalls=ywalls if has_ye else (False, False),
                        fuse_fillps=fuse_fillps, wrec=wrec,
-                       sum_flags=sum_flags)
+                       sum_flags=sum_flags, has_xop=has_xop,
+                       has_ystrips=has_ystrips)
     xargs = (xe, xze) if has_xe else ()
     yargs = (ye, yze) if has_ye else ()
+    sargs = tuple(ystrips) if has_ystrips else ()
     fargs = (rvo,) if fuse_fillps else ()     # rvo again, halo-strip source
+    mat_spec = pl.BlockSpec((nx, nx), lambda k, j: (0, 0))
+    if has_xop:
+        fargs = fargs + (jnp.asarray(xop, dt),)
     out_specs = [int_spec] * nout
     out_shape = [jax.ShapeDtypeStruct((nz, ny, nx), dt)] * nout
     fextra = []
@@ -625,8 +739,11 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
         kern,
         grid=grid,
         in_specs=[smem_spec, smem_spec, smem_spec]
-                 + [any_spec] * (10 + 2 * has_xe + 2 * has_ye)
-                 + [int_spec] * 3 + [any_spec] * len(fargs),
+                 + [any_spec] * (10 + 2 * has_xe + 2 * has_ye
+                                 + 2 * has_ystrips)
+                 + [int_spec] * 3
+                 + [any_spec] * (len(fargs) - has_xop)
+                 + [mat_spec] * has_xop,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
@@ -640,12 +757,12 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(sc, dzci_s, dzfi_s, u, v, w, s, p, ue, ve, we, se, pe, *xargs, *yargs,
-      ruo, rvo, rwo, *fargs)
+      *sargs, ruo, rvo, rwo, *fargs)
     return outs
 
 
 def _smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls, interpret,
-                 y_ext=False, has_xe=False):
+                 y_ext=False, has_xe=False, has_ystrips=False):
     """strain rate + nu_t = (Cs*Delta(z)*fd)^2 |S| in one pass.
 
     van Driest damping for the z-walls-only case (channel/Couette class,
@@ -656,9 +773,12 @@ def _smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls, interpret,
     def kernel(csd2_s, dw_s, msk_s, dzci_s, dzfi_s, u, v, w, ue, ve, we,
                *rest):
         rest = list(rest)
-        xe = xze = None
+        xe = xze = yh = yhz = None
         if has_xe:
             xe, xze = rest[0], rest[1]
+            del rest[0:2]
+        if has_ystrips:
+            yh, yhz = rest[0], rest[1]
             del rest[0:2]
         tlo, thi, s_o, su2, sv2, sw2 = rest[0:6]
         sxe2 = rest[6] if has_xe else None
@@ -669,6 +789,9 @@ def _smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls, interpret,
         specs = [(u, ue, su2), (v, ve, sv2), (w, we, sw2)]
         if has_xe:
             specs.append((xe, xze, sxe2))
+        if has_ystrips:
+            specs = [e + (('strips', yh, yhz, 16 * m),)
+                     for m, e in enumerate(specs)]
         wins = _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j,
                                   interpret, y_ext=y_ext)
         su, sv, sw = wins[0:3]
@@ -702,7 +825,8 @@ def _smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls, interpret,
 
 def fused_smag(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi, visc, cs_delta2_1d,
                dw_1d=None, nearlo_1d=None, tauw_lo=None, tauw_hi=None,
-               interpret=False, y_ext=False, xe=None, xze=None):
+               interpret=False, y_ext=False, xe=None, xze=None,
+               ystrips=None):
     """Static Smagorinsky nu_t in one pass (z walls or no walls).
 
     u, v, w: interior (nz, ny, nx); ue, ve, we: (3, ny, nx) z-edge stacks
@@ -742,16 +866,19 @@ def fused_smag(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi, visc, cs_delta2_1d,
         tauw_hi = jnp.asarray(tauw_hi, dt).reshape(1, ny, nx)
 
     has_xe = xe is not None
+    has_ystrips = ystrips is not None
     grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
     plane_spec = pl.BlockSpec((1, ty, nx), lambda k, j: (0, j, 0))
     kern = _smag_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
                         float(visc), have_zwalls, interpret, y_ext=y_ext,
-                        has_xe=has_xe)
+                        has_xe=has_xe, has_ystrips=has_ystrips)
     xargs = (xe, xze) if has_xe else ()
+    sargs = tuple(ystrips) if has_ystrips else ()
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[smem_spec] * 5 + [any_spec] * (6 + 2 * has_xe)
+        in_specs=[smem_spec] * 5
+                 + [any_spec] * (6 + 2 * has_xe + 2 * has_ystrips)
                  + [plane_spec] * 2,
         out_specs=int_spec,
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
@@ -762,24 +889,29 @@ def fused_smag(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi, visc, cs_delta2_1d,
                        + [pltpu.SemaphoreType.DMA((2, 3 + has_xe, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(csd2, dw, msk, dzci_s, dzfi_s, u, v, w, ue, ve, we, *xargs,
+    )(csd2, dw, msk, dzci_s, dzfi_s, u, v, w, ue, ve, we, *xargs, *sargs,
       tauw_lo, tauw_hi)
 
 
 def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
-                   has_xe=False, ywalls=(False, False)):
+                   has_xe=False, ywalls=(False, False), has_ystrips=False,
+                   has_xop=False):
     has_ye = any(ywalls)
     gj = ny // ty
 
     def kernel(sc, dzfi_s, u, v, w, ue, ve, we, *rest):
         rest = list(rest)
-        xe = xze = ye = yze = None
+        xe = xze = ye = yze = yh = yhz = None
         if has_xe:
             xe, xze = rest[0], rest[1]
             del rest[0:2]
         if has_ye:
             ye, yze = rest[0], rest[1]
             del rest[0:2]
+        if has_ystrips:
+            yh, yhz = rest[0], rest[1]
+            del rest[0:2]
+        xop = rest.pop(0) if has_xop else None
         rhs_o, su2, sv2, sw2 = rest[0:4]
         del rest[0:4]
         sxe2 = sye2 = None
@@ -794,6 +926,9 @@ def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
         specs = [(u, ue, su2), (v, ve, sv2), (w, we, sw2)]
         if has_xe:
             specs.append((xe, xze, sxe2))
+        if has_ystrips:
+            specs = [e + (('strips', yh, yhz, 16 * m),)
+                     for m, e in enumerate(specs)]
         if has_ye:
             specs.append((ye, yze, sye2, 'ally'))
         wins = _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j,
@@ -813,9 +948,13 @@ def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
                                  ye=sye,
                                  ylane={id(su): 0, id(sv): 3, id(sw): 6},
                                  ystag={id(sv)}, y_lo=y_lo, y_hi=y_hi)
-            rhs_o[kk] = ((acc.V(sw) - acc.V(sw, k=-1)) * dti * dzfi_s[kz, 0]
-                         + (acc.V(sv) - acc.V(sv, j=-1)) * (dti * dyi)
-                         + (acc.V(su) - acc.V(su, i=-1)) * (dti * dxi))
+            rhs = ((acc.V(sw) - acc.V(sw, k=-1)) * dti * dzfi_s[kz, 0]
+                   + (acc.V(sv) - acc.V(sv, j=-1)) * (dti * dyi)
+                   + (acc.V(su) - acc.V(su, i=-1)) * (dti * dxi))
+            if has_xop:
+                # forward x transform (the solve's first stage) on the MXU
+                rhs = _dot_xop(rhs, xop[:, :])
+            rhs_o[kk] = rhs
             return 0
 
         jax.lax.fori_loop(0, tz, body, 0)
@@ -824,7 +963,7 @@ def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
 
 def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False,
                  y_ext=False, xe=None, xze=None, ye=None, yze=None,
-                 ywalls=(False, False)):
+                 ywalls=(False, False), ystrips=None, xop=None):
     """Poisson RHS div(u)/dt_rk in one pass (fillps.f90:14-48).
 
     u, v, w: prediction-velocity interiors; ue, ve, we: prediction-fill
@@ -847,18 +986,26 @@ def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False,
     dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
     has_xe = xe is not None
     has_ye = ye is not None
+    has_ystrips = ystrips is not None
+    has_xop = xop is not None
     xargs = (xe, xze) if has_xe else ()
     yargs = (ye, yze) if has_ye else ()
+    sargs = tuple(ystrips) if has_ystrips else ()
+    oargs = (jnp.asarray(xop, dt),) if has_xop else ()
+    mat_spec = pl.BlockSpec((nx, nx), lambda k, j: (0, 0))
     nwin = 3 + has_xe + has_ye
     grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
     kern = _fillps_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
                           interpret, y_ext=y_ext, has_xe=has_xe,
-                          ywalls=ywalls if has_ye else (False, False))
+                          ywalls=ywalls if has_ye else (False, False),
+                          has_ystrips=has_ystrips, has_xop=has_xop)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[smem_spec, smem_spec]
-                 + [any_spec] * (6 + 2 * has_xe + 2 * has_ye),
+                 + [any_spec] * (6 + 2 * has_xe + 2 * has_ye
+                                 + 2 * has_ystrips)
+                 + [mat_spec] * has_xop,
         out_specs=int_spec,
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
         scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
@@ -870,7 +1017,7 @@ def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False,
                        + [pltpu.SemaphoreType.DMA((2, nwin, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(sc, dzfi_s, u, v, w, ue, ve, we, *xargs, *yargs)
+    )(sc, dzfi_s, u, v, w, ue, ve, we, *xargs, *yargs, *sargs, *oargs)
 
 
 def _roll_rows_up(p, interpret):
@@ -882,7 +1029,7 @@ def _roll_rows_up(p, interpret):
 
 
 def _correc_smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls,
-                        zrec, interpret):
+                        zrec, interpret, has_xopi=False):
     """Velocity correction + pressure update + static-Smagorinsky nu_t in
     ONE pass: the strain rate is evaluated on corrected values built
     in-register from the prediction windows + the pp window (correc.f90 +
@@ -898,14 +1045,28 @@ def _correc_smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls,
     klast = nz // tz - 1
 
     def kernel(sc, dzci_s, dzfi_s, csd2_s, dw_s, msk_s,
-               u, v, w, pp, ue, ve, we, ppe, tlo, thi, p_i,
-               u_o, v_o, w_o, p_o, s_o, su2, sv2, sw2, spp2, sems):
+               u, v, w, pp, ue, ve, we, ppe, *rest):
+        rest = list(rest)
+        xopi = rest.pop(0) if has_xopi else None
+        tlo, thi, p_i, u_o, v_o, w_o, p_o, s_o = rest[0:8]
+        del rest[0:8]
+        su2, sv2, sw2, spp2 = rest[0:4]
+        del rest[0:4]
+        ppph = rest.pop(0) if has_xopi else None
+        sems = rest[-1]
         k = pl.program_id(0)
         j = pl.program_id(1)
         z0 = k * tz
         su, sv, sw, spp = _pipelined_windows(
             [(u, ue, su2), (v, ve, sv2), (w, we, sw2), (pp, ppe, spp2)],
             sems, nz, ny, tz, ty, k, j, interpret)
+        if has_xopi:
+            # inverse x transform of the solver output on the idle MXU
+            # (the solve's last stage): phys = hat @ OxInvT, once per
+            # window plane per tile
+            for r in range(tz + 2):
+                ppph[r] = _dot_xop(spp[r], xopi[:, :])
+            spp = ppph
         dtrk = sc[0, 0]
         fu = sc[0, 2]     # deferred bulk-forcing constants (fused-fillps
         fv = sc[0, 3]     # momentum path; zero otherwise)
@@ -996,7 +1157,7 @@ def fused_correc_updatep_smag(u, v, w, pp, p, ue, ve, we, ppe, dtrk,
                               dxi, dyi, dzci, dzfi, visc, cs_delta2_1d,
                               zrec, dw_1d=None, nearlo_1d=None,
                               tauw_lo=None, tauw_hi=None, interpret=False,
-                              fu=0.0, fv=0.0):
+                              fu=0.0, fv=0.0, xopi=None):
     """Projection + pressure update + static Smagorinsky in one HBM pass
     (explicit-diffusion channel class): reads the prediction-velocity and
     solver-output windows ONCE and emits (u, v, w, p, nu_t) — removes the
@@ -1034,40 +1195,49 @@ def fused_correc_updatep_smag(u, v, w, pp, p, ue, ve, we, ppe, dtrk,
         tauw_lo = jnp.asarray(tauw_lo, dt).reshape(1, ny, nx)
         tauw_hi = jnp.asarray(tauw_hi, dt).reshape(1, ny, nx)
 
+    has_xopi = xopi is not None
     grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
     plane_spec = pl.BlockSpec((1, ty, nx), lambda k, j: (0, j, 0))
+    mat_spec = pl.BlockSpec((nx, nx), lambda k, j: (0, 0))
     kern = _correc_smag_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
-                               float(visc), have_zwalls, zrec, interpret)
+                               float(visc), have_zwalls, zrec, interpret,
+                               has_xopi=has_xopi)
+    xargs = (jnp.asarray(xopi, dt),) if has_xopi else ()
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[smem_spec] * 6 + [any_spec] * 8 + [plane_spec] * 2
-                 + [int_spec],
+        in_specs=[smem_spec] * 6 + [any_spec] * 8 + [mat_spec] * has_xopi
+                 + [plane_spec] * 2 + [int_spec],
         out_specs=[int_spec] * 5,
         out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 5,
         scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
                         for _ in range(4)]
+                       + ([pltpu.VMEM((tz + 2, ty + 16, nx), dt)]
+                          if has_xopi else [])
                        + [pltpu.SemaphoreType.DMA((2, 4, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(sc, dzci_s, dzfi_s, csd2, dw, msk, u, v, w, pp, ue, ve, we, ppe,
-      tauw_lo, tauw_hi, p)
+      *xargs, tauw_lo, tauw_hi, p)
 
 
 def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
                    impdiff=False, impdiff_1d=False, has_xe=False,
-                   ywalls=(False, False)):
+                   ywalls=(False, False), has_ystrips=False):
     has_ye = any(ywalls)
     gj = ny // ty
 
     def kernel(sc, dzci_s, dzfi_s, w, pp, we, ppe, *rest):
         rest = list(rest)
-        xe = xze = ye = yze = None
+        xe = xze = ye = yze = yh = yhz = None
         if has_xe:
             xe, xze = rest[0], rest[1]
             del rest[0:2]
         if has_ye:
             ye, yze = rest[0], rest[1]
+            del rest[0:2]
+        if has_ystrips:
+            yh, yhz = rest[0], rest[1]
             del rest[0:2]
         (u_i, v_i, p_i, u_o, v_o, w_o, p_o, sw2, spp2) = rest[0:9]
         del rest[0:9]
@@ -1083,6 +1253,9 @@ def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
         specs = [(w, we, sw2), (pp, ppe, spp2)]
         if has_xe:
             specs.append((xe, xze, sxe2))
+        if has_ystrips:
+            specs = [e + (('strips', yh, yhz, 16 * m),)
+                     for m, e in enumerate(specs)]
         if has_ye:
             specs.append((ye, yze, sye2, 'ally'))
         wins = _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j,
@@ -1139,7 +1312,8 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
                          interpret=False, y_ext=False,
                          alpha=0.0, impdiff=False, impdiff_1d=False,
                          dzfi=None, xe=None, xze=None, ye=None, yze=None,
-                         ywalls=(False, False), fu=0.0, fv=0.0):
+                         ywalls=(False, False), fu=0.0, fv=0.0,
+                         ystrips=None):
     """Velocity correction + pressure update in one pass (correc.f90:14-68,
     updatep.f90:14-24 explicit-diffusion branch).
 
@@ -1169,19 +1343,23 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
                          dt).reshape(-1, 1)
     has_xe = xe is not None
     has_ye = ye is not None
+    has_ystrips = ystrips is not None
     xargs = (xe, xze) if has_xe else ()
     yargs = (ye, yze) if has_ye else ()
+    sargs = tuple(ystrips) if has_ystrips else ()
     nwin = 2 + has_xe + has_ye
     grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
     kern = _correc_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
                           interpret, y_ext=y_ext, impdiff=impdiff,
                           impdiff_1d=impdiff_1d, has_xe=has_xe,
-                          ywalls=ywalls if has_ye else (False, False))
+                          ywalls=ywalls if has_ye else (False, False),
+                          has_ystrips=has_ystrips)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[smem_spec, smem_spec, smem_spec]
-                 + [any_spec] * (4 + 2 * has_xe + 2 * has_ye)
+                 + [any_spec] * (4 + 2 * has_xe + 2 * has_ye
+                                 + 2 * has_ystrips)
                  + [int_spec] * 3,
         out_specs=[int_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 4,
@@ -1194,4 +1372,4 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
                        + [pltpu.SemaphoreType.DMA((2, nwin, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(sc, dzci_s, dzfi_s, w, pp, we, ppe, *xargs, *yargs, u, v, p)
+    )(sc, dzci_s, dzfi_s, w, pp, we, ppe, *xargs, *yargs, *sargs, u, v, p)

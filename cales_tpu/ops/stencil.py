@@ -60,13 +60,20 @@ def momentum_rhs(up, vp, wp, sp, visc, dxi, dyi, dzci, dzfi):
                              visc, dxi, dyi)
 
 
-def momentum_rhs_core(V, M, up, vp, wp, sp, visc, dxi, dyi):
+def momentum_rhs_core(V, M, up, vp, wp, sp, visc, dxi, dyi,
+                      components=('u', 'v', 'w')):
     """The discretization itself, written against an accessor interface so
     the XLA expression path and the Pallas VMEM-window kernel share the SAME
     formulas (mom.f90:17-309):
       V(field, k=, j=, i=) -> interior-shifted view;
       M(name) -> z metric broadcast ('dzci_c','dzci_m','dzfi_c','dzfi_p').
+
+    components: which momentum components to evaluate (the others return
+    None triples) — used by the fused-fillps kernel's single-row v eval.
     """
+    want_u = 'u' in components
+    want_v = 'v' in components
+    want_w = 'w' in components
     dzci_c = M('dzci_c')
     dzci_m = M('dzci_m')
     dzfi_c = M('dzfi_c')
@@ -74,149 +81,173 @@ def momentum_rhs_core(V, M, up, vp, wp, sp, visc, dxi, dyi):
 
     u_ccc, v_ccc, w_ccc, s_ccc = V(up), V(vp), V(wp), V(sp)
 
-    # ---- u momentum ----
-    u_pcc, u_mcc = V(up, i=1), V(up, i=-1)
-    u_cpc, u_cmc = V(up, j=1), V(up, j=-1)
-    u_ccp, u_ccm = V(up, k=1), V(up, k=-1)
-    v_pcc, v_cmc, v_pmc = V(vp, i=1), V(vp, j=-1), V(vp, j=-1, i=1)
-    w_pcc, w_ccm, w_pcm = V(wp, i=1), V(wp, k=-1), V(wp, k=-1, i=1)
+    # shared shifted reads + edge derivatives (mom.f90:145-150,190-195,
+    # 235-240: u_jp==v_ip, u_kp==w_ip, v_kp==w_jp)
+    u_pcc = V(up, i=1)
+    u_cpc = V(up, j=1)
+    u_ccp = V(up, k=1)
+    u_mcc_f = V(up, i=-1)
+    v_pcc, v_cmc = V(vp, i=1), V(vp, j=-1)
+    v_cpc, v_ccp = V(vp, j=1), V(vp, k=1)
+    w_pcc, w_ccm = V(wp, i=1), V(wp, k=-1)
+    w_cpc = V(wp, j=1)
     s_pcc = V(sp, i=1)
-    s_cpc, s_cmc, s_ppc, s_pmc = V(sp, j=1), V(sp, j=-1), V(sp, j=1, i=1), V(sp, j=-1, i=1)
-    s_ccp, s_ccm, s_pcp, s_pcm = V(sp, k=1), V(sp, k=-1), V(sp, k=1, i=1), V(sp, k=-1, i=1)
+    s_cpc, s_ppc = V(sp, j=1), V(sp, j=1, i=1)
+    s_ccp, s_pcp = V(sp, k=1), V(sp, k=1, i=1)
+    s_cpp = V(sp, k=1, j=1)
 
-    # edge-interpolated eddy viscosities shared across component pairs
-    # (mom.f90:145-150,190-195,235-240: u_jp==v_ip, u_kp==w_ip, v_kp==w_jp)
     visc_e_xy = 0.25 * (s_ccc + s_pcc + s_cpc + s_ppc)
     visc_e_xz = 0.25 * (s_ccc + s_pcc + s_ccp + s_pcp)
-
-    visc_ip, visc_im = s_pcc, s_ccc
-    visc_jp = visc_e_xy
-    visc_jm = 0.25 * (s_ccc + s_pcc + s_cmc + s_pmc)
-    visc_kp = visc_e_xz
-    visc_km = 0.25 * (s_ccc + s_pcc + s_ccm + s_pcm)
-
-    dudx_ip = (u_pcc - u_ccc) * dxi
-    dudx_im = (u_ccc - u_mcc) * dxi
-    dudy_e = (u_cpc - u_ccc) * dyi      # du/dy at the (i+1/2, j+1/2) edge
-    dudz_e = (u_ccp - u_ccc) * dzci_c   # du/dz at the (i+1/2, k+1/2) edge
-    dudy_jp = dudy_e
-    dudy_jm = (u_ccc - u_cmc) * dyi
-    dudz_kp = dudz_e
-    dudz_km = (u_ccc - u_ccm) * dzci_m
-    dvdx_e = (v_pcc - v_ccc) * dxi
-    dvdx_jp = dvdx_e
-    dvdx_jm = (v_pmc - v_cmc) * dxi
-    dwdx_e = (w_pcc - w_ccc) * dxi
-    dwdx_kp = dwdx_e
-    dwdx_km = (w_pcm - w_ccm) * dxi
-
-    uu_ip = 0.25 * (u_pcc + u_ccc) * (u_ccc + u_pcc)
-    uu_im = 0.25 * (u_mcc + u_ccc) * (u_ccc + u_mcc)
-    vu_jp = 0.25 * (v_pcc + v_ccc) * (u_ccc + u_cpc)
-    vu_jm = 0.25 * (v_pmc + v_cmc) * (u_ccc + u_cmc)
-    wu_kp = 0.25 * (w_pcc + w_ccc) * (u_ccc + u_ccp)
-    wu_km = 0.25 * (w_pcm + w_ccm) * (u_ccc + u_ccm)
-
-    dudtd_xy = visc * ((dudx_ip - dudx_im) * dxi + (dudy_jp - dudy_jm) * dyi)
-    dudtd_z = visc * (dudz_kp - dudz_km) * dzfi_c
-    dudt = (-(uu_ip - uu_im) * dxi - (vu_jp - vu_jm) * dyi
-            - (wu_kp - wu_km) * dzfi_c
-            + (visc_ip * 2.0 * dudx_ip - visc_im * 2.0 * dudx_im) * dxi
-            + (visc_jp * (dudy_jp + dvdx_jp) - visc_jm * (dudy_jm + dvdx_jm)) * dyi
-            + (visc_kp * (dudz_kp + dwdx_kp) - visc_km * (dudz_km + dwdx_km)) * dzfi_c)
-
-    # ---- v momentum ----
-    v_pcc_f, v_mcc = V(vp, i=1), V(vp, i=-1)
-    v_cpc, v_cmc_f = V(vp, j=1), V(vp, j=-1)
-    v_ccp, v_ccm = V(vp, k=1), V(vp, k=-1)
-    u_mpc, u_mcc_f = V(up, j=1, i=-1), V(up, i=-1)
-    w_cpc, w_cpm = V(wp, j=1), V(wp, k=-1, j=1)
-    s_mcc, s_mpc = V(sp, i=-1), V(sp, j=1, i=-1)
-    s_cpp, s_cpm = V(sp, k=1, j=1), V(sp, k=-1, j=1)
-
     visc_e_yz = 0.25 * (s_ccc + s_cpc + s_ccp + s_cpp)
 
-    visc_ip = visc_e_xy
-    visc_im = 0.25 * (s_ccc + s_cpc + s_mcc + s_mpc)
-    visc_jp, visc_jm = s_cpc, s_ccc
-    visc_kp = visc_e_yz
-    visc_km = 0.25 * (s_ccc + s_cpc + s_ccm + s_cpm)
-
-    dvdx_ip = dvdx_e
-    dvdx_im = (v_ccc - v_mcc) * dxi
-    dvdy_jp = (v_cpc - v_ccc) * dyi
-    dvdy_jm = (v_ccc - v_cmc_f) * dyi
+    dudy_e = (u_cpc - u_ccc) * dyi      # du/dy at the (i+1/2, j+1/2) edge
+    dudz_e = (u_ccp - u_ccc) * dzci_c   # du/dz at the (i+1/2, k+1/2) edge
+    dvdx_e = (v_pcc - v_ccc) * dxi
     dvdz_e = (v_ccp - v_ccc) * dzci_c
-    dvdz_kp = dvdz_e
-    dvdz_km = (v_ccc - v_ccm) * dzci_m
-    dudy_ip = dudy_e
-    dudy_im = (u_mpc - u_mcc_f) * dyi
+    dwdx_e = (w_pcc - w_ccc) * dxi
     dwdy_e = (w_cpc - w_ccc) * dyi
-    dwdy_kp = dwdy_e
-    dwdy_km = (w_cpm - w_ccm) * dyi
 
-    uv_ip = 0.25 * (u_ccc + u_cpc) * (v_ccc + v_pcc_f)
-    uv_im = 0.25 * (u_mcc_f + u_mpc) * (v_ccc + v_mcc)
-    vv_jp = 0.25 * (v_ccc + v_cpc) * (v_ccc + v_cpc)
-    vv_jm = 0.25 * (v_ccc + v_cmc_f) * (v_ccc + v_cmc_f)
-    wv_kp = 0.25 * (w_ccc + w_cpc) * (v_ccc + v_ccp)
-    wv_km = 0.25 * (w_ccm + w_cpm) * (v_ccc + v_ccm)
+    u_out = v_out = w_out = (None, None, None)
 
-    dvdtd_xy = visc * ((dvdx_ip - dvdx_im) * dxi + (dvdy_jp - dvdy_jm) * dyi)
-    dvdtd_z = visc * (dvdz_kp - dvdz_km) * dzfi_c
-    dvdt = (-(uv_ip - uv_im) * dxi - (vv_jp - vv_jm) * dyi
-            - (wv_kp - wv_km) * dzfi_c
-            + (visc_ip * (dvdx_ip + dudy_ip) - visc_im * (dvdx_im + dudy_im)) * dxi
-            + (visc_jp * 2.0 * dvdy_jp - visc_jm * 2.0 * dvdy_jm) * dyi
-            + (visc_kp * (dvdz_kp + dwdy_kp) - visc_km * (dvdz_km + dwdy_km)) * dzfi_c)
+    # ---- u momentum ----
+    if want_u:
+        u_mcc = u_mcc_f
+        u_cmc = V(up, j=-1)
+        u_ccm = V(up, k=-1)
+        v_pmc = V(vp, j=-1, i=1)
+        w_pcm = V(wp, k=-1, i=1)
+        s_cmc, s_pmc = V(sp, j=-1), V(sp, j=-1, i=1)
+        s_ccm, s_pcm = V(sp, k=-1), V(sp, k=-1, i=1)
+
+        visc_ip, visc_im = s_pcc, s_ccc
+        visc_jp = visc_e_xy
+        visc_jm = 0.25 * (s_ccc + s_pcc + s_cmc + s_pmc)
+        visc_kp = visc_e_xz
+        visc_km = 0.25 * (s_ccc + s_pcc + s_ccm + s_pcm)
+
+        dudx_ip = (u_pcc - u_ccc) * dxi
+        dudx_im = (u_ccc - u_mcc) * dxi
+        dudy_jp = dudy_e
+        dudy_jm = (u_ccc - u_cmc) * dyi
+        dudz_kp = dudz_e
+        dudz_km = (u_ccc - u_ccm) * dzci_m
+        dvdx_jp = dvdx_e
+        dvdx_jm = (v_pmc - v_cmc) * dxi
+        dwdx_kp = dwdx_e
+        dwdx_km = (w_pcm - w_ccm) * dxi
+
+        uu_ip = 0.25 * (u_pcc + u_ccc) * (u_ccc + u_pcc)
+        uu_im = 0.25 * (u_mcc + u_ccc) * (u_ccc + u_mcc)
+        vu_jp = 0.25 * (v_pcc + v_ccc) * (u_ccc + u_cpc)
+        vu_jm = 0.25 * (v_pmc + v_cmc) * (u_ccc + u_cmc)
+        wu_kp = 0.25 * (w_pcc + w_ccc) * (u_ccc + u_ccp)
+        wu_km = 0.25 * (w_pcm + w_ccm) * (u_ccc + u_ccm)
+
+        dudtd_xy = visc * ((dudx_ip - dudx_im) * dxi
+                           + (dudy_jp - dudy_jm) * dyi)
+        dudtd_z = visc * (dudz_kp - dudz_km) * dzfi_c
+        dudt = (-(uu_ip - uu_im) * dxi - (vu_jp - vu_jm) * dyi
+                - (wu_kp - wu_km) * dzfi_c
+                + (visc_ip * 2.0 * dudx_ip - visc_im * 2.0 * dudx_im) * dxi
+                + (visc_jp * (dudy_jp + dvdx_jp) - visc_jm * (dudy_jm + dvdx_jm)) * dyi
+                + (visc_kp * (dudz_kp + dwdx_kp) - visc_km * (dudz_km + dwdx_km)) * dzfi_c)
+        u_out = (dudt, dudtd_xy, dudtd_z)
+
+    # ---- v momentum ----
+    if want_v:
+        v_pcc_f, v_mcc = v_pcc, V(vp, i=-1)
+        v_cmc_f = v_cmc
+        v_ccm = V(vp, k=-1)
+        u_mpc = V(up, j=1, i=-1)
+        w_cpm = V(wp, k=-1, j=1)
+        s_mcc, s_mpc = V(sp, i=-1), V(sp, j=1, i=-1)
+        s_cpm = V(sp, k=-1, j=1)
+        s_ccm_v = V(sp, k=-1)
+
+        visc_ip = visc_e_xy
+        visc_im = 0.25 * (s_ccc + s_cpc + s_mcc + s_mpc)
+        visc_jp, visc_jm = s_cpc, s_ccc
+        visc_kp = visc_e_yz
+        visc_km = 0.25 * (s_ccc + s_cpc + s_ccm_v + s_cpm)
+
+        dvdx_ip = dvdx_e
+        dvdx_im = (v_ccc - v_mcc) * dxi
+        dvdy_jp = (v_cpc - v_ccc) * dyi
+        dvdy_jm = (v_ccc - v_cmc_f) * dyi
+        dvdz_kp = dvdz_e
+        dvdz_km = (v_ccc - v_ccm) * dzci_m
+        dudy_ip = dudy_e
+        dudy_im = (u_mpc - u_mcc_f) * dyi
+        dwdy_kp = dwdy_e
+        dwdy_km = (w_cpm - w_ccm) * dyi
+
+        uv_ip = 0.25 * (u_ccc + u_cpc) * (v_ccc + v_pcc_f)
+        uv_im = 0.25 * (u_mcc_f + u_mpc) * (v_ccc + v_mcc)
+        vv_jp = 0.25 * (v_ccc + v_cpc) * (v_ccc + v_cpc)
+        vv_jm = 0.25 * (v_ccc + v_cmc_f) * (v_ccc + v_cmc_f)
+        wv_kp = 0.25 * (w_ccc + w_cpc) * (v_ccc + v_ccp)
+        wv_km = 0.25 * (w_ccm + w_cpm) * (v_ccc + v_ccm)
+
+        dvdtd_xy = visc * ((dvdx_ip - dvdx_im) * dxi
+                           + (dvdy_jp - dvdy_jm) * dyi)
+        dvdtd_z = visc * (dvdz_kp - dvdz_km) * dzfi_c
+        dvdt = (-(uv_ip - uv_im) * dxi - (vv_jp - vv_jm) * dyi
+                - (wv_kp - wv_km) * dzfi_c
+                + (visc_ip * (dvdx_ip + dudy_ip) - visc_im * (dvdx_im + dudy_im)) * dxi
+                + (visc_jp * 2.0 * dvdy_jp - visc_jm * 2.0 * dvdy_jm) * dyi
+                + (visc_kp * (dvdz_kp + dwdy_kp) - visc_km * (dvdz_km + dwdy_km)) * dzfi_c)
+        v_out = (dvdt, dvdtd_xy, dvdtd_z)
 
     # ---- w momentum ----
-    w_pcc_f, w_mcc = V(wp, i=1), V(wp, i=-1)
-    w_cpc_f, w_cmc = V(wp, j=1), V(wp, j=-1)
-    w_ccp, w_ccm_f = V(wp, k=1), V(wp, k=-1)
-    u_mcp = V(up, k=1, i=-1)
-    u_ccp_f = V(up, k=1)
-    v_cmp = V(vp, k=1, j=-1)
-    v_ccp_f = V(vp, k=1)
-    s_mcp = V(sp, k=1, i=-1)
-    s_cmp = V(sp, k=1, j=-1)
-    s_cmc2 = V(sp, j=-1)
+    if want_w:
+        w_pcc_f, w_mcc = w_pcc, V(wp, i=-1)
+        w_cpc_f, w_cmc = w_cpc, V(wp, j=-1)
+        w_ccp, w_ccm_f = V(wp, k=1), w_ccm
+        u_mcp = V(up, k=1, i=-1)
+        u_ccp_f = u_ccp
+        v_cmp = V(vp, k=1, j=-1)
+        v_ccp_f = v_ccp
+        v_cmc_w = v_cmc
+        s_mcc_w = V(sp, i=-1)
+        s_mcp = V(sp, k=1, i=-1)
+        s_cmp = V(sp, k=1, j=-1)
+        s_cmc2 = V(sp, j=-1)
 
-    visc_ip = visc_e_xz
-    visc_im = 0.25 * (s_ccc + s_ccp + s_mcc + s_mcp)
-    visc_jp = visc_e_yz
-    visc_jm = 0.25 * (s_ccc + s_ccp + s_cmc2 + s_cmp)
-    visc_kp, visc_km = s_ccp, s_ccc
+        visc_ip = visc_e_xz
+        visc_im = 0.25 * (s_ccc + s_ccp + s_mcc_w + s_mcp)
+        visc_jp = visc_e_yz
+        visc_jm = 0.25 * (s_ccc + s_ccp + s_cmc2 + s_cmp)
+        visc_kp, visc_km = s_ccp, s_ccc
 
-    dwdx_ip = dwdx_e
-    dwdx_im = (w_ccc - w_mcc) * dxi
-    dwdy_jp = dwdy_e
-    dwdy_jm = (w_ccc - w_cmc) * dyi
-    dwdz_kp = (w_ccp - w_ccc) * dzfi_p
-    dwdz_km = (w_ccc - w_ccm_f) * dzfi_c
-    dudz_ip = dudz_e
-    dudz_im = (u_mcp - u_mcc_f) * dzci_c
-    dvdz_jp = dvdz_e
-    dvdz_jm = (v_cmp - v_cmc_f) * dzci_c
+        dwdx_ip = dwdx_e
+        dwdx_im = (w_ccc - w_mcc) * dxi
+        dwdy_jp = dwdy_e
+        dwdy_jm = (w_ccc - w_cmc) * dyi
+        dwdz_kp = (w_ccp - w_ccc) * dzfi_p
+        dwdz_km = (w_ccc - w_ccm_f) * dzfi_c
+        dudz_ip = dudz_e
+        dudz_im = (u_mcp - u_mcc_f) * dzci_c
+        dvdz_jp = dvdz_e
+        dvdz_jm = (v_cmp - v_cmc_w) * dzci_c
 
-    uw_ip = 0.25 * (u_ccc + u_ccp_f) * (w_ccc + w_pcc_f)
-    uw_im = 0.25 * (u_mcc_f + u_mcp) * (w_ccc + w_mcc)
-    vw_jp = 0.25 * (v_ccc + v_ccp_f) * (w_ccc + w_cpc_f)
-    vw_jm = 0.25 * (v_cmc_f + v_cmp) * (w_ccc + w_cmc)
-    ww_kp = 0.25 * (w_ccc + w_ccp) * (w_ccc + w_ccp)
-    ww_km = 0.25 * (w_ccc + w_ccm_f) * (w_ccc + w_ccm_f)
+        uw_ip = 0.25 * (u_ccc + u_ccp_f) * (w_ccc + w_pcc_f)
+        uw_im = 0.25 * (u_mcc_f + u_mcp) * (w_ccc + w_mcc)
+        vw_jp = 0.25 * (v_ccc + v_ccp_f) * (w_ccc + w_cpc_f)
+        vw_jm = 0.25 * (v_cmc_w + v_cmp) * (w_ccc + w_cmc)
+        ww_kp = 0.25 * (w_ccc + w_ccp) * (w_ccc + w_ccp)
+        ww_km = 0.25 * (w_ccc + w_ccm_f) * (w_ccc + w_ccm_f)
 
-    dwdtd_xy = visc * ((dwdx_ip - dwdx_im) * dxi + (dwdy_jp - dwdy_jm) * dyi)
-    dwdtd_z = visc * (dwdz_kp - dwdz_km) * dzci_c
-    dwdt = (-(uw_ip - uw_im) * dxi - (vw_jp - vw_jm) * dyi
-            - (ww_kp - ww_km) * dzci_c
-            + (visc_ip * (dwdx_ip + dudz_ip) - visc_im * (dwdx_im + dudz_im)) * dxi
-            + (visc_jp * (dwdy_jp + dvdz_jp) - visc_jm * (dwdy_jm + dvdz_jm)) * dyi
-            + (visc_kp * 2.0 * dwdz_kp - visc_km * 2.0 * dwdz_km) * dzci_c)
+        dwdtd_xy = visc * ((dwdx_ip - dwdx_im) * dxi
+                           + (dwdy_jp - dwdy_jm) * dyi)
+        dwdtd_z = visc * (dwdz_kp - dwdz_km) * dzci_c
+        dwdt = (-(uw_ip - uw_im) * dxi - (vw_jp - vw_jm) * dyi
+                - (ww_kp - ww_km) * dzci_c
+                + (visc_ip * (dwdx_ip + dudz_ip) - visc_im * (dwdx_im + dudz_im)) * dxi
+                + (visc_jp * (dwdy_jp + dvdz_jp) - visc_jm * (dwdy_jm + dvdz_jm)) * dyi
+                + (visc_kp * 2.0 * dwdz_kp - visc_km * 2.0 * dwdz_km) * dzci_c)
+        w_out = (dwdt, dwdtd_xy, dwdtd_z)
 
-    return ((dudt, dudtd_xy, dudtd_z),
-            (dvdt, dvdtd_xy, dvdtd_z),
-            (dwdt, dwdtd_xy, dwdtd_z))
+    return (u_out, v_out, w_out)
 
 
 def fillps(up, vp, wp, dti, dxi, dyi, dzfi):

@@ -165,7 +165,8 @@ def make_solver(cfg: Config, grid: Grid, cbc, c_or_f,
                         zsolver=zsolver)
 
 
-def solve(sv: DirectSolver, p, alpha=None, hints=None):
+def solve(sv: DirectSolver, p, alpha=None, hints=None,
+          pre_xformed_x=False, skip_bwd_x=False):
     """Solve L p_new = p (Poisson) or (I + alpha*L) p_new = p (Helmholtz,
     main.f90:424-443 with alpha = -nu*dt_rk/2) in place of the input RHS.
 
@@ -175,9 +176,18 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None):
     `hints` (parallel.mesh.ShardingHints): sharding constraints around each
     stage; GSPMD lowers the reshardings to the all-to-all pencil transposes
     of the reference (solver_gpu.f90:80-158).
-    """
+
+    pre_xformed_x / skip_bwd_x: the caller already applied / will apply the
+    x operator matmul itself (the Pallas-kernel x-transform fusion: the
+    projection RHS leaves the momentum kernel x-spectral and the corrector
+    kernel consumes the solution x-spectral, putting those matmuls on the
+    kernels' otherwise-idle MXU).  Requires the all-matmul square-transform
+    path (kind 'mat', nsolve == n) with no mesh."""
     nz, ny, nx = p.shape
     sx, sy = sv.trx.nsolve, sv.try_.nsolve
+    if pre_xformed_x or skip_bwd_x:
+        assert (sv.trx.kind == 'mat' and sx == nx and hints is None), \
+            'x-transform fusion needs the square all-matmul path'
     tail_x = p[..., sx:]
     body = p[..., :sx]
     tail_y = body[:, sy:, :]
@@ -192,7 +202,8 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None):
                 and hints is None)
     if hints is not None:
         body = hints.x_local(body)
-    body = tr.fwd(sv.trx, body, axis=-1)
+    if not pre_xformed_x:
+        body = tr.fwd(sv.trx, body, axis=-1)
     x_was_fft = sv.trx.kind == 'fft'
     if hints is not None:
         body = hints.y_local(body)
@@ -275,7 +286,8 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None):
         body = tr.bwd(sv.try_, body, axis=-2, n=sy, real_out=not x_was_fft)
     if hints is not None:
         body = hints.x_local(body)
-    body = tr.bwd(sv.trx, body, axis=-1, n=sx, real_out=True)
+    if not skip_bwd_x:
+        body = tr.bwd(sv.trx, body, axis=-1, n=sx, real_out=True)
     body = body.real if jnp.iscomplexobj(body) else body
     body = body.astype(p.dtype)
     if hints is not None:

@@ -208,7 +208,8 @@ class Simulation:
             self.use_pallas_smag and not self._kernel_sharded
             and mesh is None and not self._ywalled and not cfg.impdiff
             and not self.has_wm
-            and cfg.cbc_vel(2, 0)[0] != 'P')
+            and cfg.cbc_vel(2, 0)[0] != 'P'
+            and _os.environ.get('CALES_NO_FUSE_SMAG', '') != '1')
         if self._fuse_correc_smag:
             dzc = grid.dzc
             self._zrec_uv = tuple(
@@ -220,11 +221,16 @@ class Simulation:
         # along periodic directions cancels in the divergence, so it is
         # measured from in-kernel partial sums and folded into the
         # projection kernel instead (pallas_kernels fused_mom_rk docstring)
+        # OPT-IN (CALES_FUSE_FILLPS=1): measured 0.3104 -> 0.3501
+        # ns/cell/substep at 512x256x256 — the single-row j-1 eval + strip
+        # DMA + deeper output pipeline cost more than the separate fillps
+        # kernel's ~1 ms; kept for future tile-shape regimes
         self._fuse_mom_fillps = (
             self.use_pallas_mom and self._mom_split is None
             and mesh is None and not self._ywalled and not self.has_wm
             and not cfg.scalar
             and cfg.cbc_vel(2, 2)[0] != 'P' and not cfg.is_forced[2]
+            and _os.environ.get('CALES_FUSE_FILLPS', '') == '1'
             and pk.mom_tiles(nz, ny_local, np.dtype(self.dtype).itemsize,
                              nx_local, fuse_fillps=True) is not None)
         if self._fuse_mom_fillps:
@@ -235,6 +241,25 @@ class Simulation:
                             float(dzf[nz]))
             self._sum_flags = (bool(cfg.is_forced[0]),
                                bool(cfg.is_forced[1]))
+        # x-transform fusion: the solve's first/last x operator matmuls run
+        # on the kernels' otherwise-idle MXU (mom emits the RHS x-spectral;
+        # the corrector consumes the solution x-spectral).  Needs both
+        # fusions, the square all-matmul x transform, and statically-zero
+        # pressure BC planes (the zedge/rhs algebra must be value-free so
+        # it commutes with the transform)
+        rhsb_zero = all(
+            isinstance(pl_, (int, float, np.floating, np.ndarray))
+            and np.all(np.asarray(pl_) == 0.0) for pl_ in self.rhsb_p.values())
+        self._fuse_xop = (
+            self._fuse_correc_smag
+            and self.solver_p.trx.kind == 'mat'
+            and self.solver_p.trx.nsolve == nx and rhsb_zero
+            and all(float(cfg.bcpre[ib][d]) == 0.0
+                    for ib in range(2) for d in range(3))
+            and _os.environ.get('CALES_NO_FUSE_XOP', '') != '1')
+        if self._fuse_xop:
+            self._xopT = self.solver_p.trx.fwd_mat.T.copy()
+            self._xopiT = self.solver_p.trx.bwd_mat.T.copy()
         self.use_pallas_dsmag = False
         if (self.use_pallas_mom and cfg.sgstype == 'dsmag'
                 and not self._gx_sharded):
@@ -267,7 +292,11 @@ class Simulation:
             sgs = ('dsmag-kernel' if self.use_pallas_dsmag
                    else 'smag-kernel' if self.use_pallas_smag
                    else f'{self.cfg.sgstype}-xla')
-            return f'{kind} (sgs: {sgs})'
+            fus = [n for n, on in (('fillps', self._fuse_mom_fillps),
+                                   ('smag', self._fuse_correc_smag),
+                                   ('xop', self._fuse_xop)) if on]
+            tag = f", fused: {'+'.join(fus)}" if fus else ''
+            return f'{kind} (sgs: {sgs}{tag})'
         why = self._fallback_reason or 'unknown'
         return f'XLA-fallback ({why})'
 
@@ -360,6 +389,26 @@ class Simulation:
         lo = jax.lax.ppermute(a[:, -8:], 'gy', fwd)
         hi = jax.lax.ppermute(a[:, :8], 'gy', bwd)
         return jnp.concatenate([lo, a, hi], axis=1)
+
+    def _halo_strips(self, arrays, edges):
+        """Packed 8-row y-halo strips for the per-shard kernels (1D
+        decomposition): field m rows [16m, 16m+8) = ppermute'd lo strip
+        (the y-below neighbor's last 8 rows), [16m+8, 16m+16) = hi strip —
+        NO (ny+16)-extended array is ever materialized (each such copy
+        costs ~2 extra HBM passes per kernel input; the strips are
+        16/ny_local of that).  Returns (yh, yhz) for the kernels' 'strips'
+        window mode."""
+        gy = self._gy()
+        fwd = [(i, (i + 1) % gy) for i in range(gy)]
+        bwd = [(i, (i - 1) % gy) for i in range(gy)]
+
+        def pack(arrs):
+            parts = []
+            for a in arrs:
+                parts.append(jax.lax.ppermute(a[:, -8:], 'gy', fwd))
+                parts.append(jax.lax.ppermute(a[:, :8], 'gy', bwd))
+            return jnp.concatenate(parts, axis=1)
+        return pack(arrays), pack(edges)
 
     def _xe_pack(self, arrays):
         """Packed x-ghost-column bundle for the per-shard kernels (gx > 1):
@@ -478,9 +527,15 @@ class Simulation:
                 pkw = dict(statics)
                 if pl:
                     pkw['tauw_lo'], pkw['tauw_hi'] = pl
-                if self._gx_sharded:
-                    pkw['xe'] = halo(self._xe_pack([u_, v_, w_]))
-                    pkw['xze'] = halo(self._xe_pack([ue_, ve_, we_]))
+                if not self._gx_sharded:
+                    ys = self._halo_strips([u_, v_, w_], [ue_, ve_, we_])
+                    return pk.fused_smag(u_, v_, w_, ue_, ve_, we_,
+                                         grid.dzci, grid.dzfi, cfg.dli[0],
+                                         cfg.dli[1], cfg.visc, csd2,
+                                         interpret=self._pallas_interpret,
+                                         ystrips=ys, **pkw)
+                pkw['xe'] = halo(self._xe_pack([u_, v_, w_]))
+                pkw['xze'] = halo(self._xe_pack([ue_, ve_, we_]))
                 return pk.fused_smag(halo(u_), halo(v_), halo(w_), halo(ue_),
                                      halo(ve_), halo(we_), grid.dzci,
                                      grid.dzfi, cfg.dli[0], cfg.dli[1],
@@ -532,13 +587,22 @@ class Simulation:
             return 2.0 * b - q1
         return (-dr * b + q1) if side == 0 else (dr * b + q1)
 
+    def _xinv_plane(self, q):
+        """Inverse x transform of one (ny, nx) plane (x-spectral fusion)."""
+        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float64
+                else jax.lax.Precision.HIGH)
+        return jnp.matmul(q, jnp.asarray(self._xopiT, q.dtype),
+                          precision=prec)
+
     def _correc_smag_fused(self, u, v, w, pp, p, ue2, ve2, we2, ppe, dtrk,
-                           fu=0.0, fv=0.0):
+                           fu=0.0, fv=0.0, xspectral=False):
         """Single-pass projection + pressure update + smag nu_t
         (pallas_kernels.fused_correc_updatep_smag).  The van Driest tauw
         planes come from host-side-corrected wall-adjacent planes — tiny
         (ny, nx) expressions, so no extra field pass.  fu/fv: deferred
-        bulk-forcing constants (fused-fillps momentum path)."""
+        bulk-forcing constants (fused-fillps momentum path).  xspectral:
+        pp/ppe are x-spectral (the x fusion); the kernel inverts them on
+        its MXU and the two wall rows are inverted here."""
         from .ops import pallas_kernels as pk
         from .config import C_SMAG
         cfg, grid, setup = self.cfg, self.grid, self.sgs_setup
@@ -547,15 +611,19 @@ class Simulation:
         csd2 = (C_SMAG * setup.delta) ** 2
         lo_wall, hi_wall = setup.is_wall6[4], setup.is_wall6[5]
         kw = {}
+        if xspectral:
+            kw['xopi'] = self._xopiT
         if lo_wall or hi_wall:
             dzci = grid.dzci
+            pp0 = self._xinv_plane(pp[0]) if xspectral else pp[0]
+            ppn = self._xinv_plane(pp[-1]) if xspectral else pp[-1]
 
             def corr_uv(uq, vq, ppq):
                 uq = fu + uq - dtrk * dxi * (jnp.roll(ppq, -1, axis=1) - ppq)
                 vq = fv + vq - dtrk * dyi * (jnp.roll(ppq, -1, axis=0) - ppq)
                 return uq, vq
-            u0, v0 = corr_uv(u[0], v[0], pp[0])
-            un, vn = corr_uv(u[-1], v[-1], pp[-1])
+            u0, v0 = corr_uv(u[0], v[0], pp0)
+            un, vn = corr_uv(u[-1], v[-1], ppn)
             A = u0 - self._ghost_row(self._zrec_uv[0], 0, u0)
             B = v0 - self._ghost_row(self._zrec_uv[1], 0, v0)
             t1 = A + jnp.roll(A, 1, axis=1)
@@ -575,7 +643,7 @@ class Simulation:
                 tauw_lo = tauw_hi
             if not hi_wall:
                 tauw_hi = tauw_lo
-            kw = dict(dw_1d=dw_1d, nearlo_1d=nearlo, tauw_lo=tauw_lo,
+            kw.update(dw_1d=dw_1d, nearlo_1d=nearlo, tauw_lo=tauw_lo,
                       tauw_hi=tauw_hi)
         out = pk.fused_correc_updatep_smag(
             u, v, w, pp, p, ue2, ve2, we2, ppe, dtrk, dxi, dyi,
@@ -611,11 +679,11 @@ class Simulation:
             halo = self._halo_y
 
             def ds1_local(u_, v_, w_, ue_, ve_, we_):
+                ys = self._halo_strips([u_, v_, w_], [ue_, ve_, we_])
                 return pds.fused_dsmag_level1(
-                    halo(u_), halo(v_), halo(w_), halo(ue_), halo(ve_),
-                    halo(we_), grid.dzci, grid.dzfi, cfg.dli[0], cfg.dli[1],
-                    wall_lo, wall_hi, interpret=self._pallas_interpret,
-                    y_ext=True)
+                    u_, v_, w_, ue_, ve_, we_, grid.dzci, grid.dzfi,
+                    cfg.dli[0], cfg.dli[1], wall_lo, wall_hi,
+                    interpret=self._pallas_interpret, ystrips=ys)
             fm, fvel, fc, fl, s0 = shard_map(
                 ds1_local, mesh=self.mesh, in_specs=(F,) * 6,
                 out_specs=((F,) * 6, (F,) * 3, (F,) * 3, (F,) * 6, F),
@@ -644,12 +712,13 @@ class Simulation:
             alph2[-1] = 2.52
         if self._kernel_sharded:
             def ds2_local(fu_, fv_, fw_, fue_, fve_, fwe_, *ints):
+                ys = self._halo_strips([fu_, fv_, fw_], [fue_, fve_, fwe_])
                 return pds.fused_dsmag_level2(
-                    halo(fu_), halo(fv_), halo(fw_), halo(fue_), halo(fve_),
-                    halo(fwe_), ints[0:6], ints[6:9], ints[9:15], ints[15],
+                    fu_, fv_, fw_, fue_, fve_, fwe_,
+                    ints[0:6], ints[6:9], ints[9:15], ints[15],
                     alph2, grid.dzci, grid.dzfi, cfg.dli[0], cfg.dli[1],
                     cfg.dsmag_avg, interpret=self._pallas_interpret,
-                    y_ext=True)
+                    ystrips=ys)
             out_specs = F if cfg.dsmag_avg == 'cavity' else (F, F)
             out = shard_map(ds2_local, mesh=self.mesh, in_specs=(F,) * 22,
                             out_specs=out_specs, check_vma=False)(
@@ -754,11 +823,20 @@ class Simulation:
 
                     def mom_local(u_, v_, w_, s_, p_, ue_, ve_, we_, se_,
                                   pe_, r1, r2, r3, f1_, f2_):
-                        xe = xze = None
-                        if self._gx_sharded:
-                            xe = halo(self._xe_pack([u_, v_, w_, s_, p_]))
-                            xze = halo(self._xe_pack([ue_, ve_, we_, se_,
-                                                      pe_]))
+                        if not self._gx_sharded:
+                            # 1D decomposition: 8-row halo STRIPS, no
+                            # extended-array materialization
+                            ys = self._halo_strips(
+                                [u_, v_, w_, s_, p_],
+                                [ue_, ve_, we_, se_, pe_])
+                            return pk.fused_mom_rk(
+                                u_, v_, w_, s_, p_, ue_, ve_, we_, se_, pe_,
+                                r1, r2, r3, dzci, dzfi, f1_, f2_,
+                                visc, dxi, dyi, cfg.bforce,
+                                interpret=self._pallas_interpret,
+                                split=split, ystrips=ys)
+                        xe = halo(self._xe_pack([u_, v_, w_, s_, p_]))
+                        xze = halo(self._xe_pack([ue_, ve_, we_, se_, pe_]))
                         return pk.fused_mom_rk(
                             halo(u_), halo(v_), halo(w_), halo(s_), halo(p_),
                             halo(ue_), halo(ve_), halo(we_), halo(se_),
@@ -780,7 +858,9 @@ class Simulation:
                         fuse_fillps=fuse_fp,
                         wrec=self._zrec_w if fuse_fp else None,
                         sum_flags=self._sum_flags if fuse_fp else
-                        (False, False))
+                        (False, False),
+                        xop=self._xopT if (self._fuse_xop and fuse_fp)
+                        else None)
             if split is None:
                 u, v, w, ru, rv, rw = outs[0:6]
                 if self._fuse_mom_fillps and len(outs) > 6:
@@ -923,10 +1003,15 @@ class Simulation:
                     halo = self._halo_y
 
                     def fillps_local(u_, v_, w_, ue_, ve_, we_, dti_):
-                        xe = xze = None
-                        if self._gx_sharded:
-                            xe = halo(self._xe_pack([u_, v_, w_]))
-                            xze = halo(self._xe_pack([ue_, ve_, we_]))
+                        if not self._gx_sharded:
+                            ys = self._halo_strips([u_, v_, w_],
+                                                   [ue_, ve_, we_])
+                            return pk.fused_fillps(
+                                u_, v_, w_, ue_, ve_, we_, dzfi, dti_,
+                                dxi, dyi, interpret=self._pallas_interpret,
+                                ystrips=ys)
+                        xe = halo(self._xe_pack([u_, v_, w_]))
+                        xze = halo(self._xe_pack([ue_, ve_, we_]))
                         return pk.fused_fillps(
                             halo(u_), halo(v_), halo(w_), halo(ue_),
                             halo(ve_), halo(we_), dzfi, dti_, dxi, dyi,
@@ -939,11 +1024,19 @@ class Simulation:
                                           1.0 / dtrk, dxi, dyi,
                                           interpret=self._pallas_interpret,
                                           ye=ye2, yze=yze2,
-                                          ywalls=(True, True))
+                                          ywalls=(True, True),
+                                          xop=self._xopT if self._fuse_xop
+                                          else None)
                 rhs = poisson.add_rhs_bound(cfg, ('c', 'c', 'c'), self.cbcpre,
                                             rhs, self.rhsb_p)
+                xf = self._fuse_xop
                 pp = (jnp.zeros_like(rhs) if self.ablate_solve else
-                      poisson.solve(self.solver_p, rhs, hints=self.hints))
+                      poisson.solve(self.solver_p, rhs, hints=self.hints,
+                                    pre_xformed_x=xf, skip_bwd_x=xf))
+            # with the x fusion `pp` is x-spectral; the zedge algebra is
+            # value-free (homogeneous BCs, gated) so it commutes with the
+            # transform, and host-side plane consumers invert the two rows
+            # they need (tiny matmuls)
             ppe = self._zedge_p(pp)
             visct_done = False
             with jax.named_scope('correc_updatep_pallas'):
@@ -954,16 +1047,21 @@ class Simulation:
                 if self._fuse_correc_smag:
                     u, v, w, p, visct = self._correc_smag_fused(
                         u, v, w, pp, p, ue2, ve2, we2, ppe, dtrk,
-                        fu=fu_d, fv=fv_d)
+                        fu=fu_d, fv=fv_d, xspectral=xf)
                     visct_done = True
                 elif self._kernel_sharded:
                     halo = self._halo_y
 
                     def correc_local(u_, v_, w_, pp_, p_, we_, ppe_, dt_, al_):
-                        xe = xze = None
-                        if self._gx_sharded:
-                            xe = halo(self._xe_pack([w_, pp_]))
-                            xze = halo(self._xe_pack([we_, ppe_]))
+                        if not self._gx_sharded:
+                            ys = self._halo_strips([w_, pp_], [we_, ppe_])
+                            return pk.fused_correc_updatep(
+                                u_, v_, w_, pp_, p_, we_, ppe_, dt_,
+                                dxi, dyi, dzci,
+                                interpret=self._pallas_interpret,
+                                alpha=al_, ystrips=ys, **imp_kw)
+                        xe = halo(self._xe_pack([w_, pp_]))
+                        xze = halo(self._xe_pack([we_, ppe_]))
                         return pk.fused_correc_updatep(
                             u_, v_, halo(w_), halo(pp_), p_, halo(we_),
                             halo(ppe_), dt_, dxi, dyi, dzci,
@@ -984,7 +1082,11 @@ class Simulation:
                         fu=fu_d, fv=fv_d, **imp_kw)
             # lower-wall w face plane: the padded-row-0 entry of the correc
             # ghost-range sweep (correc.f90:45-67), a plane-sized update
-            wlo = we2[0] - dtrk * float(dzci[0]) * (pp[0] - ppe[0])
+            if xf:
+                pp0w, ppe0w = self._xinv_plane(pp[0]), self._xinv_plane(ppe[0])
+            else:
+                pp0w, ppe0w = pp[0], ppe[0]
+            wlo = we2[0] - dtrk * float(dzci[0]) * (pp0w - ppe0w)
             if self._ywalled:
                 # y-ghost entries of the w z=0 plane evolve through the
                 # padded correc sweep (they feed the next substep's corner

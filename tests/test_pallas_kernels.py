@@ -592,3 +592,43 @@ def test_pallas_dsmag_ywalls_duct_cavity(monkeypatch):
             err = np.abs(x - y).max()
             assert err < 1e-11, \
                 f"{name} ({base['dsmag_avg']}) dsmag mismatch: {err}"
+
+
+def test_pallas_xop_fusion_matches_xla(monkeypatch):
+    """x-transform fusion: the momentum kernel emits the projection RHS
+    x-spectral and the corrector kernel consumes the solution x-spectral
+    (the solve's first/last operator matmuls move onto the kernels' MXU);
+    full-step parity vs the XLA path."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    base = dict(ng=(128, 16, 16), l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=0.9,
+                visci=2000.0, inivel='log', is_wallturb=True, dtype='float64',
+                is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
+                sgstype='smag', ptransform='mat')
+    results = []
+    for variant in ('xla', 'xop', 'fillps+xop'):
+        if variant == 'fillps+xop':
+            monkeypatch.setenv('CALES_FUSE_FILLPS', '1')
+        cfg = Config(**base, use_pallas=variant != 'xla')
+        grid = make_grid_from_config(cfg)
+        sim = Simulation(cfg, grid)
+        if variant == 'xop':
+            assert sim._fuse_correc_smag and sim._fuse_xop, sim.exec_path()
+            assert not sim._fuse_mom_fillps
+        elif variant == 'fillps+xop':
+            assert sim._fuse_mom_fillps and sim._fuse_xop, sim.exec_path()
+        s = sim.initial_state(*initflow(cfg, grid))
+        for _ in range(3):
+            s, _ = sim.step(s, 1e-3)
+        results.append(s)
+    a = results[0]
+    for b, tag in zip(results[1:], ('xop', 'fillps+xop')):
+        for name in ('u', 'v', 'w', 'p', 'visct'):
+            x = np.asarray(getattr(a, name))
+            y = np.asarray(getattr(b, name))
+            if name == 'p':
+                x, y = x - x.mean(), y - y.mean()
+            err = np.abs(x - y).max()
+            assert err < 1e-11, f"{name} {tag}-fusion mismatch: {err}"

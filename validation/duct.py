@@ -16,7 +16,7 @@ the duct half-width; u_tau/U_b = 0.0680 mean over the perimeter), i.e. the
 same friction-accuracy class the reference quotes for the dynamic model
 (sgs.f90:28-30).
 
-Usage: python validation/duct.py [--steps 6000] [--ng 192x64x64] [--cpu]
+Usage: python validation/duct.py [--steps 6000] [--ng 256x64x64] [--cpu]
 """
 import argparse
 import os
@@ -33,7 +33,7 @@ RE_TAU_REF = 150.0   # Gavrilakis (1992), JFM 244: Re_tau = u_tau (W/2)/nu
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--steps', type=int, default=6000)
-    ap.add_argument('--ng', default='192x64x64')
+    ap.add_argument('--ng', default='256x64x64')  # nx%128==0 -> kernel path
     ap.add_argument('--avg-frac', type=float, default=0.4)
     ap.add_argument('--cpu', action='store_true')
     args = ap.parse_args()
@@ -58,7 +58,8 @@ def main():
                  dtype='float64' if args.cpu else 'float32',
                  is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
                  sgstype='dsmag', dsmag_avg='duct', ptransform='mat',
-                 cbcvel=((('P', 'D', 'D'),) * 3, (('P', 'D', 'D'),) * 3),
+                 cbcvel=((('P', 'P', 'P'), ('D', 'D', 'D'),
+                          ('D', 'D', 'D')),) * 2,
                  cbcpre=(('P', 'N', 'N'), ('P', 'N', 'N')),
                  cbcsgs=(('P', 'N', 'N'), ('P', 'N', 'N')))
     grid = make_grid_from_config(cfg)

@@ -50,7 +50,8 @@ def main():
                  dtype='float64' if args.cpu else 'float32',
                  is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
                  sgstype='smag', lwm=((0, 0, 1), (0, 0, 1)), hwm=0.1,
-                 cbcvel=((('P', 'P', 'D'),) * 3, (('P', 'P', 'D'),) * 3),
+                 cbcvel=((('P', 'P', 'P'), ('P', 'P', 'P'),
+                          ('D', 'D', 'D')),) * 2,
                  cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
                  cbcsgs=(('P', 'P', 'N'), ('P', 'P', 'N')))
     grid = make_grid_from_config(cfg)
