@@ -118,8 +118,6 @@ def _zwin_copies(fint, zedge, scr, sem, z0, y0, ny, tz, ty, case,
         yhi = pl.multiple_of((y0 + ty) % ny, 8)
         if strips:
             hsrc = yhz if src is zedge else yh
-            hz = 1 if src is zedge else 0   # strip z extent mirrors source
-            del hz
             if ycase in ('lo', 'both'):
                 lo_c = pltpu.make_async_copy(
                     hsrc.at[pl.ds(sz, rows), base:base + 8],
@@ -471,10 +469,10 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
         rhs_o = usum_o = vsum_o = None
         if fuse_fillps:
             rhs_o = rest.pop(0)
-            if sum_flags[0]:
-                usum_o = rest.pop(0)
-            if sum_flags[1]:
-                vsum_o = rest.pop(0)
+        if sum_flags[0]:
+            usum_o = rest.pop(0)
+        if sum_flags[1]:
+            vsum_o = rest.pop(0)
         su2, sv2, sw2, ss2, sp2 = rest[0:5]
         del rest[0:5]
         sxe2 = sye2 = None
@@ -575,6 +573,12 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
                 ru_o[kk] = ru
                 rv_o[kk] = rv
                 rw_o[kk] = rw
+                if sum_flags[0]:
+                    usum_o[kk] = jnp.broadcast_to(
+                        jnp.sum(un).reshape(1, 1), (8, 128))
+                if sum_flags[1]:
+                    vsum_o[kk] = jnp.broadcast_to(
+                        jnp.sum(vn).reshape(1, 1), (8, 128))
                 return 0
 
             # --- fused fillps tail (explicit path only) ---
@@ -727,14 +731,14 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
     if fuse_fillps:
         out_specs.append(int_spec)
         out_shape.append(jax.ShapeDtypeStruct((nz, ny, nx), dt))
-        sum_spec = pl.BlockSpec((tz, 8, 128), lambda k, j: (k, j, 0))
-        for flag in sum_flags:
-            if flag:
-                out_specs.append(sum_spec)
-                out_shape.append(jax.ShapeDtypeStruct((nz, gj * 8, 128), dt))
         fextra = [pltpu.VMEM((tz, 8, nx), dt),
                   pltpu.VMEM((gj, ty, nx), dt),
                   pltpu.SemaphoreType.DMA(())]
+    sum_spec = pl.BlockSpec((tz, 8, 128), lambda k, j: (k, j, 0))
+    for flag in sum_flags:
+        if flag:
+            out_specs.append(sum_spec)
+            out_shape.append(jax.ShapeDtypeStruct((nz, gj * 8, 128), dt))
     outs = pl.pallas_call(
         kern,
         grid=grid,

@@ -239,8 +239,19 @@ class Simulation:
                             float(dzf[0]),
                             self.cbcvel[1][2][2], float(self.bcw_vals[2][1]),
                             float(dzf[nz]))
-            self._sum_flags = (bool(cfg.is_forced[0]),
-                               bool(cfg.is_forced[1]))
+        # deferred bulk forcing (independent of the fillps fusion): the
+        # bulk means come from momentum-kernel partial sums (no separate
+        # reduction pass) and the constants fold into the projection
+        # kernels' fu/fv (no u+f materialization) — forcing along periodic
+        # directions cancels in the divergence, so the projection is
+        # unchanged (rk.f90:197-222 reordered exactly)
+        self._defer_forcing = (
+            self.use_pallas_mom and self._mom_split is None
+            and mesh is None and not self._ywalled and not self.has_wm
+            and not cfg.scalar and not cfg.is_forced[2]
+            and (cfg.is_forced[0] or cfg.is_forced[1]))
+        self._sum_flags = (bool(cfg.is_forced[0]) and self._defer_forcing,
+                           bool(cfg.is_forced[1]) and self._defer_forcing)
         # x-transform fusion: the solve's first/last x operator matmuls run
         # on the kernels' otherwise-idle MXU (mom emits the RHS x-spectral;
         # the corrector consumes the solution x-spectral).  Needs both
@@ -857,15 +868,15 @@ class Simulation:
                         ye=ye, yze=yze, ywalls=(True, True),
                         fuse_fillps=fuse_fp,
                         wrec=self._zrec_w if fuse_fp else None,
-                        sum_flags=self._sum_flags if fuse_fp else
-                        (False, False),
+                        sum_flags=self._sum_flags,
                         xop=self._xopT if (self._fuse_xop and fuse_fp)
                         else None)
             if split is None:
                 u, v, w, ru, rv, rw = outs[0:6]
-                if self._fuse_mom_fillps and len(outs) > 6:
-                    rhs_fused = outs[6]
-                    mom_sums = list(outs[7:])
+                tail = list(outs[6:])
+                if self._fuse_mom_fillps and tail:
+                    rhs_fused = tail.pop(0)
+                mom_sums = tail
             else:
                 u, v, w, ru, rv, rw, rud, rvd, rwd = outs
             rhs_old = (ru, rv, rw)
@@ -921,8 +932,8 @@ class Simulation:
         # bulk-velocity forcing controller (rk.f90:197-222 + mom.f90:311-335)
         f = [jnp.zeros((), u.dtype)] * 3
         defer_f = (self.use_pallas_mom
-                   and getattr(self, '_fuse_mom_fillps', False)
-                   and rhs_fused is not None)
+                   and getattr(self, '_defer_forcing', False)
+                   and len(mom_sums) > 0)
         if defer_f:
             # means from the momentum kernel's partial plane sums; the
             # constants are folded into the projection kernel (the forcing
@@ -1162,6 +1173,11 @@ class Simulation:
             else:
                 visct = self._compute_sgs(up, vp, wp)
 
+        if self.hints is not None:
+            # pin the output sharding to the canonical field layout —
+            # otherwise GSPMD may emit the state in a solver-stage sharding
+            # (e.g. z-split) and every step boundary pays an all-to-all
+            u, v, w, p, visct = map(self.hints.field, (u, v, w, p, visct))
         upd = dict(u=u, v=v, w=w, p=p, visct=visct, vlo=vlo, rhs_old=rhs_old,
                    zq=zq_new)
         if cfg.scalar:

@@ -58,8 +58,11 @@ shio.save_checkpoint_sharded(path, (state.u, state.v, state.w, state.p),
 u2, v2, w2, p2, t2, i2 = shio.load_checkpoint_sharded(
     path, cfg.ng, np.float64, sh)
 for a, b in ((state.u, u2), (state.v, v2), (state.w, w2), (state.p, p2)):
-    for s_old, s_new in zip(a.addressable_shards, b.addressable_shards):
-        assert np.array_equal(np.asarray(s_old.data), np.asarray(s_new.data))
+    old = {str(s.index): np.asarray(s.data) for s in a.addressable_shards}
+    new = {str(s.index): np.asarray(s.data) for s in b.addressable_shards}
+    assert set(old) == set(new), (sorted(old), sorted(new))
+    for key in old:
+        assert np.array_equal(old[key], new[key]), key
 assert (t2, i2) == (float(state.time), int(state.istep))
 print(f"proc {jax.process_index()} OK", flush=True)
 """
