@@ -346,7 +346,7 @@ def pick_tiles(nz, ny, itemsize, nx, nwin=5, nio=9):
     return None
 
 
-def _dot_xop(a, b):
+def _dot_xop(a, b, dims=(((1,), (0,)), ((), ()))):
     """In-kernel operator matmul at bf16x3 (f32) / full precision (f64).
 
     Mosaic rejects jax.lax.Precision.HIGH on dots, so the 3-pass bf16
@@ -354,8 +354,8 @@ def _dot_xop(a, b):
     hi = bf16(x) — the same error class as the solve's HIGH tensordots
     (ops/transforms._matmul_axis)."""
     if a.dtype != jnp.float32:
-        return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
-    dims = (((1,), (0,)), ((), ()))
+        return jax.lax.dot_general(a, b, dims,
+                                   precision=jax.lax.Precision.HIGHEST)
 
     def d(x, y):
         return jax.lax.dot_general(x, y, dims,
@@ -899,7 +899,7 @@ def fused_smag(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi, visc, cs_delta2_1d,
 
 def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
                    has_xe=False, ywalls=(False, False), has_ystrips=False,
-                   has_xop=False):
+                   has_xop=False, has_yop=False):
     has_ye = any(ywalls)
     gj = ny // ty
 
@@ -916,6 +916,7 @@ def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
             yh, yhz = rest[0], rest[1]
             del rest[0:2]
         xop = rest.pop(0) if has_xop else None
+        oyt = rest.pop(0) if has_yop else None
         rhs_o, su2, sv2, sw2 = rest[0:4]
         del rest[0:4]
         sxe2 = sye2 = None
@@ -958,6 +959,22 @@ def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
             if has_xop:
                 # forward x transform (the solve's first stage) on the MXU
                 rhs = _dot_xop(rhs, xop[:, :])
+            if has_yop:
+                # forward y transform via per-tile contraction into a
+                # revisited (tz, ny, nx) output block (the solve's second
+                # stage; Oy^T block rows = this tile's y rows):
+                # out[ky, kx] += sum_y OyT[y, ky] rhs[y, kx]
+                contrib = _dot_xop(oyt[:, :], rhs,
+                                   dims=(((0,), (0,)), ((), ())))
+
+                @pl.when(j == 0)
+                def _():
+                    rhs_o[kk] = contrib
+
+                @pl.when(j > 0)
+                def _():
+                    rhs_o[kk] += contrib
+                return 0
             rhs_o[kk] = rhs
             return 0
 
@@ -967,7 +984,7 @@ def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
 
 def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False,
                  y_ext=False, xe=None, xze=None, ye=None, yze=None,
-                 ywalls=(False, False), ystrips=None, xop=None):
+                 ywalls=(False, False), ystrips=None, xop=None, yop=None):
     """Poisson RHS div(u)/dt_rk in one pass (fillps.f90:14-48).
 
     u, v, w: prediction-velocity interiors; ue, ve, we: prediction-fill
@@ -992,25 +1009,33 @@ def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False,
     has_ye = ye is not None
     has_ystrips = ystrips is not None
     has_xop = xop is not None
+    has_yop = yop is not None
     xargs = (xe, xze) if has_xe else ()
     yargs = (ye, yze) if has_ye else ()
     sargs = tuple(ystrips) if has_ystrips else ()
     oargs = (jnp.asarray(xop, dt),) if has_xop else ()
-    mat_spec = pl.BlockSpec((nx, nx), lambda k, j: (0, 0))
+    mat_specs = [pl.BlockSpec((nx, nx), lambda k, j: (0, 0))] * has_xop
+    if has_yop:
+        # Oy^T blocked by y tile (rows j*ty..) so no traced lane slicing
+        oargs = oargs + (jnp.asarray(yop, dt).T.copy(),)
+        mat_specs.append(pl.BlockSpec((ty, ny), lambda k, j: (j, 0)))
     nwin = 3 + has_xe + has_ye
     grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
+    out_spec = (pl.BlockSpec((tz, ny, nx), lambda k, j: (k, 0, 0))
+                if has_yop else int_spec)
     kern = _fillps_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
                           interpret, y_ext=y_ext, has_xe=has_xe,
                           ywalls=ywalls if has_ye else (False, False),
-                          has_ystrips=has_ystrips, has_xop=has_xop)
+                          has_ystrips=has_ystrips, has_xop=has_xop,
+                          has_yop=has_yop)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[smem_spec, smem_spec]
                  + [any_spec] * (6 + 2 * has_xe + 2 * has_ye
                                  + 2 * has_ystrips)
-                 + [mat_spec] * has_xop,
-        out_specs=int_spec,
+                 + mat_specs,
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
         scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
                         for _ in range(3)]

@@ -166,7 +166,7 @@ def make_solver(cfg: Config, grid: Grid, cbc, c_or_f,
 
 
 def solve(sv: DirectSolver, p, alpha=None, hints=None,
-          pre_xformed_x=False, skip_bwd_x=False):
+          pre_xformed_x=False, skip_bwd_x=False, pre_xformed_xy=False):
     """Solve L p_new = p (Poisson) or (I + alpha*L) p_new = p (Helmholtz,
     main.f90:424-443 with alpha = -nu*dt_rk/2) in place of the input RHS.
 
@@ -181,13 +181,20 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None,
     x operator matmul itself (the Pallas-kernel x-transform fusion: the
     projection RHS leaves the momentum kernel x-spectral and the corrector
     kernel consumes the solution x-spectral, putting those matmuls on the
-    kernels' otherwise-idle MXU).  Requires the all-matmul square-transform
-    path (kind 'mat', nsolve == n) with no mesh."""
+    kernels' otherwise-idle MXU).  pre_xformed_xy: the RHS arrives fully
+    (x AND y)-transformed in the untransposed (z, ky, kx) layout (the
+    fillps kernel's accumulated y contraction); the backward y transform
+    still runs here.  Requires the all-matmul square-transform path (kind
+    'mat', nsolve == n) with no mesh."""
     nz, ny, nx = p.shape
     sx, sy = sv.trx.nsolve, sv.try_.nsolve
+    if pre_xformed_xy:
+        pre_xformed_x = True
     if pre_xformed_x or skip_bwd_x:
         assert (sv.trx.kind == 'mat' and sx == nx and hints is None), \
             'x-transform fusion needs the square all-matmul path'
+    if pre_xformed_xy:
+        assert sv.try_.kind == 'mat' and sy == ny
     tail_x = p[..., sx:]
     body = p[..., :sx]
     tail_y = body[:, sy:, :]
@@ -199,7 +206,7 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None,
     # transpose each way — y-minor matmuls without the per-stage
     # moveaxis round trips (2 fewer relayout passes per solve)
     both_mat = (sv.trx.kind == 'mat' and sv.try_.kind == 'mat'
-                and hints is None)
+                and hints is None and not pre_xformed_xy)
     if hints is not None:
         body = hints.x_local(body)
     if not pre_xformed_x:
@@ -210,7 +217,7 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None,
     if both_mat:
         body = jnp.swapaxes(body, 1, 2)          # (z, x, y)
         body = tr.fwd(sv.try_, body, axis=-1)
-    else:
+    elif not pre_xformed_xy:
         body = tr.fwd(sv.try_, body, axis=-2)
     y_was_rfft = (sv.try_.kind == 'fft') and not x_was_fft
     if hints is not None:

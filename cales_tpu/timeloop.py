@@ -271,6 +271,17 @@ class Simulation:
         if self._fuse_xop:
             self._xopT = self.solver_p.trx.fwd_mat.T.copy()
             self._xopiT = self.solver_p.trx.bwd_mat.T.copy()
+        # forward-y fusion: the solve's second stage as an accumulated
+        # per-tile contraction in the fillps kernel (revisited output block)
+        # OPT-IN (CALES_FUSE_YOP=1): the revisited-output-block accumulation
+        # kernel hit a pathological Mosaic compile (>35 min) at the bench
+        # shape; parity-tested and kept for future toolchain versions
+        self._fuse_yop = (self._fuse_xop and not self._fuse_mom_fillps
+                          and self.solver_p.try_.kind == 'mat'
+                          and self.solver_p.try_.nsolve == ny
+                          and _os.environ.get('CALES_FUSE_YOP', '') == '1')
+        if self._fuse_yop:
+            self._yopF = self.solver_p.try_.fwd_mat.copy()
         self.use_pallas_dsmag = False
         if (self.use_pallas_mom and cfg.sgstype == 'dsmag'
                 and not self._gx_sharded):
@@ -305,7 +316,9 @@ class Simulation:
                    else f'{self.cfg.sgstype}-xla')
             fus = [n for n, on in (('fillps', self._fuse_mom_fillps),
                                    ('smag', self._fuse_correc_smag),
-                                   ('xop', self._fuse_xop)) if on]
+                                   ('xop', self._fuse_xop),
+                                   ('yop', getattr(self, '_fuse_yop',
+                                                   False))) if on]
             tag = f", fused: {'+'.join(fus)}" if fus else ''
             return f'{kind} (sgs: {sgs}{tag})'
         why = self._fallback_reason or 'unknown'
@@ -1037,13 +1050,16 @@ class Simulation:
                                           ye=ye2, yze=yze2,
                                           ywalls=(True, True),
                                           xop=self._xopT if self._fuse_xop
+                                          else None,
+                                          yop=self._yopF if self._fuse_yop
                                           else None)
                 rhs = poisson.add_rhs_bound(cfg, ('c', 'c', 'c'), self.cbcpre,
                                             rhs, self.rhsb_p)
                 xf = self._fuse_xop
                 pp = (jnp.zeros_like(rhs) if self.ablate_solve else
                       poisson.solve(self.solver_p, rhs, hints=self.hints,
-                                    pre_xformed_x=xf, skip_bwd_x=xf))
+                                    pre_xformed_x=xf, skip_bwd_x=xf,
+                                    pre_xformed_xy=self._fuse_yop))
             # with the x fusion `pp` is x-spectral; the zedge algebra is
             # value-free (homogeneous BCs, gated) so it commutes with the
             # transform, and host-side plane consumers invert the two rows

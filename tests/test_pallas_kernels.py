@@ -608,8 +608,11 @@ def test_pallas_xop_fusion_matches_xla(monkeypatch):
                 is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
                 sgstype='smag', ptransform='mat')
     results = []
-    for variant in ('xla', 'xop', 'fillps+xop'):
+    for variant in ('xla', 'xop', 'yop', 'fillps+xop'):
+        if variant == 'yop':
+            monkeypatch.setenv('CALES_FUSE_YOP', '1')
         if variant == 'fillps+xop':
+            monkeypatch.delenv('CALES_FUSE_YOP', raising=False)
             monkeypatch.setenv('CALES_FUSE_FILLPS', '1')
         cfg = Config(**base, use_pallas=variant != 'xla')
         grid = make_grid_from_config(cfg)
@@ -617,6 +620,8 @@ def test_pallas_xop_fusion_matches_xla(monkeypatch):
         if variant == 'xop':
             assert sim._fuse_correc_smag and sim._fuse_xop, sim.exec_path()
             assert not sim._fuse_mom_fillps
+        elif variant == 'yop':
+            assert sim._fuse_yop, sim.exec_path()
         elif variant == 'fillps+xop':
             assert sim._fuse_mom_fillps and sim._fuse_xop, sim.exec_path()
         s = sim.initial_state(*initflow(cfg, grid))
@@ -624,7 +629,7 @@ def test_pallas_xop_fusion_matches_xla(monkeypatch):
             s, _ = sim.step(s, 1e-3)
         results.append(s)
     a = results[0]
-    for b, tag in zip(results[1:], ('xop', 'fillps+xop')):
+    for b, tag in zip(results[1:], ('xop', 'yop', 'fillps+xop')):
         for name in ('u', 'v', 'w', 'p', 'visct'):
             x = np.asarray(getattr(a, name))
             y = np.asarray(getattr(b, name))
