@@ -41,11 +41,11 @@ NSTEPS = 10
 _CHAN_BCS = dict(
     cbcvel=((('P', 'P', 'P'), ('P', 'P', 'P'), ('D', 'D', 'D')),) * 2,
     cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
-    cbcsgs=(('P', 'P', 'N'), ('P', 'P', 'N')))
+    cbcsgs=(('P', 'P', 'D'), ('P', 'P', 'D')))
 _DUCT_BCS = dict(
     cbcvel=((('P', 'P', 'P'), ('D', 'D', 'D'), ('D', 'D', 'D')),) * 2,
     cbcpre=(('P', 'N', 'N'), ('P', 'N', 'N')),
-    cbcsgs=(('P', 'N', 'N'), ('P', 'N', 'N')))
+    cbcsgs=(('P', 'D', 'D'), ('P', 'D', 'D')))
 # the reference manuscript cavity is x-periodic (examples/lid_driven_cavity)
 _CAV_BCS = _DUCT_BCS
 

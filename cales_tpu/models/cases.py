@@ -12,9 +12,12 @@ _PERIODIC = dict(cbcvel=(_P3, _P3),
                  cbcpre=(('P',) * 3, ('P',) * 3),
                  cbcsgs=(('P',) * 3, ('P',) * 3))
 _CHAN_V = (('P', 'P', 'P'), ('P', 'P', 'P'), ('D', 'D', 'D'))
+# sgs BC at solid walls is 'D' (value 0) throughout the reference examples:
+# the antisymmetric ghost zeroes visct at the wall face, so wall-modeled
+# Neumann fluxes stay exactly visc*bc = tauw (see validation/wmles_channel.py)
 _CHANNEL = dict(cbcvel=(_CHAN_V, _CHAN_V),
                 cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
-                cbcsgs=(('P', 'P', 'N'), ('P', 'P', 'N')))
+                cbcsgs=(('P', 'P', 'D'), ('P', 'P', 'D')))
 
 
 def triperiodic_dns(ng=(64, 64, 64), l=(1., 1., 1.), visci=1000., **kw):
@@ -67,7 +70,7 @@ def half_channel(ng=(64, 64, 32), visci=5000., **kw):
                   is_forced=(True, False, False), velf=(1., 0., 0.),
                   cbcvel=(v, vt),
                   cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
-                  cbcsgs=(('P', 'P', 'N'), ('P', 'P', 'N')), **kw)
+                  cbcsgs=(('P', 'P', 'D'), ('P', 'P', 'D')), **kw)
 
 
 def couette(ng=(64, 48, 32), visci=1000., uwall=0.5, **kw):
@@ -90,7 +93,7 @@ def lid_driven_cavity(ng=(64, 64, 64), visci=1000., ulid=1.0, **kw):
                   cbcvel=(v, v),
                   bcvel=tuple(tuple(tuple(r) for r in b) for b in bcv),
                   cbcpre=(('P', 'N', 'N'), ('P', 'N', 'N')),
-                  cbcsgs=(('P', 'N', 'N'), ('P', 'N', 'N')),
+                  cbcsgs=(('P', 'D', 'D'), ('P', 'D', 'D')),
                   dsmag_avg='cavity', **kw)
 
 
@@ -103,7 +106,7 @@ def square_duct_les(ng=(96, 48, 48), visci=10000., sgstype='dsmag', **kw):
                   is_forced=(True, False, False), velf=(1., 0., 0.),
                   cbcvel=(v, v),
                   cbcpre=(('P', 'N', 'N'), ('P', 'N', 'N')),
-                  cbcsgs=(('P', 'N', 'N'), ('P', 'N', 'N')),
+                  cbcsgs=(('P', 'D', 'D'), ('P', 'D', 'D')),
                   sgstype=sgstype, dsmag_avg='duct', **kw)
 
 
@@ -119,7 +122,7 @@ def temporal_boundary_layer(ng=(64, 64, 96), visci=2000., **kw):
                   cbcvel=(vb, vt),
                   bcvel=tuple(tuple(tuple(r) for r in b) for b in bcv),
                   cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
-                  cbcsgs=(('P', 'P', 'N'), ('P', 'P', 'N')), **kw)
+                  cbcsgs=(('P', 'P', 'D'), ('P', 'P', 'D')), **kw)
 
 
 def developing_channel(ng=(64, 64, 64), visci=500., uin=1.0, **kw):

@@ -424,7 +424,8 @@ def _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j, interpret,
 def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
                 y_ext=False, split=None, has_xe=False,
                 ywalls=(False, False), fuse_fillps=False, wrec=None,
-                sum_flags=(False, False), has_xop=False, has_ystrips=False):
+                sum_flags=(False, False), has_xop=False, has_ystrips=False,
+                has_ruo=True):
     """fuse_fillps: also emit the projection RHS div(u_new)/dt_rk in the
     same pass (fillps.f90 folded into the momentum tail): the RHS core is
     evaluated one y row wide (row 7, the j-1 neighbor of tile row 0 — the
@@ -452,10 +453,14 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
         if has_ystrips:
             yh, yhz = rest[0], rest[1]
             del rest[0:2]
-        ruo, rvo, rwo = rest[0:3]
-        del rest[0:3]
+        ruo = rvo = rwo = None
+        if has_ruo:
+            # first RK substep: f2 == 0 exactly (RK_COEFF[0][1]) so the
+            # previous-RHS reads (3 full-field HBM streams) are skipped
+            ruo, rvo, rwo = rest[0:3]
+            del rest[0:3]
         rvo_any = xop = None
-        if fuse_fillps:
+        if fuse_fillps and has_ruo:
             rvo_any = rest.pop(0)
         if has_xop:
             xop = rest.pop(0)
@@ -507,7 +512,7 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
         sye = wins[5 + has_xe] if has_ye else None
         y_lo = (j == 0) if ywalls[0] else None
         y_hi = (j == gj - 1) if ywalls[1] else None
-        if fuse_fillps:
+        if fuse_fillps and has_ruo:
             # rvo halo strip (the j-1 row's previous-RHS, y-wrap aligned)
             ylo = pl.multiple_of((j * ty - 8) % ny, 8)
             cp = pltpu.make_async_copy(
@@ -553,9 +558,13 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
             gpx = dxi * (V(sp_, i=1) - pc)
             gpy = dyi * (V(sp_, j=1) - pc)
             gpz = metrics['dzci_c'] * (V(sp_, k=1) - pc)
-            un = V(su) + f1 * ru + f2 * ruo[kk] + f12 * (bforce[0] - gpx)
-            vn = V(sv) + f1 * rv + f2 * rvo[kk] + f12 * (bforce[1] - gpy)
-            wn = V(sw) + f1 * rw + f2 * rwo[kk] + f12 * (bforce[2] - gpz)
+            un = V(su) + f1 * ru + f12 * (bforce[0] - gpx)
+            vn = V(sv) + f1 * rv + f12 * (bforce[1] - gpy)
+            wn = V(sw) + f1 * rw + f12 * (bforce[2] - gpz)
+            if has_ruo:
+                un = un + f2 * ruo[kk]
+                vn = vn + f2 * rvo[kk]
+                wn = wn + f2 * rwo[kk]
             if not fuse_fillps:
                 if split is not None:
                     # the full diffusive term enters the RK update; the
@@ -601,7 +610,9 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
                 components=('v',))
             gpy7 = dyi * (V7(sp_, j=1) - V7(sp_))
             v_prev = (V7(sv) + f1 * (ev7 + exyv7 + ezv7)
-                      + f2 * strip[kk, 7:8] + f12 * (bforce[1] - gpy7))
+                      + f12 * (bforce[1] - gpy7))
+            if has_ruo:
+                v_prev = v_prev + f2 * strip[kk, 7:8]
 
             # prediction-fill z faces (set_bc on the new field; wrec =
             # (lt_lo, b_lo, dr_lo, lt_hi, b_hi, dr_hi) for w's z faces)
@@ -658,7 +669,7 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                  y_ext=False, split=None, xe=None, xze=None,
                  ye=None, yze=None, ywalls=(False, False),
                  fuse_fillps=False, wrec=None, sum_flags=(False, False),
-                 xop=None, ystrips=None):
+                 xop=None, ystrips=None, has_ruo=True):
     """Momentum RHS + RK3 update in one HBM pass.
 
     u..p: interior (nz, ny, nx) fields; ue..pe: (3, ny, nx) z-edge stacks
@@ -717,11 +728,13 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                        ywalls=ywalls if has_ye else (False, False),
                        fuse_fillps=fuse_fillps, wrec=wrec,
                        sum_flags=sum_flags, has_xop=has_xop,
-                       has_ystrips=has_ystrips)
+                       has_ystrips=has_ystrips, has_ruo=has_ruo)
     xargs = (xe, xze) if has_xe else ()
     yargs = (ye, yze) if has_ye else ()
     sargs = tuple(ystrips) if has_ystrips else ()
-    fargs = (rvo,) if fuse_fillps else ()     # rvo again, halo-strip source
+    rargs = (ruo, rvo, rwo) if has_ruo else ()
+    fargs = ((rvo,) if fuse_fillps and has_ruo
+             else ())                         # rvo again, halo-strip source
     mat_spec = pl.BlockSpec((nx, nx), lambda k, j: (0, 0))
     if has_xop:
         fargs = fargs + (jnp.asarray(xop, dt),)
@@ -745,7 +758,7 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
         in_specs=[smem_spec, smem_spec, smem_spec]
                  + [any_spec] * (10 + 2 * has_xe + 2 * has_ye
                                  + 2 * has_ystrips)
-                 + [int_spec] * 3
+                 + [int_spec] * len(rargs)
                  + [any_spec] * (len(fargs) - has_xop)
                  + [mat_spec] * has_xop,
         out_specs=out_specs,
@@ -761,7 +774,7 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(sc, dzci_s, dzfi_s, u, v, w, s, p, ue, ve, we, se, pe, *xargs, *yargs,
-      *sargs, ruo, rvo, rwo, *fargs)
+      *sargs, *rargs, *fargs)
     return outs
 
 

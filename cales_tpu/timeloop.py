@@ -794,7 +794,10 @@ class Simulation:
                                   self.bcs_vals, None, pad_filtered)
 
     # ------------------------------------------------------------------
-    def _substep(self, state: State, f1, f2):
+    def _substep(self, state: State, f1, f2, first=False):
+        """first=True: this is RK substep 1, whose f2 coefficient is exactly
+        zero (RK_COEFF[0][1]) — the previous-RHS fields are never read, which
+        drops three full-field HBM streams from the momentum pass."""
         cfg = self.cfg
         grid = self.grid
         dxi, dyi = cfg.dli[0], cfg.dli[1]
@@ -846,7 +849,8 @@ class Simulation:
                     halo = self._halo_y
 
                     def mom_local(u_, v_, w_, s_, p_, ue_, ve_, we_, se_,
-                                  pe_, r1, r2, r3, f1_, f2_):
+                                  pe_, *rest):
+                        r123, (f1_, f2_) = rest[:-2], rest[-2:]
                         if not self._gx_sharded:
                             # 1D decomposition: 8-row halo STRIPS, no
                             # extended-array materialization
@@ -855,22 +859,26 @@ class Simulation:
                                 [ue_, ve_, we_, se_, pe_])
                             return pk.fused_mom_rk(
                                 u_, v_, w_, s_, p_, ue_, ve_, we_, se_, pe_,
-                                r1, r2, r3, dzci, dzfi, f1_, f2_,
+                                *(r123 or (None,) * 3), dzci, dzfi, f1_, f2_,
                                 visc, dxi, dyi, cfg.bforce,
                                 interpret=self._pallas_interpret,
-                                split=split, ystrips=ys)
+                                split=split, ystrips=ys,
+                                has_ruo=not first)
                         xe = halo(self._xe_pack([u_, v_, w_, s_, p_]))
                         xze = halo(self._xe_pack([ue_, ve_, we_, se_, pe_]))
                         return pk.fused_mom_rk(
                             halo(u_), halo(v_), halo(w_), halo(s_), halo(p_),
                             halo(ue_), halo(ve_), halo(we_), halo(se_),
-                            halo(pe_), r1, r2, r3, dzci, dzfi, f1_, f2_,
+                            halo(pe_), *(r123 or (None,) * 3),
+                            dzci, dzfi, f1_, f2_,
                             visc, dxi, dyi, cfg.bforce,
                             interpret=self._pallas_interpret, y_ext=True,
-                            split=split, xe=xe, xze=xze)
-                    outs = self._smap(mom_local, 13, 2, nout)(
+                            split=split, xe=xe, xze=xze,
+                            has_ruo=not first)
+                    rargs = () if first else (ru_o, rv_o, rw_o)
+                    outs = self._smap(mom_local, 10 + len(rargs), 2, nout)(
                         u, v, w, visct, p, ue, ve, we, se, pe,
-                        ru_o, rv_o, rw_o, f1, f2)
+                        *rargs, f1, f2)
                 else:
                     fuse_fp = self._fuse_mom_fillps
                     outs = pk.fused_mom_rk(
@@ -883,7 +891,7 @@ class Simulation:
                         wrec=self._zrec_w if fuse_fp else None,
                         sum_flags=self._sum_flags,
                         xop=self._xopT if (self._fuse_xop and fuse_fp)
-                        else None)
+                        else None, has_ruo=not first)
             if split is None:
                 u, v, w, ru, rv, rw = outs[0:6]
                 tail = list(outs[6:])
@@ -922,8 +930,9 @@ class Simulation:
                 spad = self._pad_scal(state.s)
                 dsdt = scalmod.scalar_rhs(up, vp, wp, spad, cfg.visc / cfg.pr,
                                           dxi, dyi, dzci, dzfi)
-                s_new = state.s + f1 * dsdt + f2 * state.dsdt_old \
-                    + f12 * cfg.ssource
+                s_new = state.s + f1 * dsdt + f12 * cfg.ssource
+                if not first:
+                    s_new = s_new + f2 * state.dsdt_old
                 if cfg.is_sforced:
                     s_new = s_new + (cfg.scalf - st.bulk_mean(s_new, self.gvr_f))
                 scal_state = (s_new, dsdt)
@@ -933,9 +942,13 @@ class Simulation:
             gpx = dxi * (ppad[1:-1, 1:-1, 2:] - ppad[1:-1, 1:-1, 1:-1])
             gpy = dyi * (ppad[1:-1, 2:, 1:-1] - ppad[1:-1, 1:-1, 1:-1])
             gpz = dzci_c * (ppad[2:, 1:-1, 1:-1] - ppad[1:-1, 1:-1, 1:-1])
-            u = u + f1 * ru + f2 * ru_o + f12 * (cfg.bforce[0] - gpx)
-            v = v + f1 * rv + f2 * rv_o + f12 * (cfg.bforce[1] - gpy)
-            w = w + f1 * rw + f2 * rw_o + f12 * (cfg.bforce[2] - gpz)
+            u = u + f1 * ru + f12 * (cfg.bforce[0] - gpx)
+            v = v + f1 * rv + f12 * (cfg.bforce[1] - gpy)
+            w = w + f1 * rw + f12 * (cfg.bforce[2] - gpz)
+            if not first:
+                u = u + f2 * ru_o
+                v = v + f2 * rv_o
+                w = w + f2 * rw_o
             if cfg.impdiff:
                 u = u + f12 * rud
                 v = v + f12 * rvd
@@ -1207,7 +1220,8 @@ class Simulation:
         for irk in range(3):
             f1 = RK_COEFF[irk][0] * dt
             f2 = RK_COEFF[irk][1] * dt
-            state, f = self._substep(state, f1, f2)
+            state, f = self._substep(state, f1, f2,
+                                     first=(RK_COEFF[irk][1] == 0.0))
             dpdl = dpdl + f
         state = state._replace(time=state.time + dt, istep=state.istep + 1)
         return state, -dpdl / dt

@@ -61,7 +61,7 @@ def main():
                  cbcvel=((('P', 'P', 'P'), ('D', 'D', 'D'),
                           ('D', 'D', 'D')),) * 2,
                  cbcpre=(('P', 'N', 'N'), ('P', 'N', 'N')),
-                 cbcsgs=(('P', 'N', 'N'), ('P', 'N', 'N')))
+                 cbcsgs=(('P', 'D', 'D'), ('P', 'D', 'D')))
     grid = make_grid_from_config(cfg)
     sim = Simulation(cfg, grid)
     print(f'execution path: {sim.exec_path()}', flush=True)

@@ -53,7 +53,13 @@ def main():
                  cbcvel=((('P', 'P', 'P'), ('P', 'P', 'P'),
                           ('D', 'D', 'D')),) * 2,
                  cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
-                 cbcsgs=(('P', 'P', 'N'), ('P', 'P', 'N')))
+                 # sgs BC at wall-modeled walls MUST be 'D' (value 0): the
+                 # antisymmetric ghost zeroes visct at the wall face so the
+                 # wall diffusive flux is exactly visc*bc = tauw.  A symmetric
+                 # 'N' ghost leaves visct(wall) ~ visct(1), amplifying the
+                 # imposed stress by (visc+visct)/visc -> runaway coupling
+                 # (reference: examples/les/..._wall_model cbcsgs 'D','D').
+                 cbcsgs=(('P', 'P', 'D'), ('P', 'P', 'D')))
     grid = make_grid_from_config(cfg)
     sim = Simulation(cfg, grid)
     state = sim.initial_state(*initflow(cfg, grid))
@@ -68,9 +74,11 @@ def main():
         if it >= navg0:
             dpdl_acc += float(dpdl[0])
             nacc += 1
-        if (it + 1) % 50 == 0:
-            # adaptive dt like the driver's icheck loop (the transition
-            # spike after the vortex-pair trigger needs it)
+        icheck = 10 if it < 1500 else 50
+        if (it + 1) % icheck == 0:
+            # adaptive dt like the driver's icheck loop — every 10 steps
+            # through the transition (the vortex-pair trigger's spike can
+            # outrun a 50-step cadence at f32), then every 50
             dt = sim.pick_dt(sim.check(state)[0])
         if (it + 1) % 500 == 0:
             print(f'step {it + 1}/{args.steps}  t={float(state.time):.2f}  '
