@@ -425,7 +425,7 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
                 y_ext=False, split=None, has_xe=False,
                 ywalls=(False, False), fuse_fillps=False, wrec=None,
                 sum_flags=(False, False), has_xop=False, has_ystrips=False,
-                has_ruo=True):
+                has_ruo=True, has_sgs=True):
     """fuse_fillps: also emit the projection RHS div(u_new)/dt_rk in the
     same pass (fillps.f90 folded into the momentum tail): the RHS core is
     evaluated one y row wide (row 7, the j-1 neighbor of tile row 0 — the
@@ -441,8 +441,18 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
     gj = ny // ty
     klast = nz // tz - 1
 
-    def kernel(sc, dzci_s, dzfi_s, u, v, w, s, p, ue, ve, we, se, pe, *rest):
+    def kernel(sc, dzci_s, dzfi_s, *rest):
         rest = list(rest)
+        # has_sgs=False (sgstype 'none'): the eddy-viscosity field is
+        # identically zero — its HBM stream, VMEM window and all eddy
+        # stress-tensor terms are elided (momentum_rhs_core with_sgs)
+        if has_sgs:
+            u, v, w, s, p, ue, ve, we, se, pe = rest[0:10]
+            del rest[0:10]
+        else:
+            u, v, w, p, ue, ve, we, pe = rest[0:8]
+            s = se = None
+            del rest[0:8]
         xe = xze = ye = yze = yh = yhz = None
         if has_xe:
             xe, xze = rest[0], rest[1]
@@ -478,8 +488,13 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
             usum_o = rest.pop(0)
         if sum_flags[1]:
             vsum_o = rest.pop(0)
-        su2, sv2, sw2, ss2, sp2 = rest[0:5]
-        del rest[0:5]
+        nf = 4 + has_sgs
+        if has_sgs:
+            su2, sv2, sw2, ss2, sp2 = rest[0:5]
+        else:
+            su2, sv2, sw2, sp2 = rest[0:4]
+            ss2 = None
+        del rest[0:nf]
         sxe2 = sye2 = None
         if has_xe:
             sxe2 = rest.pop(0)
@@ -494,8 +509,10 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
         k = pl.program_id(0)
         j = pl.program_id(1)
         z0 = k * tz
-        base = [(u, ue, su2), (v, ve, sv2), (w, we, sw2), (s, se, ss2),
-                (p, pe, sp2)]
+        base = [(u, ue, su2), (v, ve, sv2), (w, we, sw2)]
+        if has_sgs:
+            base.append((s, se, ss2))
+        base.append((p, pe, sp2))
         if has_xe:
             base.append((xe, xze, sxe2))
         if has_ystrips:
@@ -507,9 +524,11 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
             specs.append((ye, yze, sye2, 'ally'))
         wins = _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j,
                                   interpret, y_ext=y_ext)
-        su, sv, sw, ss, sp_ = wins[0:5]
-        sxe = wins[5] if has_xe else None
-        sye = wins[5 + has_xe] if has_ye else None
+        su, sv, sw = wins[0:3]
+        ss = wins[3] if has_sgs else None
+        sp_ = wins[3 + has_sgs]
+        sxe = wins[nf] if has_xe else None
+        sye = wins[nf + has_xe] if has_ye else None
         y_lo = (j == 0) if ywalls[0] else None
         y_hi = (j == gj - 1) if ywalls[1] else None
         if fuse_fillps and has_ruo:
@@ -526,13 +545,12 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
 
         def body(kk, w_prev):
             kz = z0 + kk + 1          # padded z index (Fortran k)
+            fwins = [su, sv, sw] + ([ss] if has_sgs else []) + [sp_]
             acc = _PlaneAccessor(
-                {id(su): su, id(sv): sv, id(sw): sw, id(ss): ss, id(sp_): sp_},
+                {id(f): f for f in fwins},
                 kk, ty, interpret=interpret, xe=sxe,
-                xlane={id(su): 0, id(sv): 1, id(sw): 2, id(ss): 3,
-                       id(sp_): 4},
-                ye=sye, ylane={id(su): 0, id(sv): 3, id(sw): 6, id(ss): 9,
-                               id(sp_): 12},
+                xlane={id(f): m for m, f in enumerate(fwins)},
+                ye=sye, ylane={id(f): 3 * m for m, f in enumerate(fwins)},
                 ystag={id(sv)}, y_lo=y_lo, y_hi=y_hi)
             metrics = {
                 'dzci_c': dzci_s[kz, 0],
@@ -543,7 +561,8 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
             V = acc.V
             (eu, exyu, ezu), (ev, exyv, ezv), (ew, exyw, ezw) = \
                 st.momentum_rhs_core(V, metrics.__getitem__,
-                                     su, sv, sw, ss, visc, dxi, dyi)
+                                     su, sv, sw, ss, visc, dxi, dyi,
+                                     with_sgs=has_sgs)
             # explicit/implicit split (mom.f90:277-303 runtime analogue)
             if split is None:
                 ru, rv, rw = eu + exyu + ezu, ev + exyv + ezv, ew + exyw + ezw
@@ -607,7 +626,7 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
 
             _, (ev7, exyv7, ezv7), _ = st.momentum_rhs_core(
                 V7, metrics.__getitem__, su, sv, sw, ss, visc, dxi, dyi,
-                components=('v',))
+                components=('v',), with_sgs=has_sgs)
             gpy7 = dyi * (V7(sp_, j=1) - V7(sp_))
             v_prev = (V7(sv) + f1 * (ev7 + exyv7 + ezv7)
                       + f12 * (bforce[1] - gpy7))
@@ -669,7 +688,7 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                  y_ext=False, split=None, xe=None, xze=None,
                  ye=None, yze=None, ywalls=(False, False),
                  fuse_fillps=False, wrec=None, sum_flags=(False, False),
-                 xop=None, ystrips=None, has_ruo=True):
+                 xop=None, ystrips=None, has_ruo=True, has_sgs=True):
     """Momentum RHS + RK3 update in one HBM pass.
 
     u..p: interior (nz, ny, nx) fields; ue..pe: (3, ny, nx) z-edge stacks
@@ -719,7 +738,8 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
     if has_ystrips:
         assert not y_ext and not has_ye and not has_xe
     nout = 6 if split is None else 9
-    nwin = 5 + has_xe + has_ye
+    nf = 4 + has_sgs
+    nwin = nf + has_xe + has_ye
     gj = ny // ty
     grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
     kern = _mom_kernel(tz, ty, nz, ny, nx, float(visc), float(dxi), float(dyi),
@@ -728,7 +748,8 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                        ywalls=ywalls if has_ye else (False, False),
                        fuse_fillps=fuse_fillps, wrec=wrec,
                        sum_flags=sum_flags, has_xop=has_xop,
-                       has_ystrips=has_ystrips, has_ruo=has_ruo)
+                       has_ystrips=has_ystrips, has_ruo=has_ruo,
+                       has_sgs=has_sgs)
     xargs = (xe, xze) if has_xe else ()
     yargs = (ye, yze) if has_ye else ()
     sargs = tuple(ystrips) if has_ystrips else ()
@@ -756,7 +777,7 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
         kern,
         grid=grid,
         in_specs=[smem_spec, smem_spec, smem_spec]
-                 + [any_spec] * (10 + 2 * has_xe + 2 * has_ye
+                 + [any_spec] * (2 * nf + 2 * has_xe + 2 * has_ye
                                  + 2 * has_ystrips)
                  + [int_spec] * len(rargs)
                  + [any_spec] * (len(fargs) - has_xop)
@@ -764,7 +785,7 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
-                        for _ in range(5)]
+                        for _ in range(nf)]
                        + ([pltpu.VMEM((2, tz + 2, ty + 16, 128), dt)]
                           if has_xe else [])
                        + ([pltpu.VMEM((2, tz + 2, 16, nx), dt)]
@@ -773,8 +794,10 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                        + [pltpu.SemaphoreType.DMA((2, nwin, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(sc, dzci_s, dzfi_s, u, v, w, s, p, ue, ve, we, se, pe, *xargs, *yargs,
-      *sargs, *rargs, *fargs)
+    )(sc, dzci_s, dzfi_s,
+      *((u, v, w, s, p, ue, ve, we, se, pe) if has_sgs
+        else (u, v, w, p, ue, ve, we, pe)),
+      *xargs, *yargs, *sargs, *rargs, *fargs)
     return outs
 
 

@@ -35,7 +35,7 @@ def _zb(arr1d, lo, hi):
     return jnp.asarray(arr1d[lo:hi])[:, None, None]
 
 
-def momentum_rhs(up, vp, wp, sp, visc, dxi, dyi, dzci, dzfi):
+def momentum_rhs(up, vp, wp, sp, visc, dxi, dyi, dzci, dzfi, with_sgs=True):
     """Momentum RHS (advection + molecular & eddy viscous terms, no pressure).
 
     up, vp, wp, sp: padded velocity & eddy viscosity; visc: molecular.
@@ -44,6 +44,7 @@ def momentum_rhs(up, vp, wp, sp, visc, dxi, dyi, dzci, dzfi):
       dif_xy = molecular x/y diffusion, dif_z = molecular z diffusion,
     so the caller assembles explicit/implicit splits at runtime (the
     reference's _IMPDIFF/_IMPDIFF_1D compile branches, mom.f90:277-303).
+    with_sgs=False: sp is never read (see momentum_rhs_core).
     """
     nz = up.shape[0] - 2
     metrics = {
@@ -57,11 +58,11 @@ def momentum_rhs(up, vp, wp, sp, visc, dxi, dyi, dzci, dzfi):
         return _sh(P, k, j, i)
 
     return momentum_rhs_core(V, metrics.__getitem__, up, vp, wp, sp,
-                             visc, dxi, dyi)
+                             visc, dxi, dyi, with_sgs=with_sgs)
 
 
 def momentum_rhs_core(V, M, up, vp, wp, sp, visc, dxi, dyi,
-                      components=('u', 'v', 'w')):
+                      components=('u', 'v', 'w'), with_sgs=True):
     """The discretization itself, written against an accessor interface so
     the XLA expression path and the Pallas VMEM-window kernel share the SAME
     formulas (mom.f90:17-309):
@@ -70,6 +71,12 @@ def momentum_rhs_core(V, M, up, vp, wp, sp, visc, dxi, dyi,
 
     components: which momentum components to evaluate (the others return
     None triples) — used by the fused-fillps kernel's single-row v eval.
+
+    with_sgs=False (sgstype 'none'): visct == 0 identically, so the eddy
+    stress-tensor terms (the only consumers of sp) are exact zeros — sp is
+    never read and those terms are elided.  Bitwise-identical to the
+    with_sgs=True evaluation on a zero sp (adding exact float zeros is the
+    identity), which the parity test checks.
     """
     want_u = 'u' in components
     want_v = 'v' in components
@@ -79,7 +86,7 @@ def momentum_rhs_core(V, M, up, vp, wp, sp, visc, dxi, dyi,
     dzfi_c = M('dzfi_c')
     dzfi_p = M('dzfi_p')
 
-    u_ccc, v_ccc, w_ccc, s_ccc = V(up), V(vp), V(wp), V(sp)
+    u_ccc, v_ccc, w_ccc = V(up), V(vp), V(wp)
 
     # shared shifted reads + edge derivatives (mom.f90:145-150,190-195,
     # 235-240: u_jp==v_ip, u_kp==w_ip, v_kp==w_jp)
@@ -91,14 +98,16 @@ def momentum_rhs_core(V, M, up, vp, wp, sp, visc, dxi, dyi,
     v_cpc, v_ccp = V(vp, j=1), V(vp, k=1)
     w_pcc, w_ccm = V(wp, i=1), V(wp, k=-1)
     w_cpc = V(wp, j=1)
-    s_pcc = V(sp, i=1)
-    s_cpc, s_ppc = V(sp, j=1), V(sp, j=1, i=1)
-    s_ccp, s_pcp = V(sp, k=1), V(sp, k=1, i=1)
-    s_cpp = V(sp, k=1, j=1)
+    if with_sgs:
+        s_ccc = V(sp)
+        s_pcc = V(sp, i=1)
+        s_cpc, s_ppc = V(sp, j=1), V(sp, j=1, i=1)
+        s_ccp, s_pcp = V(sp, k=1), V(sp, k=1, i=1)
+        s_cpp = V(sp, k=1, j=1)
 
-    visc_e_xy = 0.25 * (s_ccc + s_pcc + s_cpc + s_ppc)
-    visc_e_xz = 0.25 * (s_ccc + s_pcc + s_ccp + s_pcp)
-    visc_e_yz = 0.25 * (s_ccc + s_cpc + s_ccp + s_cpp)
+        visc_e_xy = 0.25 * (s_ccc + s_pcc + s_cpc + s_ppc)
+        visc_e_xz = 0.25 * (s_ccc + s_pcc + s_ccp + s_pcp)
+        visc_e_yz = 0.25 * (s_ccc + s_cpc + s_ccp + s_cpp)
 
     dudy_e = (u_cpc - u_ccc) * dyi      # du/dy at the (i+1/2, j+1/2) edge
     dudz_e = (u_ccp - u_ccc) * dzci_c   # du/dz at the (i+1/2, k+1/2) edge
@@ -116,14 +125,6 @@ def momentum_rhs_core(V, M, up, vp, wp, sp, visc, dxi, dyi,
         u_ccm = V(up, k=-1)
         v_pmc = V(vp, j=-1, i=1)
         w_pcm = V(wp, k=-1, i=1)
-        s_cmc, s_pmc = V(sp, j=-1), V(sp, j=-1, i=1)
-        s_ccm, s_pcm = V(sp, k=-1), V(sp, k=-1, i=1)
-
-        visc_ip, visc_im = s_pcc, s_ccc
-        visc_jp = visc_e_xy
-        visc_jm = 0.25 * (s_ccc + s_pcc + s_cmc + s_pmc)
-        visc_kp = visc_e_xz
-        visc_km = 0.25 * (s_ccc + s_pcc + s_ccm + s_pcm)
 
         dudx_ip = (u_pcc - u_ccc) * dxi
         dudx_im = (u_ccc - u_mcc) * dxi
@@ -131,10 +132,6 @@ def momentum_rhs_core(V, M, up, vp, wp, sp, visc, dxi, dyi,
         dudy_jm = (u_ccc - u_cmc) * dyi
         dudz_kp = dudz_e
         dudz_km = (u_ccc - u_ccm) * dzci_m
-        dvdx_jp = dvdx_e
-        dvdx_jm = (v_pmc - v_cmc) * dxi
-        dwdx_kp = dwdx_e
-        dwdx_km = (w_pcm - w_ccm) * dxi
 
         uu_ip = 0.25 * (u_pcc + u_ccc) * (u_ccc + u_pcc)
         uu_im = 0.25 * (u_mcc + u_ccc) * (u_ccc + u_mcc)
@@ -147,10 +144,23 @@ def momentum_rhs_core(V, M, up, vp, wp, sp, visc, dxi, dyi,
                            + (dudy_jp - dudy_jm) * dyi)
         dudtd_z = visc * (dudz_kp - dudz_km) * dzfi_c
         dudt = (-(uu_ip - uu_im) * dxi - (vu_jp - vu_jm) * dyi
-                - (wu_kp - wu_km) * dzfi_c
-                + (visc_ip * 2.0 * dudx_ip - visc_im * 2.0 * dudx_im) * dxi
-                + (visc_jp * (dudy_jp + dvdx_jp) - visc_jm * (dudy_jm + dvdx_jm)) * dyi
-                + (visc_kp * (dudz_kp + dwdx_kp) - visc_km * (dudz_km + dwdx_km)) * dzfi_c)
+                - (wu_kp - wu_km) * dzfi_c)
+        if with_sgs:
+            s_cmc, s_pmc = V(sp, j=-1), V(sp, j=-1, i=1)
+            s_ccm, s_pcm = V(sp, k=-1), V(sp, k=-1, i=1)
+            visc_ip, visc_im = s_pcc, s_ccc
+            visc_jp = visc_e_xy
+            visc_jm = 0.25 * (s_ccc + s_pcc + s_cmc + s_pmc)
+            visc_kp = visc_e_xz
+            visc_km = 0.25 * (s_ccc + s_pcc + s_ccm + s_pcm)
+            dvdx_jp = dvdx_e
+            dvdx_jm = (v_pmc - v_cmc) * dxi
+            dwdx_kp = dwdx_e
+            dwdx_km = (w_pcm - w_ccm) * dxi
+            dudt = (dudt
+                    + (visc_ip * 2.0 * dudx_ip - visc_im * 2.0 * dudx_im) * dxi
+                    + (visc_jp * (dudy_jp + dvdx_jp) - visc_jm * (dudy_jm + dvdx_jm)) * dyi
+                    + (visc_kp * (dudz_kp + dwdx_kp) - visc_km * (dudz_km + dwdx_km)) * dzfi_c)
         u_out = (dudt, dudtd_xy, dudtd_z)
 
     # ---- v momentum ----
@@ -160,15 +170,6 @@ def momentum_rhs_core(V, M, up, vp, wp, sp, visc, dxi, dyi,
         v_ccm = V(vp, k=-1)
         u_mpc = V(up, j=1, i=-1)
         w_cpm = V(wp, k=-1, j=1)
-        s_mcc, s_mpc = V(sp, i=-1), V(sp, j=1, i=-1)
-        s_cpm = V(sp, k=-1, j=1)
-        s_ccm_v = V(sp, k=-1)
-
-        visc_ip = visc_e_xy
-        visc_im = 0.25 * (s_ccc + s_cpc + s_mcc + s_mpc)
-        visc_jp, visc_jm = s_cpc, s_ccc
-        visc_kp = visc_e_yz
-        visc_km = 0.25 * (s_ccc + s_cpc + s_ccm_v + s_cpm)
 
         dvdx_ip = dvdx_e
         dvdx_im = (v_ccc - v_mcc) * dxi
@@ -176,10 +177,6 @@ def momentum_rhs_core(V, M, up, vp, wp, sp, visc, dxi, dyi,
         dvdy_jm = (v_ccc - v_cmc_f) * dyi
         dvdz_kp = dvdz_e
         dvdz_km = (v_ccc - v_ccm) * dzci_m
-        dudy_ip = dudy_e
-        dudy_im = (u_mpc - u_mcc_f) * dyi
-        dwdy_kp = dwdy_e
-        dwdy_km = (w_cpm - w_ccm) * dyi
 
         uv_ip = 0.25 * (u_ccc + u_cpc) * (v_ccc + v_pcc_f)
         uv_im = 0.25 * (u_mcc_f + u_mpc) * (v_ccc + v_mcc)
@@ -192,10 +189,24 @@ def momentum_rhs_core(V, M, up, vp, wp, sp, visc, dxi, dyi,
                            + (dvdy_jp - dvdy_jm) * dyi)
         dvdtd_z = visc * (dvdz_kp - dvdz_km) * dzfi_c
         dvdt = (-(uv_ip - uv_im) * dxi - (vv_jp - vv_jm) * dyi
-                - (wv_kp - wv_km) * dzfi_c
-                + (visc_ip * (dvdx_ip + dudy_ip) - visc_im * (dvdx_im + dudy_im)) * dxi
-                + (visc_jp * 2.0 * dvdy_jp - visc_jm * 2.0 * dvdy_jm) * dyi
-                + (visc_kp * (dvdz_kp + dwdy_kp) - visc_km * (dvdz_km + dwdy_km)) * dzfi_c)
+                - (wv_kp - wv_km) * dzfi_c)
+        if with_sgs:
+            s_mcc, s_mpc = V(sp, i=-1), V(sp, j=1, i=-1)
+            s_cpm = V(sp, k=-1, j=1)
+            s_ccm_v = V(sp, k=-1)
+            visc_ip = visc_e_xy
+            visc_im = 0.25 * (s_ccc + s_cpc + s_mcc + s_mpc)
+            visc_jp, visc_jm = s_cpc, s_ccc
+            visc_kp = visc_e_yz
+            visc_km = 0.25 * (s_ccc + s_cpc + s_ccm_v + s_cpm)
+            dudy_ip = dudy_e
+            dudy_im = (u_mpc - u_mcc_f) * dyi
+            dwdy_kp = dwdy_e
+            dwdy_km = (w_cpm - w_ccm) * dyi
+            dvdt = (dvdt
+                    + (visc_ip * (dvdx_ip + dudy_ip) - visc_im * (dvdx_im + dudy_im)) * dxi
+                    + (visc_jp * 2.0 * dvdy_jp - visc_jm * 2.0 * dvdy_jm) * dyi
+                    + (visc_kp * (dvdz_kp + dwdy_kp) - visc_km * (dvdz_km + dwdy_km)) * dzfi_c)
         v_out = (dvdt, dvdtd_xy, dvdtd_z)
 
     # ---- w momentum ----
@@ -208,16 +219,6 @@ def momentum_rhs_core(V, M, up, vp, wp, sp, visc, dxi, dyi,
         v_cmp = V(vp, k=1, j=-1)
         v_ccp_f = v_ccp
         v_cmc_w = v_cmc
-        s_mcc_w = V(sp, i=-1)
-        s_mcp = V(sp, k=1, i=-1)
-        s_cmp = V(sp, k=1, j=-1)
-        s_cmc2 = V(sp, j=-1)
-
-        visc_ip = visc_e_xz
-        visc_im = 0.25 * (s_ccc + s_ccp + s_mcc_w + s_mcp)
-        visc_jp = visc_e_yz
-        visc_jm = 0.25 * (s_ccc + s_ccp + s_cmc2 + s_cmp)
-        visc_kp, visc_km = s_ccp, s_ccc
 
         dwdx_ip = dwdx_e
         dwdx_im = (w_ccc - w_mcc) * dxi
@@ -225,10 +226,6 @@ def momentum_rhs_core(V, M, up, vp, wp, sp, visc, dxi, dyi,
         dwdy_jm = (w_ccc - w_cmc) * dyi
         dwdz_kp = (w_ccp - w_ccc) * dzfi_p
         dwdz_km = (w_ccc - w_ccm_f) * dzfi_c
-        dudz_ip = dudz_e
-        dudz_im = (u_mcp - u_mcc_f) * dzci_c
-        dvdz_jp = dvdz_e
-        dvdz_jm = (v_cmp - v_cmc_w) * dzci_c
 
         uw_ip = 0.25 * (u_ccc + u_ccp_f) * (w_ccc + w_pcc_f)
         uw_im = 0.25 * (u_mcc_f + u_mcp) * (w_ccc + w_mcc)
@@ -241,10 +238,25 @@ def momentum_rhs_core(V, M, up, vp, wp, sp, visc, dxi, dyi,
                            + (dwdy_jp - dwdy_jm) * dyi)
         dwdtd_z = visc * (dwdz_kp - dwdz_km) * dzci_c
         dwdt = (-(uw_ip - uw_im) * dxi - (vw_jp - vw_jm) * dyi
-                - (ww_kp - ww_km) * dzci_c
-                + (visc_ip * (dwdx_ip + dudz_ip) - visc_im * (dwdx_im + dudz_im)) * dxi
-                + (visc_jp * (dwdy_jp + dvdz_jp) - visc_jm * (dwdy_jm + dvdz_jm)) * dyi
-                + (visc_kp * 2.0 * dwdz_kp - visc_km * 2.0 * dwdz_km) * dzci_c)
+                - (ww_kp - ww_km) * dzci_c)
+        if with_sgs:
+            s_mcc_w = V(sp, i=-1)
+            s_mcp = V(sp, k=1, i=-1)
+            s_cmp = V(sp, k=1, j=-1)
+            s_cmc2 = V(sp, j=-1)
+            visc_ip = visc_e_xz
+            visc_im = 0.25 * (s_ccc + s_ccp + s_mcc_w + s_mcp)
+            visc_jp = visc_e_yz
+            visc_jm = 0.25 * (s_ccc + s_ccp + s_cmc2 + s_cmp)
+            visc_kp, visc_km = s_ccp, s_ccc
+            dudz_ip = dudz_e
+            dudz_im = (u_mcp - u_mcc_f) * dzci_c
+            dvdz_jp = dvdz_e
+            dvdz_jm = (v_cmp - v_cmc_w) * dzci_c
+            dwdt = (dwdt
+                    + (visc_ip * (dwdx_ip + dudz_ip) - visc_im * (dwdx_im + dudz_im)) * dxi
+                    + (visc_jp * (dwdy_jp + dvdz_jp) - visc_jm * (dwdy_jm + dvdz_jm)) * dyi
+                    + (visc_kp * 2.0 * dwdz_kp - visc_km * 2.0 * dwdz_km) * dzci_c)
         w_out = (dwdt, dwdtd_xy, dwdtd_z)
 
     return (u_out, v_out, w_out)

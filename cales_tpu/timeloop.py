@@ -313,6 +313,7 @@ class Simulation:
                     else 'kernel-single')
             sgs = ('dsmag-kernel' if self.use_pallas_dsmag
                    else 'smag-kernel' if self.use_pallas_smag
+                   else 'none-elided' if self.cfg.sgstype == 'none'
                    else f'{self.cfg.sgstype}-xla')
             fus = [n for n, on in (('fillps', self._fuse_mom_fillps),
                                    ('smag', self._fuse_correc_smag),
@@ -834,55 +835,71 @@ class Simulation:
                 ue, ve, we = self._zedge_vel(u, v, w, bcu0, bcv0, bcw0,
                                              vlo=state.vlo, is_correc=True)
             pe = self._zedge_p(p)
-            se = self._zedge_s(visct)
+            # sgstype 'none': visct == 0 — its HBM stream, edge stacks and
+            # eddy terms are elided from the kernel (has_sgs=False)
+            hs = cfg.sgstype != 'none'
+            se = self._zedge_s(visct) if hs else None
             ye = yze = None
             if self._ywalled:
                 # y-wall ghost-row bundles of the same (post-correc) fill
                 (yu, yv, yw), zy = self._ybundle_vel(
                     u, v, w, vlo=state.vlo, is_correc=True)
-                ys, zys = self._ybundle_s(visct)
                 yp, zyp = self._ybundle_p(p)
-                ye, yze = self._pack_ybundle([yu, yv, yw, ys, yp],
-                                             list(zy) + [zys, zyp])
+                ystk, zstk = [yu, yv, yw], list(zy)
+                if hs:
+                    ys, zys = self._ybundle_s(visct)
+                    ystk.append(ys)
+                    zstk.append(zys)
+                ye, yze = self._pack_ybundle(ystk + [yp], zstk + [zyp])
             with jax.named_scope('momentum_rk_pallas'):
                 if self._kernel_sharded:
                     halo = self._halo_y
+                    nfl = 10 if hs else 8
 
-                    def mom_local(u_, v_, w_, s_, p_, ue_, ve_, we_, se_,
-                                  pe_, *rest):
+                    def mom_local(*a):
+                        if hs:
+                            (u_, v_, w_, s_, p_,
+                             ue_, ve_, we_, se_, pe_) = a[0:10]
+                        else:
+                            u_, v_, w_, p_, ue_, ve_, we_, pe_ = a[0:8]
+                            s_ = se_ = None
+                        rest = a[nfl:]
                         r123, (f1_, f2_) = rest[:-2], rest[-2:]
+                        flds = [u_, v_, w_] + ([s_] if hs else []) + [p_]
+                        efls = ([ue_, ve_, we_] + ([se_] if hs else [])
+                                + [pe_])
                         if not self._gx_sharded:
                             # 1D decomposition: 8-row halo STRIPS, no
                             # extended-array materialization
-                            ys = self._halo_strips(
-                                [u_, v_, w_, s_, p_],
-                                [ue_, ve_, we_, se_, pe_])
+                            ys = self._halo_strips(flds, efls)
                             return pk.fused_mom_rk(
                                 u_, v_, w_, s_, p_, ue_, ve_, we_, se_, pe_,
                                 *(r123 or (None,) * 3), dzci, dzfi, f1_, f2_,
                                 visc, dxi, dyi, cfg.bforce,
                                 interpret=self._pallas_interpret,
                                 split=split, ystrips=ys,
-                                has_ruo=not first)
-                        xe = halo(self._xe_pack([u_, v_, w_, s_, p_]))
-                        xze = halo(self._xe_pack([ue_, ve_, we_, se_, pe_]))
+                                has_ruo=not first, has_sgs=hs)
+                        xe = halo(self._xe_pack(flds))
+                        xze = halo(self._xe_pack(efls))
+                        hl = lambda q: None if q is None else halo(q)
                         return pk.fused_mom_rk(
-                            halo(u_), halo(v_), halo(w_), halo(s_), halo(p_),
-                            halo(ue_), halo(ve_), halo(we_), halo(se_),
+                            halo(u_), halo(v_), halo(w_), hl(s_), halo(p_),
+                            halo(ue_), halo(ve_), halo(we_), hl(se_),
                             halo(pe_), *(r123 or (None,) * 3),
                             dzci, dzfi, f1_, f2_,
                             visc, dxi, dyi, cfg.bforce,
                             interpret=self._pallas_interpret, y_ext=True,
                             split=split, xe=xe, xze=xze,
-                            has_ruo=not first)
+                            has_ruo=not first, has_sgs=hs)
                     rargs = () if first else (ru_o, rv_o, rw_o)
-                    outs = self._smap(mom_local, 10 + len(rargs), 2, nout)(
-                        u, v, w, visct, p, ue, ve, we, se, pe,
-                        *rargs, f1, f2)
+                    fargs = ((u, v, w, visct, p, ue, ve, we, se, pe) if hs
+                             else (u, v, w, p, ue, ve, we, pe))
+                    outs = self._smap(mom_local, nfl + len(rargs), 2, nout)(
+                        *fargs, *rargs, f1, f2)
                 else:
                     fuse_fp = self._fuse_mom_fillps
                     outs = pk.fused_mom_rk(
-                        u, v, w, visct, p, ue, ve, we, se, pe,
+                        u, v, w, visct if hs else None, p, ue, ve, we, se, pe,
                         ru_o, rv_o, rw_o, dzci, dzfi, f1, f2, visc,
                         dxi, dyi, cfg.bforce,
                         interpret=self._pallas_interpret, split=split,
@@ -891,7 +908,7 @@ class Simulation:
                         wrec=self._zrec_w if fuse_fp else None,
                         sum_flags=self._sum_flags,
                         xop=self._xopT if (self._fuse_xop and fuse_fp)
-                        else None, has_ruo=not first)
+                        else None, has_ruo=not first, has_sgs=hs)
             if split is None:
                 u, v, w, ru, rv, rw = outs[0:6]
                 tail = list(outs[6:])
@@ -907,13 +924,16 @@ class Simulation:
             up, vp, wp, _ = self._pad_vel(u, v, w, bcu, bcv, bcw,
                                           vlo=state.vlo, is_correc=True)
             ppad = self._pad_p(p)
-            sp = self._pad_s(visct)
+            hs = cfg.sgstype != 'none'
+            sp = self._pad_s(visct) if hs else None
 
             # momentum RHS + explicit/implicit split (rk.f90:74-75,
-            # mom.f90:277-303)
+            # mom.f90:277-303); sgstype 'none' elides the (identically
+            # zero) eddy-stress terms and the visct ghost fill
             with jax.named_scope('momentum_rhs'):
                 (eu, exyu, ezu), (ev, exyv, ezv), (ew, exyw, ezw) = \
-                    st.momentum_rhs(up, vp, wp, sp, visc, dxi, dyi, dzci, dzfi)
+                    st.momentum_rhs(up, vp, wp, sp, visc, dxi, dyi,
+                                    dzci, dzfi, with_sgs=hs)
             if not cfg.impdiff:
                 ru, rv, rw = eu + exyu + ezu, ev + exyv + ezv, ew + exyw + ezw
                 rud = rvd = rwd = None

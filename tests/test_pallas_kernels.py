@@ -637,3 +637,34 @@ def test_pallas_xop_fusion_matches_xla(monkeypatch):
                 x, y = x - x.mean(), y - y.mean()
             err = np.abs(x - y).max()
             assert err < 1e-11, f"{name} {tag}-fusion mismatch: {err}"
+
+
+def test_pallas_step_integration_dns_no_sgs(monkeypatch):
+    """sgstype 'none' channel (the DNS perf class): the has_sgs=False
+    momentum kernel (no visct stream/window, eddy terms elided) must
+    reproduce the XLA expression path near-bitwise — the elided terms are
+    exact zeros, so this is an equality-strength check."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    base = dict(ng=(128, 16, 16), l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=0.9,
+                visci=2000.0, inivel='log', is_wallturb=True, dtype='float64',
+                is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
+                sgstype='none')
+    results = []
+    for up_ in (False, True):
+        cfg = Config(**base, use_pallas=up_)
+        grid = make_grid_from_config(cfg)
+        sim = Simulation(cfg, grid)
+        if up_:
+            assert sim.use_pallas_mom, sim.exec_path()
+        s = sim.initial_state(*initflow(cfg, grid))
+        for _ in range(3):
+            s, _ = sim.step(s, 1e-3)
+        results.append(s)
+    a, b = results
+    for name in ('u', 'v', 'w', 'p'):
+        x, y = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+        err = np.abs(x - y).max()
+        assert err < 1e-12, f"{name} DNS kernel mismatch: {err}"

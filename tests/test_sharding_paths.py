@@ -238,3 +238,47 @@ def test_kernel_path_2d_mesh_matches_single(monkeypatch):
             a, b = a - a.mean(), b - b.mean()
         err = np.abs(a - b).max()
         assert err < 1e-11, f"{name} 2D-mesh kernel mismatch: {err}"
+
+
+def test_kernel_path_sharded_dns_no_sgs(monkeypatch):
+    """sgstype 'none' on the kernel path (has_sgs=False: the zero visct
+    field's HBM stream, windows and eddy terms are elided) under BOTH
+    sharded protocols — (2,1) ppermute strips and (2,2) xe column bundles —
+    must reproduce the single-device kernel path (interpret mode)."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = Config(ng=(256, 32, 16), l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=0.9,
+                 visci=2000.0, inivel='log', is_wallturb=True, dtype='float64',
+                 is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
+                 sgstype='none', ptransform='mat', **_channel_bcs)
+    grid = make_grid_from_config(cfg)
+    u, v, w, p = initflow(cfg, grid)
+    dt = 1e-3
+
+    sim1 = Simulation(cfg, grid)
+    assert sim1.use_pallas_mom
+    s1 = sim1.initial_state(u, v, w, p)
+    for _ in range(2):
+        s1, _ = sim1.step(s1, dt)
+
+    for shape in ((2, 1), (2, 2)):
+        mesh = make_mesh(shape)
+        simN = Simulation(cfg, grid, mesh=mesh)
+        assert simN.use_pallas_mom and simN._kernel_sharded, simN.exec_path()
+        sN = simN.initial_state(u, v, w, p)
+        sh = field_sharding(mesh)
+        sN = sN._replace(u=jax.device_put(sN.u, sh),
+                         v=jax.device_put(sN.v, sh),
+                         w=jax.device_put(sN.w, sh),
+                         p=jax.device_put(sN.p, sh),
+                         visct=jax.device_put(sN.visct, sh))
+        for _ in range(2):
+            sN, _ = simN.step(sN, dt)
+        for name in ('u', 'v', 'w', 'p'):
+            a = np.asarray(getattr(s1, name))
+            b = np.asarray(getattr(sN, name))
+            if name == 'p':
+                a, b = a - a.mean(), b - b.mean()
+            err = np.abs(a - b).max()
+            assert err < 1e-11, f"{name} {shape} DNS-kernel mismatch: {err}"
