@@ -1,0 +1,142 @@
+"""Pallas Poisson-solve kernels: the transform/eigen pipeline in 3 HBM passes.
+
+The XLA both_mat solve (poisson.solve) costs ~6 full-array passes at the
+headline shape (swapaxes, fwd-y matmul, two z eigen-matmuls, bwd-y matmul,
+swapaxes back — measured 3.2 ms at 512x256x256 f32, tools/solve_bench.py,
+and HBM-bound: precomputing the eigen-divide or removing the swaps via
+batched dot_generals does NOT help).  These kernels run the same math as
+three Pallas passes in the native (z, y, x) layout:
+
+  1. fwd y:   out[z] = Fy @ in[z]            (grid over z blocks)
+  2. z stage: out[:, j, :] = Vr @ (inv_j * (Vl @ in[:, j, :]))
+              with inv_j = 1/(lamz + lamy[j] + lamx) computed IN-KERNEL
+              from the 1D eigenvalue rows (grid over y blocks; both big
+              eigen-matmuls + the singular-mode-projected divide fused
+              into ONE read+write)
+  3. bwd y:   out[z] = Fy^-1 @ in[z]
+
+All dots run at bf16x3 for f32 (pallas_kernels._dot_xop — same error class
+as the XLA path's Precision.HIGH) and full precision for f64.  Reference
+counterpart: /root/reference/src/solver.f90:20-233 (transform -> batched
+tridiagonal -> inverse transform); the eigen z-stage replaces the Thomas
+sweep exactly as in poisson._z_eigendecomposition.
+
+Used for the pressure Poisson solve on the single-chip kernel path when the
+momentum/corrector kernels already fuse the x operator matmuls
+(pre_xformed_x/skip_bwd_x), i.e. input and output are x-spectral
+(z, y, kx) real arrays.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_kernels import VMEM_BUDGET, _COMPILER_PARAMS, _dot_xop
+
+
+def y_tiles(nz, ny, nx, itemsize):
+    """z-block height for the y-transform kernels (no halos; in/out blocks
+    are auto-pipelined by Pallas, 2 slots each)."""
+    for tz in (32, 16, 8, 4, 2, 1):
+        if nz % tz:
+            continue
+        # 2x2 pipelined in/out blocks + wide/out concat copies + bf16
+        # hi/lo splits of the wide operand
+        if (8 * tz * ny * nx + 2 * ny * ny) * itemsize \
+                < VMEM_BUDGET - 8 * 1024 * 1024:
+            return tz
+    return None
+
+
+def z_tiles(nz, ny, nx, itemsize):
+    """y-block width for the z-stage kernel."""
+    for ty in (32, 16, 8, 4, 2, 1):
+        if ny % ty:
+            continue
+        if (10 * ty * nz * nx + 2 * nz * nz) * itemsize \
+                < VMEM_BUDGET - 8 * 1024 * 1024:
+            return ty
+    return None
+
+
+def eligible(nz, ny, nx, itemsize):
+    return (nx % 128 == 0 and y_tiles(nz, ny, nx, itemsize) is not None
+            and z_tiles(nz, ny, nx, itemsize) is not None)
+
+
+def apply_y(arr, M, interpret=False):
+    """out[z] = M @ arr[z] for every z plane: the y-direction operator
+    matmul (forward or backward transform) in one read+write pass."""
+    nz, ny, nx = arr.shape
+    assert M.shape == (ny, ny)
+    dt = arr.dtype
+    tz = y_tiles(nz, ny, nx, dt.itemsize)
+    assert tz is not None
+
+    def kernel(m_ref, d_ref, o_ref):
+        # one BIG dot per block: the tz z-planes concatenated along lanes
+        # (free dim tz*nx) keep the MXU pipeline full — per-plane
+        # (ny, ny) x (ny, nx) dots measured ~5x slower (latency-bound)
+        wide = jnp.concatenate([d_ref[z] for z in range(tz)], axis=1)
+        out = _dot_xop(m_ref[...], wide)
+        for z in range(tz):
+            o_ref[z] = out[:, z * nx:(z + 1) * nx]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nz // tz,),
+        in_specs=[pl.BlockSpec((ny, ny), lambda i: (0, 0)),
+                  pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(jnp.asarray(M, dtype=dt), arr)
+
+
+def apply_z_eig(arr, Vl, Vr, lamz, lamy, lamx, tol, interpret=False):
+    """out[:, j, :] = Vr @ (inv_j * (Vl @ arr[:, j, :])) per y row j, with
+    inv_j = where(|lamz + lamy[j] + lamx| > tol, 1/lam3, 0) — the
+    eigendecomposition z solve plus the singular-constant-mode projection
+    of poisson.solve, in one read+write pass."""
+    nz, ny, nx = arr.shape
+    dt = arr.dtype
+    ty = z_tiles(nz, ny, nx, dt.itemsize)
+    assert ty is not None and Vl.shape == (nz, nz)
+    lamz_c = jnp.asarray(lamz, dtype=dt).reshape(nz, 1)
+    lamy_s = jnp.asarray(lamy, dtype=dt)            # (ny,) scalar rows, SMEM
+    lamx_r = jnp.asarray(lamx, dtype=dt).reshape(1, nx)
+    tol = float(tol)
+
+    def kernel(ly_ref, vl_ref, vr_ref, lz_ref, lx_ref, d_ref, o_ref):
+        j = pl.program_id(0)
+        # big-dot formulation (see apply_y): ty y-rows side-by-side along
+        # lanes -> both eigen-matmuls run with free dim ty*nx
+        wide = jnp.concatenate([d_ref[:, t, :] for t in range(ty)], axis=1)
+        lam_w = jnp.concatenate(
+            [lx_ref[...] + ly_ref[j * ty + t] for t in range(ty)], axis=1)
+        hat = _dot_xop(vl_ref[...], wide)
+        lam3 = lz_ref[...] + lam_w                  # (nz, ty*nx)
+        inv = jnp.where(jnp.abs(lam3) > tol, 1.0 / lam3, 0.0)
+        out = _dot_xop(vr_ref[...], hat * inv)
+        for t in range(ty):
+            o_ref[:, t, :] = out[:, t * nx:(t + 1) * nx]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(ny // ty,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((nz, nz), lambda j: (0, 0)),
+                  pl.BlockSpec((nz, nz), lambda j: (0, 0)),
+                  pl.BlockSpec((nz, 1), lambda j: (0, 0)),
+                  pl.BlockSpec((1, nx), lambda j: (0, 0)),
+                  pl.BlockSpec((nz, ty, nx), lambda j: (0, j, 0))],
+        out_specs=pl.BlockSpec((nz, ty, nx), lambda j: (0, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(lamy_s, jnp.asarray(Vl, dtype=dt), jnp.asarray(Vr, dtype=dt),
+      lamz_c, lamx_r, arr)

@@ -165,8 +165,21 @@ def make_solver(cfg: Config, grid: Grid, cbc, c_or_f,
                         zsolver=zsolver)
 
 
+def pallas_eligible(sv: DirectSolver, shape, itemsize) -> bool:
+    """Whether the 3-pass Pallas solve path (ops/pallas_solve.py) can run:
+    x-spectral in/out (the kernel x fusion), all-matmul y transform with no
+    excluded rows, eigen z solve with no excluded plane, single device."""
+    from .ops import pallas_solve as ps
+    nz, ny, nx = shape
+    return (sv.zsolver == 'eig' and sv.qz == 0
+            and sv.trx.kind == 'mat' and sv.trx.nsolve == nx
+            and sv.try_.kind == 'mat' and sv.try_.nsolve == ny
+            and ps.eligible(nz, ny, nx, itemsize))
+
+
 def solve(sv: DirectSolver, p, alpha=None, hints=None,
-          pre_xformed_x=False, skip_bwd_x=False, pre_xformed_xy=False):
+          pre_xformed_x=False, skip_bwd_x=False, pre_xformed_xy=False,
+          pallas=False, pallas_interpret=False):
     """Solve L p_new = p (Poisson) or (I + alpha*L) p_new = p (Helmholtz,
     main.f90:424-443 with alpha = -nu*dt_rk/2) in place of the input RHS.
 
@@ -185,8 +198,22 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None,
     (x AND y)-transformed in the untransposed (z, ky, kx) layout (the
     fillps kernel's accumulated y contraction); the backward y transform
     still runs here.  Requires the all-matmul square-transform path (kind
-    'mat', nsolve == n) with no mesh."""
+    'mat', nsolve == n) with no mesh.
+
+    pallas: run the whole y/z pipeline as 3 Pallas passes
+    (ops/pallas_solve.py) — caller must have checked pallas_eligible()."""
     nz, ny, nx = p.shape
+    if pallas and alpha is None and hints is None and not pre_xformed_xy:
+        assert pre_xformed_x and skip_bwd_x and \
+            pallas_eligible(sv, p.shape, p.dtype.itemsize)
+        from .ops import pallas_solve as ps
+        body = ps.apply_y(p, sv.try_.fwd_mat, interpret=pallas_interpret)
+        scale = float(np.abs(sv.lamz).max() + np.abs(sv.lamx).max()
+                      + np.abs(sv.lamy).max())
+        tol = np.finfo(np.dtype(p.dtype)).eps * scale * 4.0
+        body = ps.apply_z_eig(body, sv.zVl, sv.zVr, sv.lamz, sv.lamy,
+                              sv.lamx, tol, interpret=pallas_interpret)
+        return ps.apply_y(body, sv.try_.bwd_mat, interpret=pallas_interpret)
     sx, sy = sv.trx.nsolve, sv.try_.nsolve
     if pre_xformed_xy:
         pre_xformed_x = True

@@ -282,6 +282,17 @@ class Simulation:
                           and _os.environ.get('CALES_FUSE_YOP', '') == '1')
         if self._fuse_yop:
             self._yopF = self.solver_p.try_.fwd_mat.copy()
+        # Pallas 3-pass solve (ops/pallas_solve.py): the y/z transform +
+        # eigen pipeline as 3 Pallas read+write passes instead of the ~6
+        # XLA passes (the solve is HBM-bound: tools/solve_bench.py).
+        # Needs the x-fused spectral in/out and a single device (the
+        # sharded solve keeps the hints/all-to-all path).
+        self.use_pallas_solve = (
+            self._fuse_xop and not self._fuse_yop
+            and self.mesh is None
+            and poisson.pallas_eligible(
+                self.solver_p, (nz, ny, nx), np.dtype(self.dtype).itemsize)
+            and _os.environ.get('CALES_NO_PALLAS_SOLVE', '') != '1')
         self.use_pallas_dsmag = False
         if (self.use_pallas_mom and cfg.sgstype == 'dsmag'
                 and not self._gx_sharded):
@@ -319,7 +330,9 @@ class Simulation:
                                    ('smag', self._fuse_correc_smag),
                                    ('xop', self._fuse_xop),
                                    ('yop', getattr(self, '_fuse_yop',
-                                                   False))) if on]
+                                                   False)),
+                                   ('psolve', getattr(self, 'use_pallas_solve',
+                                                      False))) if on]
             tag = f", fused: {'+'.join(fus)}" if fus else ''
             return f'{kind} (sgs: {sgs}{tag})'
         why = self._fallback_reason or 'unknown'
@@ -1092,7 +1105,9 @@ class Simulation:
                 pp = (jnp.zeros_like(rhs) if self.ablate_solve else
                       poisson.solve(self.solver_p, rhs, hints=self.hints,
                                     pre_xformed_x=xf, skip_bwd_x=xf,
-                                    pre_xformed_xy=self._fuse_yop))
+                                    pre_xformed_xy=self._fuse_yop,
+                                    pallas=self.use_pallas_solve,
+                                    pallas_interpret=self._pallas_interpret))
             # with the x fusion `pp` is x-spectral; the zedge algebra is
             # value-free (homogeneous BCs, gated) so it commutes with the
             # transform, and host-side plane consumers invert the two rows

@@ -146,3 +146,28 @@ def test_eig_matches_thomas():
             pe = pe - pe.mean()
             pt = pt - pt.mean()
         np.testing.assert_allclose(pe, pt, atol=2e-9)
+
+
+def test_pallas_solve_matches_xla():
+    """The 3-pass Pallas solve (ops/pallas_solve.py: fwd-y / z-eig+divide /
+    bwd-y kernels, interpret mode) must reproduce poisson.solve exactly on
+    the x-spectral in/out contract, for periodic and walled y/z."""
+    from cales_tpu.poisson import pallas_eligible
+    ng = (128, 16, 24)    # (nx, ny, nz)
+    rng = np.random.default_rng(7)
+    rhs = jnp.asarray(rng.standard_normal((ng[2], ng[1], ng[0])))
+    for cbc in (('PP', 'PP', 'NN'), ('PP', 'NN', 'NN'), ('PP', 'DD', 'NN'),
+                ('PP', 'PP', 'PP')):
+        cfg = Config(ng=ng, l=(1.3, 0.9, 2.0), gtype=1,
+                     gr=0.8 if cbc[2] != 'PP' else 0.0,
+                     dtype='float64', ptransform='mat')
+        grid = make_grid(cfg.gtype, ng[2], cfg.gr, cfg.l[2])
+        sv = make_solver(cfg, grid, cbc, ('c', 'c', 'c'))
+        assert pallas_eligible(sv, (ng[2], ng[1], ng[0]), 8), cbc
+        a = np.asarray(solve(sv, rhs, pre_xformed_x=True, skip_bwd_x=True))
+        b = np.asarray(solve(sv, rhs, pre_xformed_x=True, skip_bwd_x=True,
+                             pallas=True, pallas_interpret=True))
+        if 'D' not in ''.join(cbc):
+            a, b = a - a.mean(), b - b.mean()
+        scale = np.abs(a).max()
+        np.testing.assert_allclose(b, a, atol=1e-13 * scale, rtol=0)
