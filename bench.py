@@ -36,6 +36,26 @@ BASELINE_NS_PER_CELL_SUBSTEP = 0.25
 NG = (512, 256, 256)
 NSTEPS = 10
 
+# Per-config A100 estimates from the same bandwidth model as the 0.25
+# headline constant (~45 full-field HBM passes per substep at ~1.55 TB/s
+# effective, BASELINE.md), adjusted by what each reference config adds or
+# removes relative to the smag-channel case:
+#  - triperiodic DNS: no SGS (no visct field, no eddy-stress reads in
+#    mom.f90) — about 6 passes fewer -> ~0.22
+#  - impdiff_1d channel DNS: no SGS (-6) but 3 wall-normal batched-Thomas
+#    Helmholtz solves (~4 passes each, solver_gpu.f90:92-130) -> ~0.28
+#  - dsmag duct/cavity: the reference's own "~2x the per-step cost" quote
+#    for the dynamic model (sgs.f90:25) -> 0.50
+#  - WMLES: wall-model overhead "negligible" (bound.f90:117-118) -> 0.25
+_CONFIG_BASELINES = {
+    'triperiodic_dns': 0.22,
+    'channel_dns_impdiff': 0.28,
+    'channel_les_smag': BASELINE_NS_PER_CELL_SUBSTEP,
+    'duct_les_dsmag': 0.50,
+    'cavity_les_dsmag': 0.50,
+    'wmles_channel': BASELINE_NS_PER_CELL_SUBSTEP,
+}
+
 # the five BASELINE.json configs (--matrix mode); shapes are the largest
 # single-chip-friendly analogues of each class (z = wall-normal)
 _CHAN_BCS = dict(
@@ -63,8 +83,13 @@ def _matrix_configs(ng):
             inivel='tgv', sgstype='none', dtype='float32', ptransform='mat',
             cbcvel=((('P',) * 3,) * 3,) * 2,
             cbcpre=(('P',) * 3,) * 2, cbcsgs=(('P',) * 3,) * 2),
+        # BASELINE.json #2 is "wall-normal tridiag Helmholtz + implicit CN
+        # viscous" == the reference's -D_IMPDIFF_1D build (z-only implicit
+        # diffusion, configs/flags.mk.example:97-98), the canonical choice
+        # for wall-resolved channels with z-stretching
         'channel_dns_impdiff': dict(
-            **chan, visci=5640.0, sgstype='none', impdiff=True, **_CHAN_BCS),
+            **chan, visci=5640.0, sgstype='none', impdiff=True,
+            impdiff_1d=True, **_CHAN_BCS),
         'channel_les_smag': dict(
             **chan, visci=20_000.0, sgstype='smag', **_CHAN_BCS),
         'duct_les_dsmag': dict(
@@ -187,8 +212,9 @@ def main(argv=None):
             results[name] = {
                 'ns_per_cell_substep': round(ns_full, 4),
                 'poisson_fraction': round(frac, 3),
-                'vs_baseline': round(BASELINE_NS_PER_CELL_SUBSTEP / ns_full,
-                                     3),
+                'vs_baseline': round(
+                    _CONFIG_BASELINES[name] / ns_full, 3),
+                'baseline_ns': _CONFIG_BASELINES[name],
                 'exec_path': path,
             }
             print(f'# {name}: {ns_full:.4f} ns/cell/substep, '

@@ -67,10 +67,20 @@ def eligible(nz, ny, nx, itemsize):
             and z_tiles(nz, ny, nx, itemsize) is not None)
 
 
-def apply_y(arr, M, interpret=False):
+def apply_y(arr, M, out_T=False, in_T=False, interpret=False):
     """out[z] = M @ arr[z] for every z plane: the y-direction operator
-    matmul (forward or backward transform) in one read+write pass."""
-    nz, ny, nx = arr.shape
+    matmul (forward or backward transform) in one read+write pass.
+
+    out_T: write the result in (ny, nz, nx) layout (strided sublane
+    writes); in_T: the input arrives in that layout (strided reads).  One
+    transposed side per y kernel lets the middle z-eig pass read/write
+    fully aligned (nz, nx) slabs — measured 2.25 -> 2.09 ms for the full
+    3-pass solve at 512x256x256 f32 (tools/solve_probe2.py)."""
+    assert not (out_T and in_T)
+    if in_T:
+        ny, nz, nx = arr.shape
+    else:
+        nz, ny, nx = arr.shape
     assert M.shape == (ny, ny)
     dt = arr.dtype
     tz = y_tiles(nz, ny, nx, dt.itemsize)
@@ -80,29 +90,47 @@ def apply_y(arr, M, interpret=False):
         # one BIG dot per block: the tz z-planes concatenated along lanes
         # (free dim tz*nx) keep the MXU pipeline full — per-plane
         # (ny, ny) x (ny, nx) dots measured ~5x slower (latency-bound)
-        wide = jnp.concatenate([d_ref[z] for z in range(tz)], axis=1)
+        if in_T:
+            wide = jnp.concatenate([d_ref[:, z, :] for z in range(tz)],
+                                   axis=1)
+        else:
+            wide = jnp.concatenate([d_ref[z] for z in range(tz)], axis=1)
         out = _dot_xop(m_ref[...], wide)
         for z in range(tz):
-            o_ref[z] = out[:, z * nx:(z + 1) * nx]
+            if out_T:
+                o_ref[:, z, :] = out[:, z * nx:(z + 1) * nx]
+            else:
+                o_ref[z] = out[:, z * nx:(z + 1) * nx]
 
+    z_blk = pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0))
+    t_blk = pl.BlockSpec((ny, tz, nx), lambda i: (0, i, 0))
     return pl.pallas_call(
         kernel,
         grid=(nz // tz,),
         in_specs=[pl.BlockSpec((ny, ny), lambda i: (0, 0)),
-                  pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
+                  t_blk if in_T else z_blk],
+        out_specs=t_blk if out_T else z_blk,
+        out_shape=jax.ShapeDtypeStruct(
+            (ny, nz, nx) if out_T else (nz, ny, nx), dt),
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(jnp.asarray(M, dtype=dt), arr)
 
 
-def apply_z_eig(arr, Vl, Vr, lamz, lamy, lamx, tol, interpret=False):
+def apply_z_eig(arr, Vl, Vr, lamz, lamy, lamx, tol, layout_T=False,
+                interpret=False):
     """out[:, j, :] = Vr @ (inv_j * (Vl @ arr[:, j, :])) per y row j, with
     inv_j = where(|lamz + lamy[j] + lamx| > tol, 1/lam3, 0) — the
     eigendecomposition z solve plus the singular-constant-mode projection
-    of poisson.solve, in one read+write pass."""
-    nz, ny, nx = arr.shape
+    of poisson.solve, in one read+write pass.
+
+    layout_T: arr (and the output) are in (ny, nz, nx) layout, so every
+    block read/write is a fully aligned contiguous (ty, nz, nx) slab
+    instead of nz strided sublane accesses (tools/solve_probe2.py)."""
+    if layout_T:
+        ny, nz, nx = arr.shape
+    else:
+        nz, ny, nx = arr.shape
     dt = arr.dtype
     ty = z_tiles(nz, ny, nx, dt.itemsize)
     assert ty is not None and Vl.shape == (nz, nz)
@@ -115,7 +143,11 @@ def apply_z_eig(arr, Vl, Vr, lamz, lamy, lamx, tol, interpret=False):
         j = pl.program_id(0)
         # big-dot formulation (see apply_y): ty y-rows side-by-side along
         # lanes -> both eigen-matmuls run with free dim ty*nx
-        wide = jnp.concatenate([d_ref[:, t, :] for t in range(ty)], axis=1)
+        if layout_T:
+            wide = jnp.concatenate([d_ref[t] for t in range(ty)], axis=1)
+        else:
+            wide = jnp.concatenate([d_ref[:, t, :] for t in range(ty)],
+                                   axis=1)
         lam_w = jnp.concatenate(
             [lx_ref[...] + ly_ref[j * ty + t] for t in range(ty)], axis=1)
         hat = _dot_xop(vl_ref[...], wide)
@@ -123,8 +155,17 @@ def apply_z_eig(arr, Vl, Vr, lamz, lamy, lamx, tol, interpret=False):
         inv = jnp.where(jnp.abs(lam3) > tol, 1.0 / lam3, 0.0)
         out = _dot_xop(vr_ref[...], hat * inv)
         for t in range(ty):
-            o_ref[:, t, :] = out[:, t * nx:(t + 1) * nx]
+            if layout_T:
+                o_ref[t] = out[:, t * nx:(t + 1) * nx]
+            else:
+                o_ref[:, t, :] = out[:, t * nx:(t + 1) * nx]
 
+    if layout_T:
+        blk = pl.BlockSpec((ty, nz, nx), lambda j: (j, 0, 0))
+        shape = (ny, nz, nx)
+    else:
+        blk = pl.BlockSpec((nz, ty, nx), lambda j: (0, j, 0))
+        shape = (nz, ny, nx)
     return pl.pallas_call(
         kernel,
         grid=(ny // ty,),
@@ -133,9 +174,9 @@ def apply_z_eig(arr, Vl, Vr, lamz, lamy, lamx, tol, interpret=False):
                   pl.BlockSpec((nz, nz), lambda j: (0, 0)),
                   pl.BlockSpec((nz, 1), lambda j: (0, 0)),
                   pl.BlockSpec((1, nx), lambda j: (0, 0)),
-                  pl.BlockSpec((nz, ty, nx), lambda j: (0, j, 0))],
-        out_specs=pl.BlockSpec((nz, ty, nx), lambda j: (0, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
+                  blk],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct(shape, dt),
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(lamy_s, jnp.asarray(Vl, dtype=dt), jnp.asarray(Vr, dtype=dt),

@@ -48,15 +48,16 @@ def reduce_in(tz):
         @pl.when(pl.program_id(0) == 0)
         def _():
             o_ref[...] = jnp.zeros_like(o_ref)
-        o_ref[...] += jnp.sum(d_ref[...], axis=(0, 1)).reshape(2, 128)
+        s = jnp.sum(d_ref[...], axis=(0, 1)).reshape(1, NX)
+        o_ref[...] += jnp.broadcast_to(s, (8, NX))
 
     def red(arr):
         return pl.pallas_call(
             kernel,
             grid=(NZ // tz,),
             in_specs=[pl.BlockSpec((tz, NY, NX), lambda i: (i, 0, 0))],
-            out_specs=pl.BlockSpec((2, 128), lambda i: (0, 0)),
-            out_shape=jax.ShapeDtypeStruct((2, 128), jnp.float32),
+            out_specs=pl.BlockSpec((8, NX), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((8, NX), jnp.float32),
             compiler_params=_CP,
         )(arr)
     return lambda q: q * (1.0 + 1e-30 * jnp.sum(red(q)))
