@@ -67,7 +67,7 @@ def eligible(nz, ny, nx, itemsize):
             and z_tiles(nz, ny, nx, itemsize) is not None)
 
 
-def apply_y(arr, M, out_T=False, in_T=False, interpret=False):
+def apply_y(arr, M, out_T=False, in_T=False, alias=False, interpret=False):
     """out[z] = M @ arr[z] for every z plane: the y-direction operator
     matmul (forward or backward transform) in one read+write pass.
 
@@ -104,6 +104,11 @@ def apply_y(arr, M, out_T=False, in_T=False, interpret=False):
 
     z_blk = pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0))
     t_blk = pl.BlockSpec((ny, tz, nx), lambda i: (0, i, 0))
+    # in-place aliasing (same-layout passes only) doubles the streaming
+    # bandwidth: an unaliased Pallas r+w pass caps at ~330 GB/s vs ~630
+    # aliased (tools/solve_probe6.py) — the non-aliased in+out DMA pair is
+    # the bottleneck, not slots or operand count (tools/solve_probe5.py)
+    assert not (alias and (out_T or in_T))
     return pl.pallas_call(
         kernel,
         grid=(nz // tz,),
@@ -112,6 +117,7 @@ def apply_y(arr, M, out_T=False, in_T=False, interpret=False):
         out_specs=t_blk if out_T else z_blk,
         out_shape=jax.ShapeDtypeStruct(
             (ny, nz, nx) if out_T else (nz, ny, nx), dt),
+        input_output_aliases={1: 0} if alias else {},
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(jnp.asarray(M, dtype=dt), arr)
@@ -181,3 +187,102 @@ def apply_z_eig(arr, Vl, Vr, lamz, lamy, lamx, tol, layout_T=False,
         interpret=interpret,
     )(lamy_s, jnp.asarray(Vl, dtype=dt), jnp.asarray(Vr, dtype=dt),
       lamz_c, lamx_r, arr)
+
+
+def thomas_z_tiles(nz, ny, nx, itemsize):
+    """y-block width for the in-kernel Thomas z-stage (V1 layout): 2x2
+    pipelined in/out blocks + the (nz, ty, nx) factor scratch."""
+    for ty in (16, 8):
+        if ny % ty:
+            continue
+        if 5 * ty * nz * nx * itemsize < VMEM_BUDGET - 8 * 1024 * 1024:
+            return ty
+    return None
+
+
+def apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
+                   interpret=False):
+    """In-place tridiag(a, b + lamy[j] + lamx, c) solve along z — the
+    direct O(nz) replacement for the z-eig stage's two (nz, nz) bf16x3
+    matmuls, for non-periodic z.
+
+    Same sweep structure as ops/tridiag.thomas (the reference
+    dgtsv_homebrewed, solver.f90:153-179): the forward sweep writes the
+    intermediate solution into the (aliased) output block and the c*zfac
+    factors into VMEM scratch; the backward sweep rewrites the output in
+    place.  Runs in the native (nz, ny, nx) layout, where z is the
+    UNTILED leading block dim: each sweep step indexes a cheap (ty, nx)
+    slab and the whole pass streams at the aliased full rate.
+
+    pin_singular (z all-Neumann): lanes with |lamy+lamx| <= tol carry the
+    exactly singular constant mode.  Instead of the reference's
+    eps-regularized pivot (which amplifies any RHS inconsistency by
+    1/pivot), those lanes get their FIRST pivot reciprocal zeroed — i.e.
+    p[0] is pinned to 0 and row 0 dropped, which leaves a well-conditioned
+    reduced system and fixes the pressure gauge, matching the eig path's
+    tol-projection semantics up to a constant.
+    """
+    nz, ny, nx = arr.shape
+    dt = arr.dtype
+    ty = thomas_z_tiles(nz, ny, nx, dt.itemsize)
+    assert ty is not None
+    a_s = jnp.asarray(a, dtype=dt)
+    b_s = jnp.asarray(b, dtype=dt)
+    c_s = jnp.asarray(c, dtype=dt)
+    lamy_s = jnp.asarray(lamy, dtype=dt)
+    lamx_r = jnp.asarray(lamx, dtype=dt).reshape(1, nx)
+    pin = bool(pin_singular)
+    tol = float(tol)
+
+    def kernel(a_ref, b_ref, c_ref, ly_ref, lx_ref, d_ref, o_ref, w_ref):
+        j = pl.program_id(0)
+        # (ty, nx) diagonal-shift tile: lamx row + per-row lamy scalars
+        rows = [lx_ref[...] + ly_ref[j * ty + t] for t in range(ty)]
+        lam = jnp.concatenate(rows, axis=0)
+
+        # peeled z=0 step: pin the singular lanes' gauge here
+        zfac0 = 1.0 / (b_ref[0] + lam)
+        if pin:
+            zfac0 = jnp.where(jnp.abs(lam) <= tol, 0.0, zfac0)
+        d_0 = c_ref[0] * zfac0
+        w_ref[0] = d_0
+        p_0 = d_ref[0] * zfac0
+        o_ref[0] = p_0
+
+        def fwd(z, carry):
+            d_prev, p_prev = carry
+            az, bz, cz = a_ref[z], b_ref[z], c_ref[z]
+            zfac = 1.0 / (bz + lam - az * d_prev)
+            d_k = cz * zfac
+            p_k = (d_ref[z] - az * p_prev) * zfac
+            w_ref[z] = d_k
+            o_ref[z] = p_k
+            return d_k, p_k
+
+        jax.lax.fori_loop(1, nz, fwd, (d_0, p_0))
+
+        def bwd(i, p_next):
+            z = nz - 2 - i
+            p_new = o_ref[z] - w_ref[z] * p_next
+            o_ref[z] = p_new
+            return p_new
+
+        jax.lax.fori_loop(0, nz - 1, bwd, o_ref[nz - 1])
+
+    blk = pl.BlockSpec((nz, ty, nx), lambda j: (0, j, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(ny // ty,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, nx), lambda j: (0, 0)),
+                  blk],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
+        scratch_shapes=[pltpu.VMEM((nz, ty, nx), dt)],
+        input_output_aliases={5: 0},
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(a_s, b_s, c_s, lamy_s, lamx_r, arr)

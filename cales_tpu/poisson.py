@@ -206,7 +206,25 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None,
     if pallas and alpha is None and hints is None and not pre_xformed_xy:
         assert pre_xformed_x and skip_bwd_x and \
             pallas_eligible(sv, p.shape, p.dtype.itemsize)
+        import os as _os
         from .ops import pallas_solve as ps
+        if (sv.bcz != 'PP'
+                and _os.environ.get('CALES_PSOLVE_THOMAS', '') == '1'
+                and ps.thomas_z_tiles(nz, ny, nx, p.dtype.itemsize)):
+            # OPT-IN aliased V1 pipeline: all three passes share the
+            # native (nz, ny, nx) layout so each runs in place
+            # (input_output_aliases -> ~2x streaming bandwidth,
+            # tools/solve_probe6.py) and the z stage is an O(nz) in-VMEM
+            # Thomas sweep instead of two (nz, nz) bf16x3 matmuls
+            body = ps.apply_y(p, sv.try_.fwd_mat, alias=True,
+                              interpret=pallas_interpret)
+            lam_scale = float(np.abs(sv.lamx).max() + np.abs(sv.lamy).max())
+            tol = np.finfo(np.dtype(p.dtype)).eps * lam_scale * 4.0
+            body = ps.apply_thomas_z(body, sv.a, sv.b, sv.c, sv.lamy,
+                                     sv.lamx, pin_singular=sv.bcz == 'NN',
+                                     tol=tol, interpret=pallas_interpret)
+            return ps.apply_y(body, sv.try_.bwd_mat, alias=True,
+                              interpret=pallas_interpret)
         # V2 layouts: the intermediate lives in (ky, nz, nx) so the z-eig
         # pass reads/writes aligned slabs; each y kernel takes the strided
         # side once (2.25 -> 2.09 ms at 512x256x256, tools/solve_probe2.py)

@@ -171,3 +171,46 @@ def test_pallas_solve_matches_xla():
             a, b = a - a.mean(), b - b.mean()
         scale = np.abs(a).max()
         np.testing.assert_allclose(b, a, atol=1e-13 * scale, rtol=0)
+
+
+def test_pallas_solve_thomas_matches_xla(monkeypatch):
+    """The opt-in aliased V1 pipeline (CALES_PSOLVE_THOMAS=1: in-place y
+    passes + in-kernel eps-regularized Thomas z sweep) must agree with the
+    eig-based poisson.solve up to the pressure gauge — the eig path
+    PROJECTS the singular constant mode out while Thomas regularizes the
+    pivots (the reference dgtsv_homebrewed, solver.f90:153-179), so the
+    comparison is mean-subtracted."""
+    monkeypatch.setenv('CALES_PSOLVE_THOMAS', '1')
+    from cales_tpu.poisson import pallas_eligible
+    ng = (128, 16, 24)    # (nx, ny, nz)
+    rng = np.random.default_rng(11)
+    rhs0 = rng.standard_normal((ng[2], ng[1], ng[0]))
+    for cbc in (('PP', 'PP', 'NN'), ('PP', 'NN', 'NN'), ('PP', 'DD', 'ND')):
+        cfg = Config(ng=ng, l=(1.3, 0.9, 2.0), gtype=1, gr=0.8,
+                     dtype='float64', ptransform='mat')
+        grid = make_grid(cfg.gtype, ng[2], cfg.gr, cfg.l[2])
+        sv = make_solver(cfg, grid, cbc, ('c', 'c', 'c'))
+        assert pallas_eligible(sv, (ng[2], ng[1], ng[0]), 8), cbc
+        if 'D' not in ''.join(cbc):
+            # compatible RHS: pinning and eig-projection agree (up to the
+            # gauge) only for a consistent singular system.  The input is
+            # x-SPECTRAL, so zero the (z, y) dzf-weighted mean per column
+            # (the singular lane is (ky=0, kx=0) inside its own column)
+            w = grid.dzf[1:ng[2] + 1][:, None, None]
+            wm = (rhs0 * w).sum(axis=(0, 1), keepdims=True) \
+                / (w.sum() * ng[1])
+            rhs = jnp.asarray(rhs0 - wm)
+        else:
+            rhs = jnp.asarray(rhs0)
+        a = np.asarray(solve(sv, rhs, pre_xformed_x=True, skip_bwd_x=True))
+        b = np.asarray(solve(sv, rhs, pre_xformed_x=True, skip_bwd_x=True,
+                             pallas=True, pallas_interpret=True))
+        if 'D' not in ''.join(cbc):
+            # the outputs are x-SPECTRAL: a physical-space gauge constant
+            # (projection vs pinning) lives in the kx=0 column only, so
+            # remove the per-column (z, y) mean rather than the array mean
+            a = a - a.mean(axis=(0, 1), keepdims=True)
+            b = b - b.mean(axis=(0, 1), keepdims=True)
+        scale = np.abs(a).max()
+        np.testing.assert_allclose(b, a, atol=1e-11 * scale, rtol=0,
+                                   err_msg=str(cbc))
