@@ -209,13 +209,15 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None,
         import os as _os
         from .ops import pallas_solve as ps
         if (sv.bcz != 'PP'
-                and _os.environ.get('CALES_PSOLVE_THOMAS', '') == '1'
+                and _os.environ.get('CALES_NO_PSOLVE_THOMAS', '') != '1'
                 and ps.thomas_z_tiles(nz, ny, nx, p.dtype.itemsize)):
-            # OPT-IN aliased V1 pipeline: all three passes share the
-            # native (nz, ny, nx) layout so each runs in place
-            # (input_output_aliases -> ~2x streaming bandwidth,
+            # DEFAULT for non-periodic z: aliased V1 pipeline — all three
+            # passes share the native (nz, ny, nx) layout so each runs in
+            # place (input_output_aliases -> ~2x streaming bandwidth,
             # tools/solve_probe6.py) and the z stage is an O(nz) in-VMEM
             # Thomas sweep instead of two (nz, nz) bf16x3 matmuls
+            # (measured 2.09 -> 1.31 ms/solve at 512x256x256 f32,
+            # tools/solve_probe7.py)
             body = ps.apply_y(p, sv.try_.fwd_mat, alias=True,
                               interpret=pallas_interpret)
             lam_scale = float(np.abs(sv.lamx).max() + np.abs(sv.lamy).max())

@@ -148,10 +148,11 @@ def test_eig_matches_thomas():
         np.testing.assert_allclose(pe, pt, atol=2e-9)
 
 
-def test_pallas_solve_matches_xla():
+def test_pallas_solve_matches_xla(monkeypatch):
     """The 3-pass Pallas solve (ops/pallas_solve.py: fwd-y / z-eig+divide /
     bwd-y kernels, interpret mode) must reproduce poisson.solve exactly on
     the x-spectral in/out contract, for periodic and walled y/z."""
+    monkeypatch.setenv('CALES_NO_PSOLVE_THOMAS', '1')   # pin the eig variant
     from cales_tpu.poisson import pallas_eligible
     ng = (128, 16, 24)    # (nx, ny, nz)
     rng = np.random.default_rng(7)
@@ -174,13 +175,13 @@ def test_pallas_solve_matches_xla():
 
 
 def test_pallas_solve_thomas_matches_xla(monkeypatch):
-    """The opt-in aliased V1 pipeline (CALES_PSOLVE_THOMAS=1: in-place y
+    """The opt-in aliased V1 pipeline (default for non-periodic z: in-place y
     passes + in-kernel eps-regularized Thomas z sweep) must agree with the
     eig-based poisson.solve up to the pressure gauge — the eig path
     PROJECTS the singular constant mode out while Thomas regularizes the
     pivots (the reference dgtsv_homebrewed, solver.f90:153-179), so the
     comparison is mean-subtracted."""
-    monkeypatch.setenv('CALES_PSOLVE_THOMAS', '1')
+    monkeypatch.delenv('CALES_NO_PSOLVE_THOMAS', raising=False)
     from cales_tpu.poisson import pallas_eligible
     ng = (128, 16, 24)    # (nx, ny, nz)
     rng = np.random.default_rng(11)
