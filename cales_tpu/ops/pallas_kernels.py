@@ -55,6 +55,13 @@ VMEM_BUDGET = 100 * 1024 * 1024
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET)
 
 
+def _no_alias_io():
+    """Kill-switch for the in-place (input_output_aliases) kernel streams —
+    A/B measurement and debugging."""
+    import os
+    return os.environ.get('CALES_NO_ALIAS_IO', '') == '1'
+
+
 def _roll_xp(p):
     """value at i+1 (periodic x): roll lanes left by 1."""
     return pltpu.roll(p, p.shape[-1] - 1, len(p.shape) - 1)
@@ -773,6 +780,16 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
         if flag:
             out_specs.append(sum_spec)
             out_shape.append(jax.ShapeDtypeStruct((nz, gj * 8, 128), dt))
+    # in-place rhs carry: ruo/rvo/rwo are read pointwise through the SAME
+    # output-aligned int_spec blocks as the ru/rv/rw outputs (no stencil,
+    # no inter-block overlap), and are dead after the call — aliasing the
+    # pairs removes the unaliased in+out DMA-stream conflict that caps
+    # Pallas streaming at ~half bandwidth (tools/solve_probe6.py).  Not
+    # with fuse_fillps (rvo is also passed as a second, ANY-space operand).
+    aliases = {}
+    if has_ruo and not fuse_fillps and not _no_alias_io():
+        ridx = 3 + 2 * nf + 2 * (has_xe + has_ye + has_ystrips)
+        aliases = {ridx: 3, ridx + 1: 4, ridx + 2: 5}
     outs = pl.pallas_call(
         kern,
         grid=grid,
@@ -784,6 +801,7 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                  + [mat_spec] * has_xop,
         out_specs=out_specs,
         out_shape=out_shape,
+        input_output_aliases=aliases,
         scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
                         for _ in range(nf)]
                        + ([pltpu.VMEM((2, tz + 2, ty + 16, 128), dt)]
@@ -1222,7 +1240,7 @@ def fused_correc_updatep_smag(u, v, w, pp, p, ue, ve, we, ppe, dtrk,
                               dxi, dyi, dzci, dzfi, visc, cs_delta2_1d,
                               zrec, dw_1d=None, nearlo_1d=None,
                               tauw_lo=None, tauw_hi=None, interpret=False,
-                              fu=0.0, fv=0.0, xopi=None):
+                              fu=0.0, fv=0.0, xopi=None, alias_p=False):
     """Projection + pressure update + static Smagorinsky in one HBM pass
     (explicit-diffusion channel class): reads the prediction-velocity and
     solver-output windows ONCE and emits (u, v, w, p, nu_t) — removes the
@@ -1275,6 +1293,12 @@ def fused_correc_updatep_smag(u, v, w, pp, p, ue, ve, we, ppe, dtrk,
                  + [plane_spec] * 2 + [int_spec],
         out_specs=[int_spec] * 5,
         out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 5,
+        # p is the only output-aligned pointwise input here (u/v/w come in
+        # as stencil windows); alias it when the caller's donor is an
+        # intermediate — see fused_mom_rk's alias note
+        input_output_aliases=(
+            {6 + 8 + has_xopi + 2: 3}
+            if alias_p and not _no_alias_io() else {}),
         scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
                         for _ in range(4)]
                        + ([pltpu.VMEM((tz + 2, ty + 16, nx), dt)]
@@ -1378,7 +1402,7 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
                          alpha=0.0, impdiff=False, impdiff_1d=False,
                          dzfi=None, xe=None, xze=None, ye=None, yze=None,
                          ywalls=(False, False), fu=0.0, fv=0.0,
-                         ystrips=None):
+                         ystrips=None, alias_p=False):
     """Velocity correction + pressure update in one pass (correc.f90:14-68,
     updatep.f90:14-24 explicit-diffusion branch).
 
@@ -1419,6 +1443,16 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
                           impdiff_1d=impdiff_1d, has_xe=has_xe,
                           ywalls=ywalls if has_ye else (False, False),
                           has_ystrips=has_ystrips)
+    # in-place correction: the u/v prediction inputs (and p with alias_p,
+    # substeps where the donor is an intermediate) are read pointwise
+    # through the same output-aligned int_spec blocks as the u/v/p outputs
+    # and are dead after the call — see fused_mom_rk's alias note
+    aliases = {}
+    if not _no_alias_io():
+        uidx = 3 + 4 + 2 * (has_xe + has_ye + has_ystrips)
+        aliases = {uidx: 0, uidx + 1: 1}
+        if alias_p:
+            aliases[uidx + 2] = 3
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -1428,6 +1462,7 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
                  + [int_spec] * 3,
         out_specs=[int_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 4,
+        input_output_aliases=aliases,
         scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
                         for _ in range(2)]
                        + ([pltpu.VMEM((2, tz + 2, ty + 16, 128), dt)]

@@ -67,15 +67,23 @@ def eligible(nz, ny, nx, itemsize):
             and z_tiles(nz, ny, nx, itemsize) is not None)
 
 
-def apply_y(arr, M, out_T=False, in_T=False, alias=False, interpret=False):
-    """out[z] = M @ arr[z] for every z plane: the y-direction operator
-    matmul (forward or backward transform) in one read+write pass.
+def apply_y(arr, M, out_T=False, in_T=False, alias=False, MxT=None,
+            interpret=False):
+    """out[z] = M @ arr[z] (@ MxT) for every z plane: the y-direction
+    operator matmul — optionally fused with the x-direction transform —
+    in one read+write pass.
+
+    MxT: (nx, nx) TRANSPOSED x operator; the kernel right-dots the whole
+    (tz*ny, nx) block flat through the MXU first (one big dot, free dim
+    tz*ny), so configs without the kernel-side x fusion still get the full
+    x+y transform at ONE pass of HBM traffic.
 
     out_T: write the result in (ny, nz, nx) layout (strided sublane
     writes); in_T: the input arrives in that layout (strided reads).  One
     transposed side per y kernel lets the middle z-eig pass read/write
     fully aligned (nz, nx) slabs — measured 2.25 -> 2.09 ms for the full
-    3-pass solve at 512x256x256 f32 (tools/solve_probe2.py)."""
+    3-pass solve at 512x256x256 f32 (tools/solve_probe2.py); superseded by
+    the aliased same-layout pipeline (tools/solve_probe7.py)."""
     assert not (out_T and in_T)
     if in_T:
         ny, nz, nx = arr.shape
@@ -85,15 +93,26 @@ def apply_y(arr, M, out_T=False, in_T=False, alias=False, interpret=False):
     dt = arr.dtype
     tz = y_tiles(nz, ny, nx, dt.itemsize)
     assert tz is not None
+    has_x = MxT is not None
+    assert not (has_x and (out_T or in_T))
 
-    def kernel(m_ref, d_ref, o_ref):
-        # one BIG dot per block: the tz z-planes concatenated along lanes
-        # (free dim tz*nx) keep the MXU pipeline full — per-plane
-        # (ny, ny) x (ny, nx) dots measured ~5x slower (latency-bound)
-        if in_T:
+    def kernel(m_ref, *refs):
+        if has_x:
+            xm_ref, d_ref, o_ref = refs
+        else:
+            d_ref, o_ref = refs
+        if has_x:
+            # fused x transform: one flat (tz*ny, nx) @ (nx, nx) dot
+            flat = d_ref[...].reshape(tz * ny, nx)
+            planes = _dot_xop(flat, xm_ref[...]).reshape(tz, ny, nx)
+            wide = jnp.concatenate([planes[z] for z in range(tz)], axis=1)
+        elif in_T:
             wide = jnp.concatenate([d_ref[:, z, :] for z in range(tz)],
                                    axis=1)
         else:
+            # one BIG dot per block: the tz z-planes concatenated along
+            # lanes (free dim tz*nx) keep the MXU pipeline full —
+            # per-plane (ny, ny) x (ny, nx) dots measured ~5x slower
             wide = jnp.concatenate([d_ref[z] for z in range(tz)], axis=1)
         out = _dot_xop(m_ref[...], wide)
         for z in range(tz):
@@ -109,22 +128,24 @@ def apply_y(arr, M, out_T=False, in_T=False, alias=False, interpret=False):
     # aliased (tools/solve_probe6.py) — the non-aliased in+out DMA pair is
     # the bottleneck, not slots or operand count (tools/solve_probe5.py)
     assert not (alias and (out_T or in_T))
+    xargs = ((jnp.asarray(MxT, dtype=dt),) if has_x else ())
+    xspecs = ([pl.BlockSpec((nx, nx), lambda i: (0, 0))] if has_x else [])
     return pl.pallas_call(
         kernel,
         grid=(nz // tz,),
-        in_specs=[pl.BlockSpec((ny, ny), lambda i: (0, 0)),
-                  t_blk if in_T else z_blk],
+        in_specs=[pl.BlockSpec((ny, ny), lambda i: (0, 0))] + xspecs
+                 + [t_blk if in_T else z_blk],
         out_specs=t_blk if out_T else z_blk,
         out_shape=jax.ShapeDtypeStruct(
             (ny, nz, nx) if out_T else (nz, ny, nx), dt),
-        input_output_aliases={1: 0} if alias else {},
+        input_output_aliases={1 + has_x: 0} if alias else {},
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(jnp.asarray(M, dtype=dt), arr)
+    )(jnp.asarray(M, dtype=dt), *xargs, arr)
 
 
 def apply_z_eig(arr, Vl, Vr, lamz, lamy, lamx, tol, layout_T=False,
-                interpret=False):
+                alias=False, interpret=False):
     """out[:, j, :] = Vr @ (inv_j * (Vl @ arr[:, j, :])) per y row j, with
     inv_j = where(|lamz + lamy[j] + lamx| > tol, 1/lam3, 0) — the
     eigendecomposition z solve plus the singular-constant-mode projection
@@ -183,6 +204,7 @@ def apply_z_eig(arr, Vl, Vr, lamz, lamy, lamx, tol, layout_T=False,
                   blk],
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct(shape, dt),
+        input_output_aliases={5: 0} if alias else {},
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(lamy_s, jnp.asarray(Vl, dtype=dt), jnp.asarray(Vr, dtype=dt),
@@ -202,6 +224,23 @@ def thomas_z_tiles(nz, ny, nx, itemsize):
 
 def apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
                    interpret=False):
+    """See _apply_thomas_z; lamy/lamx variant (the Poisson z stage)."""
+    return _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
+                           interpret)
+
+
+def apply_thomas_helmholtz_z(arr, a, b, c, interpret=False):
+    """In-place tridiag(a, b, c) solve along z with NO diagonal shift —
+    the z-only Crank–Nicolson Helmholtz solve (I + alpha*Lz) of the
+    _IMPDIFF_1D path (solver_gaussel_z, solver.f90:182-233), with the
+    caller passing the pre-scaled (a*alpha, b*alpha+1, c*alpha) rows.
+    One aliased read+write pass per velocity component instead of the two
+    (nz, nz) eigen matmul passes of solve_z_only's eig branch."""
+    return _apply_thomas_z(arr, a, b, c, None, None, False, 0.0, interpret)
+
+
+def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
+                    interpret=False):
     """In-place tridiag(a, b + lamy[j] + lamx, c) solve along z — the
     direct O(nz) replacement for the z-eig stage's two (nz, nz) bf16x3
     matmuls, for non-periodic z.
@@ -229,16 +268,27 @@ def apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
     a_s = jnp.asarray(a, dtype=dt)
     b_s = jnp.asarray(b, dtype=dt)
     c_s = jnp.asarray(c, dtype=dt)
-    lamy_s = jnp.asarray(lamy, dtype=dt)
-    lamx_r = jnp.asarray(lamx, dtype=dt).reshape(1, nx)
+    has_lam = lamy is not None
+    if has_lam:
+        lam_args = (jnp.asarray(lamy, dtype=dt),
+                    jnp.asarray(lamx, dtype=dt).reshape(1, nx))
+        lam_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                     pl.BlockSpec((1, nx), lambda j: (0, 0))]
+    else:
+        lam_args, lam_specs = (), []
     pin = bool(pin_singular)
     tol = float(tol)
 
-    def kernel(a_ref, b_ref, c_ref, ly_ref, lx_ref, d_ref, o_ref, w_ref):
-        j = pl.program_id(0)
-        # (ty, nx) diagonal-shift tile: lamx row + per-row lamy scalars
-        rows = [lx_ref[...] + ly_ref[j * ty + t] for t in range(ty)]
-        lam = jnp.concatenate(rows, axis=0)
+    def kernel(a_ref, b_ref, c_ref, *refs):
+        if has_lam:
+            ly_ref, lx_ref, d_ref, o_ref, w_ref = refs
+            j = pl.program_id(0)
+            # (ty, nx) diagonal-shift tile: lamx row + per-row lamy scalars
+            rows = [lx_ref[...] + ly_ref[j * ty + t] for t in range(ty)]
+            lam = jnp.concatenate(rows, axis=0)
+        else:
+            d_ref, o_ref, w_ref = refs
+            lam = jnp.zeros((ty, nx), dt)
 
         # peeled z=0 step: pin the singular lanes' gauge here
         zfac0 = 1.0 / (b_ref[0] + lam)
@@ -275,14 +325,12 @@ def apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
         grid=(ny // ty,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, nx), lambda j: (0, 0)),
-                  blk],
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+                 + lam_specs + [blk],
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
         scratch_shapes=[pltpu.VMEM((nz, ty, nx), dt)],
-        input_output_aliases={5: 0},
+        input_output_aliases={3 + len(lam_specs): 0},
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(a_s, b_s, c_s, lamy_s, lamx_r, arr)
+    )(a_s, b_s, c_s, *lam_args, arr)

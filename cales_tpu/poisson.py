@@ -204,41 +204,40 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None,
     (ops/pallas_solve.py) — caller must have checked pallas_eligible()."""
     nz, ny, nx = p.shape
     if pallas and alpha is None and hints is None and not pre_xformed_xy:
-        assert pre_xformed_x and skip_bwd_x and \
+        assert pre_xformed_x == skip_bwd_x and \
             pallas_eligible(sv, p.shape, p.dtype.itemsize)
         import os as _os
         from .ops import pallas_solve as ps
+        # Aliased 3-pass pipeline: all passes share the native (nz, ny, nx)
+        # layout so each runs IN PLACE (input_output_aliases -> ~2x
+        # streaming bandwidth, tools/solve_probe6.py).  Without the
+        # kernel-side x fusion (pre_xformed_x=False: triperiodic / impdiff
+        # / WMLES / duct / cavity classes) the x operator matmuls ride the
+        # same two passes as one extra flat (tz*ny, nx) MXU dot each — the
+        # full x+y transform still costs ONE pass of HBM traffic per side.
+        # z stage: O(nz) in-VMEM Thomas sweep for non-periodic z (2.09 ->
+        # 1.31 ms/solve at 512x256x256 f32, tools/solve_probe7.py);
+        # aliased eigen matmuls for periodic z.
+        xyf = None if pre_xformed_x else np.asarray(sv.trx.fwd_mat).T.copy()
+        xyb = None if skip_bwd_x else np.asarray(sv.trx.bwd_mat).T.copy()
+        body = ps.apply_y(p, sv.try_.fwd_mat, alias=True, MxT=xyf,
+                          interpret=pallas_interpret)
         if (sv.bcz != 'PP'
                 and _os.environ.get('CALES_NO_PSOLVE_THOMAS', '') != '1'
                 and ps.thomas_z_tiles(nz, ny, nx, p.dtype.itemsize)):
-            # DEFAULT for non-periodic z: aliased V1 pipeline — all three
-            # passes share the native (nz, ny, nx) layout so each runs in
-            # place (input_output_aliases -> ~2x streaming bandwidth,
-            # tools/solve_probe6.py) and the z stage is an O(nz) in-VMEM
-            # Thomas sweep instead of two (nz, nz) bf16x3 matmuls
-            # (measured 2.09 -> 1.31 ms/solve at 512x256x256 f32,
-            # tools/solve_probe7.py)
-            body = ps.apply_y(p, sv.try_.fwd_mat, alias=True,
-                              interpret=pallas_interpret)
             lam_scale = float(np.abs(sv.lamx).max() + np.abs(sv.lamy).max())
             tol = np.finfo(np.dtype(p.dtype)).eps * lam_scale * 4.0
             body = ps.apply_thomas_z(body, sv.a, sv.b, sv.c, sv.lamy,
                                      sv.lamx, pin_singular=sv.bcz == 'NN',
                                      tol=tol, interpret=pallas_interpret)
-            return ps.apply_y(body, sv.try_.bwd_mat, alias=True,
-                              interpret=pallas_interpret)
-        # V2 layouts: the intermediate lives in (ky, nz, nx) so the z-eig
-        # pass reads/writes aligned slabs; each y kernel takes the strided
-        # side once (2.25 -> 2.09 ms at 512x256x256, tools/solve_probe2.py)
-        body = ps.apply_y(p, sv.try_.fwd_mat, out_T=True,
-                          interpret=pallas_interpret)
-        scale = float(np.abs(sv.lamz).max() + np.abs(sv.lamx).max()
-                      + np.abs(sv.lamy).max())
-        tol = np.finfo(np.dtype(p.dtype)).eps * scale * 4.0
-        body = ps.apply_z_eig(body, sv.zVl, sv.zVr, sv.lamz, sv.lamy,
-                              sv.lamx, tol, layout_T=True,
-                              interpret=pallas_interpret)
-        return ps.apply_y(body, sv.try_.bwd_mat, in_T=True,
+        else:
+            scale = float(np.abs(sv.lamz).max() + np.abs(sv.lamx).max()
+                          + np.abs(sv.lamy).max())
+            tol = np.finfo(np.dtype(p.dtype)).eps * scale * 4.0
+            body = ps.apply_z_eig(body, sv.zVl, sv.zVr, sv.lamz, sv.lamy,
+                                  sv.lamx, tol, alias=True,
+                                  interpret=pallas_interpret)
+        return ps.apply_y(body, sv.try_.bwd_mat, alias=True, MxT=xyb,
                           interpret=pallas_interpret)
     sx, sy = sv.trx.nsolve, sv.try_.nsolve
     if pre_xformed_xy:
@@ -360,12 +359,29 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None,
     return body
 
 
-def solve_z_only(sv: DirectSolver, p, alpha):
+def solve_z_only(sv: DirectSolver, p, alpha, pallas=False,
+                 pallas_interpret=False):
     """z-implicit-only Helmholtz solve (I + alpha*Lz) p = rhs with no x/y
-    transforms (solver_gaussel_z, solver.f90:182-233; the _IMPDIFF_1D path)."""
+    transforms (solver_gaussel_z, solver.f90:182-233; the _IMPDIFF_1D path).
+
+    pallas: one aliased in-place Pallas Thomas pass
+    (ops/pallas_solve.apply_thomas_helmholtz_z) instead of the two (nz, nz)
+    eigen matmul passes — the caller must be on a single device with a
+    TPU-f32 (or interpret) kernel path."""
     nz = p.shape[0]
     qz = sv.qz
     zbody = p[: nz - qz]
+    if pallas and sv.bcz != 'PP':
+        from .ops import pallas_solve as ps
+        if ps.thomas_z_tiles(nz - qz, p.shape[1], p.shape[2],
+                             p.dtype.itemsize) and p.shape[2] % 128 == 0:
+            n = nz - qz
+            a = sv.a[:n] * alpha
+            b = sv.b[:n] * alpha + 1.0
+            c = sv.c[:n] * alpha
+            zsol = ps.apply_thomas_helmholtz_z(
+                zbody, a, b, c, interpret=pallas_interpret)
+            return (jnp.concatenate([zsol, p[n:]], axis=0) if qz else zsol)
     if sv.zsolver == 'eig':
         rdt = zbody.dtype
         Vl = jnp.asarray(sv.zVl, dtype=rdt)

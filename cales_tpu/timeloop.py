@@ -282,13 +282,15 @@ class Simulation:
                           and _os.environ.get('CALES_FUSE_YOP', '') == '1')
         if self._fuse_yop:
             self._yopF = self.solver_p.try_.fwd_mat.copy()
-        # Pallas 3-pass solve (ops/pallas_solve.py): the y/z transform +
-        # eigen pipeline as 3 Pallas read+write passes instead of the ~6
+        # Pallas 3-pass solve (ops/pallas_solve.py): the transform + z
+        # pipeline as 3 aliased in-place Pallas passes instead of the ~6
         # XLA passes (the solve is HBM-bound: tools/solve_bench.py).
-        # Needs the x-fused spectral in/out and a single device (the
-        # sharded solve keeps the hints/all-to-all path).
+        # With the kernel x fusion the passes see x-spectral in/out;
+        # without it (triperiodic / impdiff / WMLES / duct / cavity) the
+        # x matmuls ride the y passes as flat MXU dots.  Single device
+        # only (the sharded solve keeps the hints/all-to-all path).
         self.use_pallas_solve = (
-            self._fuse_xop and not self._fuse_yop
+            self.use_pallas_mom and not self._fuse_yop
             and self.mesh is None
             and poisson.pallas_eligible(
                 self.solver_p, (nz, ny, nx), np.dtype(self.dtype).itemsize)
@@ -306,6 +308,15 @@ class Simulation:
                 pds.eligible(cfg, self.sgs_setup)
                 and pds.ds_tiles(nz, ny_local, np.dtype(self.dtype).itemsize,
                                  nx_local) is not None)
+        # z-only CN Helmholtz solves as single aliased Pallas Thomas passes
+        # (ops/pallas_solve.apply_thomas_helmholtz_z): one in-place
+        # read+write per velocity component instead of two (nz, nz) eigen
+        # matmul passes each (solve_z_only falls back per component for
+        # periodic z)
+        self.use_pallas_cn = (
+            cfg.impdiff and cfg.impdiff_1d and self.use_pallas_mom
+            and self.mesh is None
+            and _os.environ.get('CALES_NO_PALLAS_CN', '') != '1')
         # benchmark instrumentation: skip the pressure solve (pp = 0) so the
         # Poisson fraction can be measured by difference (bench.py --matrix);
         # set BEFORE the first step call (the step traces lazily)
@@ -332,7 +343,9 @@ class Simulation:
                                    ('yop', getattr(self, '_fuse_yop',
                                                    False)),
                                    ('psolve', getattr(self, 'use_pallas_solve',
-                                                      False))) if on]
+                                                      False)),
+                                   ('cn', getattr(self, 'use_pallas_cn',
+                                                  False))) if on]
             tag = f", fused: {'+'.join(fus)}" if fus else ''
             return f'{kind} (sgs: {sgs}{tag})'
         why = self._fallback_reason or 'unknown'
@@ -633,7 +646,7 @@ class Simulation:
                           precision=prec)
 
     def _correc_smag_fused(self, u, v, w, pp, p, ue2, ve2, we2, ppe, dtrk,
-                           fu=0.0, fv=0.0, xspectral=False):
+                           fu=0.0, fv=0.0, xspectral=False, alias_p=False):
         """Single-pass projection + pressure update + smag nu_t
         (pallas_kernels.fused_correc_updatep_smag).  The van Driest tauw
         planes come from host-side-corrected wall-adjacent planes — tiny
@@ -686,7 +699,8 @@ class Simulation:
         out = pk.fused_correc_updatep_smag(
             u, v, w, pp, p, ue2, ve2, we2, ppe, dtrk, dxi, dyi,
             grid.dzci, grid.dzfi, cfg.visc, csd2, self._zrec_uv,
-            interpret=self._pallas_interpret, fu=fu, fv=fv, **kw)
+            interpret=self._pallas_interpret, fu=fu, fv=fv,
+            alias_p=alias_p, **kw)
         assert out is not None, 'fused_correc_smag gating inconsistency'
         return out
 
@@ -1035,7 +1049,10 @@ class Simulation:
                               for k, v_ in planes.items()}
                 fld = poisson.add_rhs_bound(cfg, cf, cbc, fld, planes)
                 if cfg.impdiff_1d:
-                    fld = poisson.solve_z_only(self.solver_vel[ivel], fld, alpha)
+                    fld = poisson.solve_z_only(
+                        self.solver_vel[ivel], fld, alpha,
+                        pallas=self.use_pallas_cn,
+                        pallas_interpret=self._pallas_interpret)
                 else:
                     fld = poisson.solve(self.solver_vel[ivel], fld, alpha=alpha,
                                         hints=self.hints)
@@ -1120,9 +1137,11 @@ class Simulation:
                 fu_d = f[0] if defer_f else 0.0
                 fv_d = f[1] if defer_f else 0.0
                 if self._fuse_correc_smag:
+                    # p's alias donor must be an intermediate: substep 1's
+                    # p is the (non-donated) step input, so no alias there
                     u, v, w, p, visct = self._correc_smag_fused(
                         u, v, w, pp, p, ue2, ve2, we2, ppe, dtrk,
-                        fu=fu_d, fv=fv_d, xspectral=xf)
+                        fu=fu_d, fv=fv_d, xspectral=xf, alias_p=not first)
                     visct_done = True
                 elif self._kernel_sharded:
                     halo = self._halo_y
@@ -1134,14 +1153,16 @@ class Simulation:
                                 u_, v_, w_, pp_, p_, we_, ppe_, dt_,
                                 dxi, dyi, dzci,
                                 interpret=self._pallas_interpret,
-                                alpha=al_, ystrips=ys, **imp_kw)
+                                alpha=al_, ystrips=ys,
+                                alias_p=not first, **imp_kw)
                         xe = halo(self._xe_pack([w_, pp_]))
                         xze = halo(self._xe_pack([we_, ppe_]))
                         return pk.fused_correc_updatep(
                             u_, v_, halo(w_), halo(pp_), p_, halo(we_),
                             halo(ppe_), dt_, dxi, dyi, dzci,
                             interpret=self._pallas_interpret, y_ext=True,
-                            alpha=al_, xe=xe, xze=xze, **imp_kw)
+                            alpha=al_, xe=xe, xze=xze,
+                            alias_p=not first, **imp_kw)
                     u, v, w, p = self._smap(correc_local, 7, 2, 4)(
                         u, v, w, pp, p, we2, ppe, dtrk, alpha)
                 else:
@@ -1154,7 +1175,7 @@ class Simulation:
                         u, v, w, pp, p, we2, ppe, dtrk, dxi, dyi, dzci,
                         interpret=self._pallas_interpret, alpha=alpha,
                         ye=ycor, yze=yzcor, ywalls=(True, True),
-                        fu=fu_d, fv=fv_d, **imp_kw)
+                        fu=fu_d, fv=fv_d, alias_p=not first, **imp_kw)
             # lower-wall w face plane: the padded-row-0 entry of the correc
             # ghost-range sweep (correc.f90:45-67), a plane-sized update
             if xf:

@@ -174,6 +174,58 @@ def test_pallas_solve_matches_xla(monkeypatch):
         np.testing.assert_allclose(b, a, atol=1e-13 * scale, rtol=0)
 
 
+def test_pallas_solve_full_transforms_matches_xla():
+    """The generic aliased Pallas solve (no kernel x fusion: the x operator
+    matmuls ride the y passes as flat in-kernel dots) must reproduce
+    poisson.solve on PHYSICAL in/out for every baseline-class BC set —
+    triperiodic, channel, duct, and cavity pressure systems."""
+    ng = (128, 16, 24)
+    rng = np.random.default_rng(17)
+    rhs0 = rng.standard_normal((ng[2], ng[1], ng[0]))
+    for cbc in (('PP', 'PP', 'PP'), ('PP', 'PP', 'NN'), ('PP', 'NN', 'NN'),
+                ('NN', 'NN', 'NN')):
+        cfg = Config(ng=ng, l=(1.3, 0.9, 2.0), gtype=1,
+                     gr=0.8 if cbc[2] != 'PP' else 0.0,
+                     dtype='float64', ptransform='mat')
+        grid = make_grid(cfg.gtype, ng[2], cfg.gr, cfg.l[2])
+        sv = make_solver(cfg, grid, cbc, ('c', 'c', 'c'))
+        from cales_tpu.poisson import pallas_eligible
+        assert pallas_eligible(sv, (ng[2], ng[1], ng[0]), 8), cbc
+        # compatible RHS (physical space): zero dzf-weighted mean
+        w = grid.dzf[1:ng[2] + 1]
+        wm = (rhs0 * w[:, None, None]).sum() / (w.sum() * ng[0] * ng[1])
+        rhs = jnp.asarray(rhs0 - wm)
+        a = np.asarray(solve(sv, rhs))
+        b = np.asarray(solve(sv, rhs, pallas=True, pallas_interpret=True))
+        a, b = a - a.mean(), b - b.mean()
+        scale = np.abs(a).max()
+        np.testing.assert_allclose(b, a, atol=2e-11 * scale, rtol=0,
+                                   err_msg=str(cbc))
+
+
+def test_pallas_helmholtz_z_matches_xla():
+    """solve_z_only's aliased Pallas Thomas pass (the _IMPDIFF_1D CN solve,
+    solver.f90:182-233) must reproduce the XLA path at machine precision —
+    both c- and f-staggered z (the qz=1 truncated w solve)."""
+    from cales_tpu.poisson import solve_z_only
+    ng = (128, 16, 24)
+    rng = np.random.default_rng(13)
+    rhs = jnp.asarray(rng.standard_normal((ng[2], ng[1], ng[0])))
+    cfg = Config(ng=ng, l=(1.3, 0.9, 2.0), gtype=1, gr=0.8,
+                 dtype='float64', ptransform='mat')
+    grid = make_grid(cfg.gtype, ng[2], cfg.gr, cfg.l[2])
+    for cbc, cf in ((('PP', 'PP', 'DD'), ('c', 'c', 'c')),
+                    (('PP', 'PP', 'DD'), ('c', 'c', 'f')),
+                    (('PP', 'PP', 'ND'), ('c', 'c', 'c'))):
+        sv = make_solver(cfg, grid, cbc, cf)
+        alpha = -0.043
+        a = np.asarray(solve_z_only(sv, rhs, alpha))
+        b = np.asarray(solve_z_only(sv, rhs, alpha, pallas=True,
+                                    pallas_interpret=True))
+        np.testing.assert_allclose(b, a, atol=1e-12 * np.abs(a).max(),
+                                   rtol=0, err_msg=str((cbc, cf)))
+
+
 def test_pallas_solve_thomas_matches_xla(monkeypatch):
     """The opt-in aliased V1 pipeline (default for non-periodic z: in-place y
     passes + in-kernel eps-regularized Thomas z sweep) must agree with the
