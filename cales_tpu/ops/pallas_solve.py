@@ -239,6 +239,111 @@ def apply_thomas_helmholtz_z(arr, a, b, c, interpret=False):
     return _apply_thomas_z(arr, a, b, c, None, None, False, 0.0, interpret)
 
 
+def apply_thomas_periodic_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
+                            interpret=False):
+    """In-place PERIODIC tridiagonal solve along z — the rank-1-corrected
+    two-RHS Thomas sweep of ops/tridiag.thomas_periodic (the reference
+    gaussel_periodic, solver.f90:109-151), fused into one aliased Pallas
+    pass for the triperiodic class.
+
+    The reduced (nz-1)-row system is factorized once; the data RHS p1 and
+    the correction RHS e (e[0] = -a[0], e[nz-2] = -c[nz-2]) share the
+    forward sweep, both back-substitute in VMEM, then
+      pn  = (r[nz-1] - c[nz-1] p1[0] - a[nz-1] p1[nz-2]) / den,
+      den = (b[nz-1] + lam) + c[nz-1] p2[0] + a[nz-1] p2[nz-2],
+      out = p1 + p2 * pn,  out[nz-1] = pn.
+    pin_singular: lanes with |lamy+lamx| <= tol (the all-periodic constant
+    mode) get pn pinned to 0 — the same gauge-fixing as apply_thomas_z.
+    """
+    nz, ny, nx = arr.shape
+    n = nz - 1
+    dt = arr.dtype
+    ty = thomas_z_tiles(nz, ny, nx, dt.itemsize)
+    assert ty is not None and n >= 2
+    a_s = jnp.asarray(a, dtype=dt)
+    b_s = jnp.asarray(b, dtype=dt)
+    c_s = jnp.asarray(c, dtype=dt)
+    lamy_s = jnp.asarray(lamy, dtype=dt)
+    lamx_r = jnp.asarray(lamx, dtype=dt).reshape(1, nx)
+    pin = bool(pin_singular)
+    tol = float(tol)
+
+    def kernel(a_ref, b_ref, c_ref, ly_ref, lx_ref, d_ref, o_ref,
+               w_ref, q_ref):
+        j = pl.program_id(0)
+        rows = [lx_ref[...] + ly_ref[j * ty + t] for t in range(ty)]
+        lam = jnp.concatenate(rows, axis=0)
+
+        # forward sweep over the reduced n rows, two RHS sharing zfac
+        zfac0 = 1.0 / (b_ref[0] + lam)
+        d_0 = c_ref[0] * zfac0
+        w_ref[0] = d_0
+        p1_0 = d_ref[0] * zfac0
+        o_ref[0] = p1_0
+        p2_0 = -a_ref[0] * zfac0
+        q_ref[0] = p2_0
+
+        def fwd(z, carry):
+            d_prev, p1_prev, p2_prev = carry
+            az, bz, cz = a_ref[z], b_ref[z], c_ref[z]
+            zfac = 1.0 / (bz + lam - az * d_prev)
+            d_k = cz * zfac
+            e_k = jnp.where(z == n - 1, -c_ref[n - 1], 0.0)
+            p1_k = (d_ref[z] - az * p1_prev) * zfac
+            p2_k = (e_k - az * p2_prev) * zfac
+            w_ref[z] = d_k
+            o_ref[z] = p1_k
+            q_ref[z] = p2_k
+            return d_k, p1_k, p2_k
+
+        jax.lax.fori_loop(1, n, fwd, (d_0, p1_0, p2_0))
+
+        def bwd(i, carry):
+            p1n, p2n = carry
+            z = n - 2 - i
+            dk = w_ref[z]
+            p1 = o_ref[z] - dk * p1n
+            p2 = q_ref[z] - dk * p2n
+            o_ref[z] = p1
+            q_ref[z] = p2
+            return p1, p2
+
+        jax.lax.fori_loop(0, n - 1, bwd, (o_ref[n - 1], q_ref[n - 1]))
+
+        cn, an, bn = c_ref[n], a_ref[n], b_ref[n]
+        num = d_ref[n] - cn * o_ref[0] - an * o_ref[n - 1]
+        den = (bn + lam) + cn * q_ref[0] + an * q_ref[n - 1]
+        pn = num / den
+        if pin:
+            pn = jnp.where(jnp.abs(lam) <= tol, 0.0, pn)
+
+        def combine(z, _):
+            o_ref[z] = o_ref[z] + q_ref[z] * pn
+            return 0
+
+        jax.lax.fori_loop(0, n, combine, 0)
+        o_ref[n] = pn
+
+    blk = pl.BlockSpec((nz, ty, nx), lambda j: (0, j, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(ny // ty,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, nx), lambda j: (0, 0)),
+                  blk],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
+        scratch_shapes=[pltpu.VMEM((nz, ty, nx), dt),
+                        pltpu.VMEM((nz, ty, nx), dt)],
+        input_output_aliases={5: 0},
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(a_s, b_s, c_s, lamy_s, lamx_r, arr)
+
+
 def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
                     interpret=False):
     """In-place tridiag(a, b + lamy[j] + lamx, c) solve along z — the

@@ -222,14 +222,21 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None,
         xyb = None if skip_bwd_x else np.asarray(sv.trx.bwd_mat).T.copy()
         body = ps.apply_y(p, sv.try_.fwd_mat, alias=True, MxT=xyf,
                           interpret=pallas_interpret)
-        if (sv.bcz != 'PP'
-                and _os.environ.get('CALES_NO_PSOLVE_THOMAS', '') != '1'
-                and ps.thomas_z_tiles(nz, ny, nx, p.dtype.itemsize)):
+        if (_os.environ.get('CALES_NO_PSOLVE_THOMAS', '') != '1'
+                and ps.thomas_z_tiles(nz, ny, nx, p.dtype.itemsize)
+                and (sv.bcz != 'PP' or nz >= 3)):
             lam_scale = float(np.abs(sv.lamx).max() + np.abs(sv.lamy).max())
             tol = np.finfo(np.dtype(p.dtype)).eps * lam_scale * 4.0
-            body = ps.apply_thomas_z(body, sv.a, sv.b, sv.c, sv.lamy,
-                                     sv.lamx, pin_singular=sv.bcz == 'NN',
-                                     tol=tol, interpret=pallas_interpret)
+            if sv.bcz == 'PP':
+                body = ps.apply_thomas_periodic_z(
+                    body, sv.a, sv.b, sv.c, sv.lamy, sv.lamx,
+                    pin_singular=True, tol=tol,
+                    interpret=pallas_interpret)
+            else:
+                body = ps.apply_thomas_z(
+                    body, sv.a, sv.b, sv.c, sv.lamy, sv.lamx,
+                    pin_singular=sv.bcz == 'NN', tol=tol,
+                    interpret=pallas_interpret)
         else:
             scale = float(np.abs(sv.lamz).max() + np.abs(sv.lamx).max()
                           + np.abs(sv.lamy).max())
