@@ -223,10 +223,10 @@ def thomas_z_tiles(nz, ny, nx, itemsize):
 
 
 def apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
-                   interpret=False):
+                   interpret=False, n_solve=None):
     """See _apply_thomas_z; lamy/lamx variant (the Poisson z stage)."""
     return _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
-                           interpret)
+                           interpret, n_solve=n_solve)
 
 
 def apply_thomas_helmholtz_z(arr, a, b, c, interpret=False):
@@ -345,7 +345,7 @@ def apply_thomas_periodic_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
 
 
 def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
-                    interpret=False):
+                    interpret=False, n_solve=None):
     """In-place tridiag(a, b + lamy[j] + lamx, c) solve along z — the
     direct O(nz) replacement for the z-eig stage's two (nz, nz) bf16x3
     matmuls, for non-periodic z.
@@ -367,12 +367,14 @@ def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
     tol-projection semantics up to a constant.
     """
     nz, ny, nx = arr.shape
+    ns = nz if n_solve is None else int(n_solve)   # rows solved; rows
+    assert 2 <= ns <= nz                           # ns..nz-1 pass through
     dt = arr.dtype
     ty = thomas_z_tiles(nz, ny, nx, dt.itemsize)
     assert ty is not None
-    a_s = jnp.asarray(a, dtype=dt)
-    b_s = jnp.asarray(b, dtype=dt)
-    c_s = jnp.asarray(c, dtype=dt)
+    a_s = jnp.asarray(a, dtype=dt)[:ns]
+    b_s = jnp.asarray(b, dtype=dt)[:ns]
+    c_s = jnp.asarray(c, dtype=dt)[:ns]
     has_lam = lamy is not None
     if has_lam:
         lam_args = (jnp.asarray(lamy, dtype=dt),
@@ -414,15 +416,20 @@ def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
             o_ref[z] = p_k
             return d_k, p_k
 
-        jax.lax.fori_loop(1, nz, fwd, (d_0, p_0))
+        jax.lax.fori_loop(1, ns, fwd, (d_0, p_0))
 
         def bwd(i, p_next):
-            z = nz - 2 - i
+            z = ns - 2 - i
             p_new = o_ref[z] - w_ref[z] * p_next
             o_ref[z] = p_new
             return p_new
 
-        jax.lax.fori_loop(0, nz - 1, bwd, o_ref[nz - 1])
+        jax.lax.fori_loop(0, ns - 1, bwd, o_ref[ns - 1])
+
+        # qz passthrough rows (face-staggered Dirichlet tail): explicit
+        # copy — do not rely on the aliased buffer's prior content
+        for z in range(ns, nz):
+            o_ref[z] = d_ref[z]
 
     blk = pl.BlockSpec((nz, ty, nx), lambda j: (0, j, 0))
     return pl.pallas_call(

@@ -177,6 +177,22 @@ def pallas_eligible(sv: DirectSolver, shape, itemsize) -> bool:
             and ps.eligible(nz, ny, nx, itemsize))
 
 
+def pallas_helmholtz_eligible(sv: DirectSolver, shape, itemsize) -> bool:
+    """Whether the aliased Pallas Helmholtz pipeline (solve with alpha) can
+    run for this component solver: all-matmul square x/y transforms and a
+    Thomas-tileable z stage (qz handled via the in-kernel passthrough
+    tail; periodic z via the rank-1 kernel)."""
+    from .ops import pallas_solve as ps
+    nz, ny, nx = shape
+    return (sv.trx.kind == 'mat' and sv.trx.nsolve == nx
+            and sv.try_.kind == 'mat' and sv.try_.nsolve == ny
+            and nx % 128 == 0 and ny % 8 == 0
+            and ps.thomas_z_tiles(nz, ny, nx, itemsize) is not None
+            and ps.y_tiles(nz, ny, nx, itemsize) is not None
+            and (sv.bcz != 'PP' or (sv.qz == 0 and nz >= 3))
+            and nz - sv.qz >= 2)
+
+
 def solve(sv: DirectSolver, p, alpha=None, hints=None,
           pre_xformed_x=False, skip_bwd_x=False, pre_xformed_xy=False,
           pallas=False, pallas_interpret=False):
@@ -203,6 +219,33 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None,
     pallas: run the whole y/z pipeline as 3 Pallas passes
     (ops/pallas_solve.py) — caller must have checked pallas_eligible()."""
     nz, ny, nx = p.shape
+    if pallas and alpha is not None and hints is None and not pre_xformed_xy:
+        # Helmholtz (I + alpha*L) variant of the aliased pipeline: the CN
+        # viscous solves of the full-3D implicit-diffusion path
+        # (main.f90:423-443).  Same three in-place passes; the z stage is
+        # the Thomas sweep on the alpha-scaled rows (tridiag a*alpha,
+        # b*alpha+1, c*alpha with diag shift lamxy*alpha — never singular),
+        # with the qz face-staggered Dirichlet tail passed through.
+        from .ops import pallas_solve as ps
+        assert not (pre_xformed_x or skip_bwd_x)
+        assert pallas_helmholtz_eligible(sv, p.shape, p.dtype.itemsize)
+        xyf = np.asarray(sv.trx.fwd_mat).T.copy()
+        xyb = np.asarray(sv.trx.bwd_mat).T.copy()
+        a2, b2, c2 = sv.a * alpha, sv.b * alpha + 1.0, sv.c * alpha
+        lamy2, lamx2 = sv.lamy * alpha, sv.lamx * alpha
+        body = ps.apply_y(p, sv.try_.fwd_mat, alias=True, MxT=xyf,
+                          interpret=pallas_interpret)
+        if sv.bcz == 'PP':
+            body = ps.apply_thomas_periodic_z(
+                body, a2, b2, c2, lamy2, lamx2, pin_singular=False,
+                tol=0.0, interpret=pallas_interpret)
+        else:
+            body = ps.apply_thomas_z(
+                body, a2, b2, c2, lamy2, lamx2, pin_singular=False,
+                tol=0.0, interpret=pallas_interpret,
+                n_solve=nz - sv.qz if sv.qz else None)
+        return ps.apply_y(body, sv.try_.bwd_mat, alias=True, MxT=xyb,
+                          interpret=pallas_interpret)
     if pallas and alpha is None and hints is None and not pre_xformed_xy:
         assert pre_xformed_x == skip_bwd_x and \
             pallas_eligible(sv, p.shape, p.dtype.itemsize)

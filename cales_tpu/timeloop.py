@@ -317,6 +317,18 @@ class Simulation:
             cfg.impdiff and cfg.impdiff_1d and self.use_pallas_mom
             and self.mesh is None
             and _os.environ.get('CALES_NO_PALLAS_CN', '') != '1')
+        # full-3D implicit diffusion: per-component aliased Pallas
+        # Helmholtz pipelines (transforms fused into the y passes + the
+        # alpha-scaled Thomas z stage with qz tail passthrough)
+        self._cn3_pallas = (False, False, False)
+        if (cfg.impdiff and not cfg.impdiff_1d and self.use_pallas_mom
+                and self.mesh is None
+                and _os.environ.get('CALES_NO_PALLAS_CN', '') != '1'):
+            isz = np.dtype(self.dtype).itemsize
+            self._cn3_pallas = tuple(
+                poisson.pallas_helmholtz_eligible(sv, (nz, ny, nx), isz)
+                for sv in self.solver_vel)
+            self.use_pallas_cn = any(self._cn3_pallas)
         # benchmark instrumentation: skip the pressure solve (pp = 0) so the
         # Poisson fraction can be measured by difference (bench.py --matrix);
         # set BEFORE the first step call (the step traces lazily)
@@ -1054,8 +1066,12 @@ class Simulation:
                         pallas=self.use_pallas_cn,
                         pallas_interpret=self._pallas_interpret)
                 else:
-                    fld = poisson.solve(self.solver_vel[ivel], fld, alpha=alpha,
-                                        hints=self.hints)
+                    fld = poisson.solve(
+                        self.solver_vel[ivel], fld, alpha=alpha,
+                        hints=self.hints,
+                        pallas=(self._cn3_pallas[ivel]
+                                and self.hints is None),
+                        pallas_interpret=self._pallas_interpret)
                 if ivel == 0:
                     u = fld
                 elif ivel == 1:

@@ -203,6 +203,32 @@ def test_pallas_solve_full_transforms_matches_xla():
                                    err_msg=str(cbc))
 
 
+def test_pallas_helmholtz_3d_matches_xla():
+    """The aliased Pallas Helmholtz pipeline (solve with alpha: transforms
+    fused into the y passes + alpha-scaled Thomas z, qz tail passthrough)
+    must reproduce poisson.solve for the three velocity stagger classes of
+    the full-3D implicit-diffusion path (main.f90:423-443)."""
+    from cales_tpu.poisson import pallas_helmholtz_eligible
+    ng = (128, 16, 24)
+    rng = np.random.default_rng(19)
+    rhs = jnp.asarray(rng.standard_normal((ng[2], ng[1], ng[0])))
+    cfg = Config(ng=ng, l=(1.3, 0.9, 2.0), gtype=1, gr=0.8,
+                 dtype='float64', ptransform='mat')
+    grid = make_grid(cfg.gtype, ng[2], cfg.gr, cfg.l[2])
+    for cbc, cf in ((('PP', 'PP', 'DD'), ('f', 'c', 'c')),
+                    (('PP', 'PP', 'DD'), ('c', 'c', 'f')),   # qz=1 w solve
+                    (('PP', 'PP', 'PP'), ('c', 'c', 'c'))):
+        g = grid if cbc[2] != 'PP' else make_grid(1, ng[2], 0.0, cfg.l[2])
+        sv = make_solver(cfg, g, cbc, cf)
+        assert pallas_helmholtz_eligible(sv, (ng[2], ng[1], ng[0]), 8), cbc
+        alpha = -0.021
+        a = np.asarray(solve(sv, rhs, alpha=alpha))
+        b = np.asarray(solve(sv, rhs, alpha=alpha, pallas=True,
+                             pallas_interpret=True))
+        np.testing.assert_allclose(b, a, atol=1e-12 * np.abs(a).max(),
+                                   rtol=0, err_msg=str((cbc, cf)))
+
+
 def test_pallas_helmholtz_z_matches_xla():
     """solve_z_only's aliased Pallas Thomas pass (the _IMPDIFF_1D CN solve,
     solver.f90:182-233) must reproduce the XLA path at machine precision —
