@@ -66,7 +66,8 @@ _DUCT_BCS = dict(
     cbcvel=((('P', 'P', 'P'), ('D', 'D', 'D'), ('D', 'D', 'D')),) * 2,
     cbcpre=(('P', 'N', 'N'), ('P', 'N', 'N')),
     cbcsgs=(('P', 'D', 'D'), ('P', 'D', 'D')))
-# the reference manuscript cavity is x-periodic (examples/lid_driven_cavity)
+# the reference cavity is fully enclosed (all-D); this matrix entry is the
+# spanwise-periodic (kernel-eligible) cavity class with the lid driving V
 _CAV_BCS = _DUCT_BCS
 
 
@@ -103,8 +104,11 @@ def _matrix_configs(ng):
             ng=ng, l=(1.0, 1.0, 1.0), gtype=1, gr=0.0, visci=5_000.0,
             inivel='tgv', sgstype='dsmag', dsmag_avg='cavity',
             dtype='float32', ptransform='mat',
+            # spanwise-periodic cavity: the z-top lid drives V (the
+            # recirculating (y,z) cavity with periodic span; a lid along
+            # the periodic x would decouple from the pressure entirely)
             bcvel=(((0.0,) * 3,) * 3,
-                   ((0.0, 0.0, 0.0), (0.0, 0.0, 0.0), (1.0, 0.0, 0.0))),
+                   ((0.0, 0.0, 0.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0))),
             **_CAV_BCS),
         'wmles_channel': dict(
             **chan, visci=125_000.0, sgstype='smag',

@@ -15,6 +15,7 @@ from .cases import (  # noqa: F401
     half_channel,
     couette,
     lid_driven_cavity,
+    spanwise_cavity,
     square_duct_les,
     temporal_boundary_layer,
     developing_channel,

@@ -84,11 +84,30 @@ def couette(ng=(64, 48, 32), visci=1000., uwall=0.5, **kw):
 
 
 def lid_driven_cavity(ng=(64, 64, 64), visci=1000., ulid=1.0, **kw):
-    """Lid-driven cavity (dns/_manuscript_lid_driven_cavity): x periodic,
-    walls in y and z, top lid moving in x."""
-    v = (('P', 'P', 'P'), ('D', 'D', 'D'), ('D', 'D', 'D'))
+    """Lid-driven cavity (examples/dns/lid_driven_cavity and the
+    _manuscript variant): fully enclosed box — Dirichlet walls in ALL
+    THREE directions — with the z-top lid moving in x, exactly the
+    reference's BC table (input.nml cbcvel all 'D', bcvel(1,3,1)=1)."""
+    v = (('D', 'D', 'D'), ('D', 'D', 'D'), ('D', 'D', 'D'))
     bcv = [[[0.] * 3 for _ in range(3)] for _ in range(2)]
     bcv[1][2][0] = ulid
+    return Config(ng=ng, l=(1., 1., 1.), visci=visci, inivel='zer',
+                  cbcvel=(v, v),
+                  bcvel=tuple(tuple(tuple(r) for r in b) for b in bcv),
+                  cbcpre=(('N', 'N', 'N'), ('N', 'N', 'N')),
+                  cbcsgs=(('D', 'D', 'D'), ('D', 'D', 'D')),
+                  dsmag_avg='cavity', **kw)
+
+
+def spanwise_cavity(ng=(16, 64, 64), visci=1000., vlid=1.0, **kw):
+    """Spanwise-periodic lid-driven cavity: x periodic, walls in y and z,
+    z-top lid moving in Y — the recirculating (y, z) cavity flow with a
+    periodic span (the kernel-eligible cavity class used by bench.py's
+    dsmag matrix entry; at laminar Re with a thin span it reproduces the
+    2D Ghia cavity exactly — validation/cavity.py)."""
+    v = (('P', 'P', 'P'), ('D', 'D', 'D'), ('D', 'D', 'D'))
+    bcv = [[[0.] * 3 for _ in range(3)] for _ in range(2)]
+    bcv[1][2][1] = vlid
     return Config(ng=ng, l=(1., 1., 1.), visci=visci, inivel='zer',
                   cbcvel=(v, v),
                   bcvel=tuple(tuple(tuple(r) for r in b) for b in bcv),
