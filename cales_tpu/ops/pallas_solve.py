@@ -144,6 +144,33 @@ def apply_y(arr, M, out_T=False, in_T=False, alias=False, MxT=None,
     )(jnp.asarray(M, dtype=dt), *xargs, arr)
 
 
+def apply_x(arr, MxT, alias=False, interpret=False):
+    """out[z, y, :] = arr[z, y, :] @ MxT: the x-direction operator matmul
+    alone, as one aliased read+write pass (one flat (tz*ny, nx) MXU dot
+    per block).  Used by the sharded solve, where the x transform must run
+    while x is still locally complete (before the y all-to-all)."""
+    nz, ny, nx = arr.shape
+    dt = arr.dtype
+    tz = y_tiles(nz, ny, nx, dt.itemsize)
+    assert tz is not None and MxT.shape == (nx, nx)
+
+    def kernel(xm_ref, d_ref, o_ref):
+        flat = d_ref[...].reshape(tz * ny, nx)
+        o_ref[...] = _dot_xop(flat, xm_ref[...]).reshape(tz, ny, nx)
+
+    blk = pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(nz // tz,),
+        in_specs=[pl.BlockSpec((nx, nx), lambda i: (0, 0)), blk],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
+        input_output_aliases={1: 0} if alias else {},
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(jnp.asarray(MxT, dtype=dt), arr)
+
+
 def apply_z_eig(arr, Vl, Vr, lamz, lamy, lamx, tol, layout_T=False,
                 alias=False, interpret=False):
     """out[:, j, :] = Vr @ (inv_j * (Vl @ arr[:, j, :])) per y row j, with

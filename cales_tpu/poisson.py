@@ -177,6 +177,77 @@ def pallas_eligible(sv: DirectSolver, shape, itemsize) -> bool:
             and ps.eligible(nz, ny, nx, itemsize))
 
 
+def pallas_sharded_eligible(sv: DirectSolver, shape, itemsize, mesh) -> bool:
+    """Whether the slab-sharded aliased Pallas solve can run: mesh
+    (gy>1, gx=1), all-matmul square transforms, Thomas-tileable z, and the
+    post-transpose per-shard lane count a multiple of 128."""
+    from .ops import pallas_solve as ps
+    if mesh is None:
+        return False
+    gy = mesh.shape.get('gy', 1)
+    gx = mesh.shape.get('gx', 1)
+    nz, ny, nx = shape
+    if gx != 1 or gy < 2 or ny % gy or nx % gy or (nx // gy) % 128:
+        return False
+    nxl = nx // gy
+    return (sv.zsolver == 'eig' and sv.qz == 0 and sv.bcz != 'PP'
+            and sv.trx.kind == 'mat' and sv.trx.nsolve == nx
+            and sv.try_.kind == 'mat' and sv.try_.nsolve == ny
+            and nx % 128 == 0 and (ny // gy) % 8 == 0
+            and ps.y_tiles(nz, ny // gy, nx, itemsize) is not None
+            and ps.y_tiles(nz, ny, nxl, itemsize) is not None
+            and ps.thomas_z_tiles(nz, ny, nxl, itemsize) is not None)
+
+
+def solve_sharded_pallas(sv: DirectSolver, p, mesh, pallas_interpret=False):
+    """Slab-sharded (gy>1, gx=1) Poisson solve as per-shard aliased Pallas
+    passes around two explicit all-to-all pencil transposes — the
+    kernel-path analogue of the hints/GSPMD solve (solver_gpu.f90:80-158):
+
+      fwd-x (x locally complete)            1 aliased pass
+      all_to_all: split x, gather y         (nz, ny, nx//gy) per shard
+      fwd-y / Thomas-z / bwd-y              3 aliased passes
+      all_to_all back                       (nz, ny//gy, nx)
+      bwd-x                                 1 aliased pass
+
+    Caller must have checked pallas_sharded_eligible()."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from .ops import pallas_solve as ps
+
+    gy = mesh.shape['gy']
+    nz, ny, nx = p.shape
+    nxl = nx // gy
+    fxT = np.asarray(sv.trx.fwd_mat).T.copy()
+    bxT = np.asarray(sv.trx.bwd_mat).T.copy()
+    lam_scale = float(np.abs(sv.lamx).max() + np.abs(sv.lamy).max())
+    tol = float(np.finfo(np.dtype(p.dtype)).eps * lam_scale * 4.0)
+    lamx_full = np.asarray(sv.lamx)
+    pin = sv.bcz == 'NN'
+
+    def local(r):                       # (nz, ny//gy, nx)
+        i = jax.lax.axis_index('gy')
+        r = ps.apply_x(r, fxT, alias=True, interpret=pallas_interpret)
+        r = jax.lax.all_to_all(r, 'gy', split_axis=2, concat_axis=1,
+                               tiled=True)      # (nz, ny, nxl)
+        lamx_l = jax.lax.dynamic_slice(
+            jnp.asarray(lamx_full, r.dtype), (i * nxl,), (nxl,))
+        r = ps.apply_y(r, sv.try_.fwd_mat, alias=True,
+                       interpret=pallas_interpret)
+        r = ps.apply_thomas_z(r, sv.a, sv.b, sv.c, sv.lamy, lamx_l,
+                              pin_singular=pin, tol=tol,
+                              interpret=pallas_interpret)
+        r = ps.apply_y(r, sv.try_.bwd_mat, alias=True,
+                       interpret=pallas_interpret)
+        r = jax.lax.all_to_all(r, 'gy', split_axis=1, concat_axis=2,
+                               tiled=True)      # (nz, ny//gy, nx)
+        return ps.apply_x(r, bxT, alias=True, interpret=pallas_interpret)
+
+    return shard_map(local, mesh=mesh,
+                     in_specs=P(None, 'gy', 'gx'),
+                     out_specs=P(None, 'gy', 'gx'), check_vma=False)(p)
+
+
 def pallas_helmholtz_eligible(sv: DirectSolver, shape, itemsize) -> bool:
     """Whether the aliased Pallas Helmholtz pipeline (solve with alpha) can
     run for this component solver: all-matmul square x/y transforms and a

@@ -295,6 +295,15 @@ class Simulation:
             and poisson.pallas_eligible(
                 self.solver_p, (nz, ny, nx), np.dtype(self.dtype).itemsize)
             and _os.environ.get('CALES_NO_PALLAS_SOLVE', '') != '1')
+        # slab-sharded (gy>1, gx=1) kernel path: per-shard aliased Pallas
+        # passes around two explicit all-to-all pencil transposes
+        # (poisson.solve_sharded_pallas)
+        self.use_pallas_solve_sharded = (
+            self._kernel_sharded and not self._gx_sharded
+            and poisson.pallas_sharded_eligible(
+                self.solver_p, (nz, ny, nx),
+                np.dtype(self.dtype).itemsize, self.mesh)
+            and _os.environ.get('CALES_NO_PALLAS_SOLVE', '') != '1')
         self.use_pallas_dsmag = False
         if (self.use_pallas_mom and cfg.sgstype == 'dsmag'
                 and not self._gx_sharded):
@@ -355,7 +364,9 @@ class Simulation:
                                    ('yop', getattr(self, '_fuse_yop',
                                                    False)),
                                    ('psolve', getattr(self, 'use_pallas_solve',
-                                                      False)),
+                                                      False)
+                                    or getattr(self, 'use_pallas_solve_sharded',
+                                               False)),
                                    ('cn', getattr(self, 'use_pallas_cn',
                                                   False))) if on]
             tag = f", fused: {'+'.join(fus)}" if fus else ''
@@ -1135,12 +1146,18 @@ class Simulation:
                 rhs = poisson.add_rhs_bound(cfg, ('c', 'c', 'c'), self.cbcpre,
                                             rhs, self.rhsb_p)
                 xf = self._fuse_xop
-                pp = (jnp.zeros_like(rhs) if self.ablate_solve else
-                      poisson.solve(self.solver_p, rhs, hints=self.hints,
-                                    pre_xformed_x=xf, skip_bwd_x=xf,
-                                    pre_xformed_xy=self._fuse_yop,
-                                    pallas=self.use_pallas_solve,
-                                    pallas_interpret=self._pallas_interpret))
+                if self.ablate_solve:
+                    pp = jnp.zeros_like(rhs)
+                elif self.use_pallas_solve_sharded:
+                    pp = poisson.solve_sharded_pallas(
+                        self.solver_p, rhs, self.mesh,
+                        pallas_interpret=self._pallas_interpret)
+                else:
+                    pp = poisson.solve(self.solver_p, rhs, hints=self.hints,
+                                       pre_xformed_x=xf, skip_bwd_x=xf,
+                                       pre_xformed_xy=self._fuse_yop,
+                                       pallas=self.use_pallas_solve,
+                                       pallas_interpret=self._pallas_interpret)
             # with the x fusion `pp` is x-spectral; the zedge algebra is
             # value-free (homogeneous BCs, gated) so it commutes with the
             # transform, and host-side plane consumers invert the two rows
