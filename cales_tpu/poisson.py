@@ -248,6 +248,24 @@ def solve_sharded_pallas(sv: DirectSolver, p, mesh, pallas_interpret=False):
                      out_specs=P(None, 'gy', 'gx'), check_vma=False)(p)
 
 
+def solve_z_only_sharded(sv: DirectSolver, p, alpha, mesh,
+                         pallas_interpret=False):
+    """Per-shard z-only CN Helmholtz (the _IMPDIFF_1D solves) under
+    shard_map: z is never sharded, so each shard solves its own
+    (nz, ny_loc, nx_loc) block with ZERO communication — the aliased
+    Pallas Thomas pass when the shard tiles (nx_loc % 128 == 0), else the
+    scan fallback per shard."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(r):
+        return solve_z_only(sv, r, alpha, pallas=True,
+                            pallas_interpret=pallas_interpret)
+
+    return shard_map(local, mesh=mesh, in_specs=P(None, 'gy', 'gx'),
+                     out_specs=P(None, 'gy', 'gx'), check_vma=False)(p)
+
+
 def pallas_helmholtz_eligible(sv: DirectSolver, shape, itemsize) -> bool:
     """Whether the aliased Pallas Helmholtz pipeline (solve with alpha) can
     run for this component solver: all-matmul square x/y transforms and a

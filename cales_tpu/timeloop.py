@@ -326,6 +326,12 @@ class Simulation:
             cfg.impdiff and cfg.impdiff_1d and self.use_pallas_mom
             and self.mesh is None
             and _os.environ.get('CALES_NO_PALLAS_CN', '') != '1')
+        # kernel-sharded impdiff_1d: z is never sharded, so the CN solves
+        # run per shard with zero communication (solve_z_only_sharded)
+        self.use_pallas_cn_sharded = (
+            cfg.impdiff and cfg.impdiff_1d and self._kernel_sharded
+            and _os.environ.get('CALES_NO_PALLAS_CN', '') != '1')
+        self.use_pallas_cn = self.use_pallas_cn or self.use_pallas_cn_sharded
         # full-3D implicit diffusion: per-component aliased Pallas
         # Helmholtz pipelines (transforms fused into the y passes + the
         # alpha-scaled Thomas z stage with qz tail passthrough)
@@ -1072,10 +1078,16 @@ class Simulation:
                               for k, v_ in planes.items()}
                 fld = poisson.add_rhs_bound(cfg, cf, cbc, fld, planes)
                 if cfg.impdiff_1d:
-                    fld = poisson.solve_z_only(
-                        self.solver_vel[ivel], fld, alpha,
-                        pallas=self.use_pallas_cn,
-                        pallas_interpret=self._pallas_interpret)
+                    if self.use_pallas_cn_sharded:
+                        fld = poisson.solve_z_only_sharded(
+                            self.solver_vel[ivel], fld, alpha, self.mesh,
+                            pallas_interpret=self._pallas_interpret)
+                    else:
+                        fld = poisson.solve_z_only(
+                            self.solver_vel[ivel], fld, alpha,
+                            pallas=self.use_pallas_cn
+                            and self.mesh is None,
+                            pallas_interpret=self._pallas_interpret)
                 else:
                     fld = poisson.solve(
                         self.solver_vel[ivel], fld, alpha=alpha,
