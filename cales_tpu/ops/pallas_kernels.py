@@ -1154,10 +1154,15 @@ def _correc_smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls,
         fu = sc[0, 2]     # deferred bulk-forcing constants (fused-fillps
         fv = sc[0, 3]     # momentum path; zero otherwise)
 
-        def ghost(letters_b_dr, side, q1):
+        def ghost(letters_b_dr, side, q1, q2):
+            """z-ghost plane from the corrected first/last interior plane
+            q1 (+ the next-inner plane q2 for the wall-model 'E' recipe:
+            the one-sided lwm extrapolation, sgs.f90:682-767)."""
             lt, b, dr = letters_b_dr[3 * side:3 * side + 3]
             if lt == 'D':
                 return 2.0 * b - q1
+            if lt == 'E':
+                return (1.0 + b) * q1 - b * q2
             return (-dr * b + q1) if side == 0 else (dr * b + q1)
 
         def body(kk, _):
@@ -1167,10 +1172,13 @@ def _correc_smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls,
                 kk, ty, interpret=interpret)
             ccache = {}
 
-            def cbase(P, dk):
-                """corrected plane at z offset dk (cached)."""
-                if (id(P), dk) in ccache:
-                    return ccache[(id(P), dk)]
+            def cbase(P, dk, raw=False):
+                """corrected plane at z offset dk (cached).  raw=True skips
+                the global z-ghost substitution — the next-inner interior
+                plane feeding the 'E' extrapolation recipe (never itself a
+                ghost row)."""
+                if ('b', id(P), dk, raw) in ccache:
+                    return ccache[('b', id(P), dk, raw)]
                 ppc = acc.plane(spp, dk, 0)
                 if P is sw:
                     q = acc.plane(sw, dk, 0) - dtrk * dzci_s[kz + dk, 0] * (
@@ -1181,21 +1189,27 @@ def _correc_smag_kernel(tz, ty, nz, ny, nx, dxi, dyi, visc, have_zwalls,
                 else:
                     q = fv + acc.plane(sv, dk, 0) - dtrk * dyi * (
                         _roll_rows_up(ppc, interpret) - ppc)
-                if P is not sw and dk != 0:
+                if P is not sw and dk != 0 and not raw:
                     # global z-ghost planes: post-fill synthesis from the
                     # corrected first/last interior plane
                     rec = zrec[0] if P is su else zrec[1]
                     if dk == -1:
                         cond = jnp.logical_and(k == 0, kk == 0)
-                        q = jnp.where(cond, ghost(rec, 0, cbase(P, 0)), q)
+                        q2 = (cbase(P, 1, raw=True)
+                              if rec[0] == 'E' else None)
+                        q = jnp.where(cond, ghost(rec, 0,
+                                                  cbase(P, 0), q2), q)
                     else:
                         cond = jnp.logical_and(k == klast, kk == tz - 1)
-                        q = jnp.where(cond, ghost(rec, 1, cbase(P, 0)), q)
-                ccache[(id(P), dk)] = q
+                        q2 = (cbase(P, -1, raw=True)
+                              if rec[3] == 'E' else None)
+                        q = jnp.where(cond, ghost(rec, 1,
+                                                  cbase(P, 0), q2), q)
+                ccache[('b', id(P), dk, raw)] = q
                 return q
 
             def cplane(P, dk, di):
-                key = (id(P), dk, di)
+                key = ('p', id(P), dk, di)
                 if key not in ccache:
                     p = cbase(P, dk)
                     if di == 1:

@@ -80,8 +80,20 @@ class Simulation:
         self.bcv_vals = bnd.make_bc_values(cfg.ng, bcvel_by_dir(1), self.dtype)
         self.bcw_vals = bnd.make_bc_values(cfg.ng, bcvel_by_dir(2), self.dtype)
         # wall-model state
+        import os as _os
         self.has_wm = any(cfg.lwm[ib][d] != 0 for ib in range(2) for d in range(3))
         self.index_wm = wm.find_index_wm(cfg, grid) if self.has_wm else None
+        # z-only wall models with scalar x/y BCs: update the wm Neumann
+        # planes from 4 sliced rows instead of full-field pads (the pad
+        # cost ~6 field passes/substep on the kernel path)
+        self._wm_z_fast = (
+            self.has_wm
+            and not any(cfg.lwm[ib][d] != 0 for ib in range(2)
+                        for d in (0, 1))
+            and all(np.isscalar(b[idir][ib]) or np.ndim(b[idir][ib]) == 0
+                    for b in (self.bcu_vals, self.bcv_vals, self.bcw_vals)
+                    for idir in (0, 1) for ib in range(2))
+            and _os.environ.get('CALES_NO_WM_FAST', '') != '1')
         # pressure BC RHS planes (cmpt_rhs_b, main.f90:317)
         self.rhsb_p = poisson.rhs_bound_planes(
             cfg, grid, self.cbcpre, ('c', 'c', 'c'),
@@ -424,12 +436,61 @@ class Simulation:
         bcu, bcv, bcw = self.bcu_vals, self.bcv_vals, self.bcw_vals
         if not self.has_wm:
             return bcu, bcv, bcw
+        if getattr(self, '_wm_z_fast', False):
+            return self._wm_bcs_fast(u, v, w)
         up, vp, wp, _ = bnd.pad_velocity(
             u, v, w, self.cbcvel, bcu, bcv, bcw, self.cfg.dl, self.grid.dzc,
             self.grid.dzf, vlo=None, is_correc=False)
         return wm.update_wallmodel_bcs(
             self.cfg, self.grid, up, vp, wp, bcu, bcv, bcw,
             self.bcu_vals, self.bcv_vals, self.bcw_vals, self.index_wm)
+
+    def _wm_row_pad(self, q, ivel, k):
+        """x/y ghost fill of the single interior z-row k — the only rows
+        the z-wall wall model reads.  Scalar-x/y-BC configs only (gated by
+        _wm_z_fast): the full-field pad_velocity here cost ~6 field passes
+        per substep on the kernel path for 4 consumed rows."""
+        face_key = ('x', 'y', 'z')[ivel]
+        bcs = (self.bcu_vals, self.bcv_vals, self.bcw_vals)[ivel]
+        dl = self.cfg.dl
+        s = q[k:k + 1]
+        for key, idir in (('x', 0), ('y', 1)):
+            axis = bnd.AX[key]
+            lts = (self.cbcvel[0][idir][ivel], self.cbcvel[1][idir][ivel])
+            dr = (dl[idir], dl[idir])
+            if key == face_key:
+                s = bnd._set_face(s, axis, lts, bcs[idir], dr)
+            else:
+                s = bnd._set_centered(s, axis, lts, bcs[idir], dr)
+        return s[0]
+
+    def _wm_bcs_fast(self, u, v, w):
+        """z-wall wall-model BC update from 4 sliced rows instead of a
+        full-field pad (identical numbers: the x->y fill of a z-row only
+        reads that row)."""
+        from .ops.boundary import bc_plane_shapes, ensure_plane
+        cfg = self.cfg
+        shapes = bc_plane_shapes(cfg.ng)
+        dtype = u.dtype
+        bcu_z = list(self.bcu_vals[2])
+        bcv_z = list(self.bcv_vals[2])
+        for ib in range(2):
+            if cfg.lwm[ib][2] == 0:
+                continue
+            k2 = self.index_wm[2][ib]
+            k1 = k2 - 1 if ib == 0 else k2 + 1
+            U1 = self._wm_row_pad(u, 0, k1 - 1)
+            U2 = self._wm_row_pad(u, 0, k2 - 1)
+            V1 = self._wm_row_pad(v, 1, k1 - 1)
+            V2 = self._wm_row_pad(v, 1, k2 - 1)
+            umag = ensure_plane(self.bcu_vals[2][ib], shapes['z'], dtype)
+            vmag = ensure_plane(self.bcv_vals[2][ib], shapes['z'], dtype)
+            bcu_z[ib], bcv_z[ib] = wm.z_wall_wm_planes(
+                cfg, self.grid, U1, U2, V1, V2, umag, vmag,
+                umag, vmag, ib, self.index_wm)
+        bcu = (self.bcu_vals[0], self.bcu_vals[1], tuple(bcu_z))
+        bcv = (self.bcv_vals[0], self.bcv_vals[1], tuple(bcv_z))
+        return bcu, bcv, self.bcw_vals
 
     def _pad_vel(self, u, v, w, bcu, bcv, bcw, vlo=None, is_correc=False):
         return bnd.pad_velocity(u, v, w, self.cbcvel, bcu, bcv, bcw,

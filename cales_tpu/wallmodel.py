@@ -222,43 +222,57 @@ def update_wallmodel_bcs(cfg, grid, up, vp, wp, bcu, bcv, bcw,
 
         # ---------------- z walls (wmodel.f90:222-272) ----------------
         if cfg.lwm[ib][2] != 0:
-            mtype = cfg.lwm[ib][2]
             k2 = index_wm[2][ib]
             k1 = k2 - 1 if ib == 0 else k2 + 1
-            coef = ((h - zc[k1]) / dzc[k1] if ib == 0
-                    else (h - (cfg.l[2] - zc[k1])) / dzc[k2])
-            sgn = 1.0 if ib == 0 else -1.0
-            U1, U2 = up[k1], up[k2]                      # (ny+2, nx+2)
-            V1, V2 = vp[k1], vp[k2]
-            # bcu%z over (i=0..nx, j=1..ny)
-            u1 = U1[1:ny + 1, 0:nx + 1]
-            u2 = U2[1:ny + 1, 0:nx + 1]
-            v1 = 0.25 * (V1[1:ny + 1, 0:nx + 1] + V1[1:ny + 1, 1:nx + 2]
-                         + V1[0:ny, 0:nx + 1] + V1[0:ny, 1:nx + 2])
-            v2 = 0.25 * (V2[1:ny + 1, 0:nx + 1] + V2[1:ny + 1, 1:nx + 2]
-                         + V2[0:ny, 0:nx + 1] + V2[0:ny, 1:nx + 2])
-            um = bcu_mag[2][ib][1:ny + 1, 0:nx + 1]
-            vm = 0.25 * (bcv_mag[2][ib][1:ny + 1, 0:nx + 1]
-                         + bcv_mag[2][ib][1:ny + 1, 1:nx + 2]
-                         + bcv_mag[2][ib][0:ny, 0:nx + 1]
-                         + bcv_mag[2][ib][0:ny, 1:nx + 2])
-            t1, _ = wallmodel_tauw(mtype, _rel(u1, u2, coef, um),
-                                   _rel(v1, v2, coef, vm), h, cfg.l[2], visc)
-            bcu[2][ib] = bcu[2][ib].at[1:ny + 1, 0:nx + 1].set(sgn * visci * t1)
-            # bcv%z over (i=1..nx, j=0..ny)
-            u1 = 0.25 * (U1[0:ny + 1, 0:nx] + U1[0:ny + 1, 1:nx + 1]
-                         + U1[1:ny + 2, 0:nx] + U1[1:ny + 2, 1:nx + 1])
-            u2 = 0.25 * (U2[0:ny + 1, 0:nx] + U2[0:ny + 1, 1:nx + 1]
-                         + U2[1:ny + 2, 0:nx] + U2[1:ny + 2, 1:nx + 1])
-            v1 = V1[0:ny + 1, 1:nx + 1]
-            v2 = V2[0:ny + 1, 1:nx + 1]
-            umg = bcu_mag[2][ib]
-            um = 0.25 * (umg[0:ny + 1, 0:nx] + umg[0:ny + 1, 1:nx + 1]
-                         + umg[1:ny + 2, 0:nx] + umg[1:ny + 2, 1:nx + 1])
-            vm = bcv_mag[2][ib][0:ny + 1, 1:nx + 1]
-            _, t2 = wallmodel_tauw(mtype, _rel(u1, u2, coef, um),
-                                   _rel(v1, v2, coef, vm), h, cfg.l[2], visc)
-            bcv[2][ib] = bcv[2][ib].at[0:ny + 1, 1:nx + 1].set(sgn * visci * t2)
+            bcu[2][ib], bcv[2][ib] = z_wall_wm_planes(
+                cfg, grid, up[k1], up[k2], vp[k1], vp[k2],
+                bcu_mag[2][ib], bcv_mag[2][ib], bcu[2][ib], bcv[2][ib],
+                ib, index_wm)
 
     to_t = lambda x: tuple(tuple(p) for p in x)
     return to_t(bcu), to_t(bcv), to_t(bcw)
+
+def z_wall_wm_planes(cfg, grid, U1, U2, V1, V2, umag, vmag, bcu_z, bcv_z,
+                     ib, index_wm):
+    """The z-wall branch of the wall-model BC update on explicit padded
+    (ny+2, nx+2) velocity ROWS at (k1, k2) — shared by the full-field
+    update above and the fused correc+smag path (which synthesizes the
+    corrected rows host-side as plane expressions before the kernel runs).
+    Returns the updated (bcu_z, bcv_z) planes for face ib."""
+    nx, ny, nz = cfg.ng
+    h, visc = cfg.hwm, cfg.visc
+    visci = 1.0 / visc
+    zc, dzc = grid.zc, grid.dzc
+    mtype = cfg.lwm[ib][2]
+    k2 = index_wm[2][ib]
+    k1 = k2 - 1 if ib == 0 else k2 + 1
+    coef = ((h - zc[k1]) / dzc[k1] if ib == 0
+            else (h - (cfg.l[2] - zc[k1])) / dzc[k2])
+    sgn = 1.0 if ib == 0 else -1.0
+    # bcu%z over (i=0..nx, j=1..ny)
+    u1 = U1[1:ny + 1, 0:nx + 1]
+    u2 = U2[1:ny + 1, 0:nx + 1]
+    v1 = 0.25 * (V1[1:ny + 1, 0:nx + 1] + V1[1:ny + 1, 1:nx + 2]
+                 + V1[0:ny, 0:nx + 1] + V1[0:ny, 1:nx + 2])
+    v2 = 0.25 * (V2[1:ny + 1, 0:nx + 1] + V2[1:ny + 1, 1:nx + 2]
+                 + V2[0:ny, 0:nx + 1] + V2[0:ny, 1:nx + 2])
+    um = umag[1:ny + 1, 0:nx + 1]
+    vm = 0.25 * (vmag[1:ny + 1, 0:nx + 1] + vmag[1:ny + 1, 1:nx + 2]
+                 + vmag[0:ny, 0:nx + 1] + vmag[0:ny, 1:nx + 2])
+    t1, _ = wallmodel_tauw(mtype, _rel(u1, u2, coef, um),
+                           _rel(v1, v2, coef, vm), h, cfg.l[2], visc)
+    bcu_z = bcu_z.at[1:ny + 1, 0:nx + 1].set(sgn * visci * t1)
+    # bcv%z over (i=1..nx, j=0..ny)
+    u1 = 0.25 * (U1[0:ny + 1, 0:nx] + U1[0:ny + 1, 1:nx + 1]
+                 + U1[1:ny + 2, 0:nx] + U1[1:ny + 2, 1:nx + 1])
+    u2 = 0.25 * (U2[0:ny + 1, 0:nx] + U2[0:ny + 1, 1:nx + 1]
+                 + U2[1:ny + 2, 0:nx] + U2[1:ny + 2, 1:nx + 1])
+    v1 = V1[0:ny + 1, 1:nx + 1]
+    v2 = V2[0:ny + 1, 1:nx + 1]
+    um = 0.25 * (umag[0:ny + 1, 0:nx] + umag[0:ny + 1, 1:nx + 1]
+                 + umag[1:ny + 2, 0:nx] + umag[1:ny + 2, 1:nx + 1])
+    vm = vmag[0:ny + 1, 1:nx + 1]
+    _, t2 = wallmodel_tauw(mtype, _rel(u1, u2, coef, um),
+                           _rel(v1, v2, coef, vm), h, cfg.l[2], visc)
+    bcv_z = bcv_z.at[0:ny + 1, 1:nx + 1].set(sgn * visci * t2)
+    return bcu_z, bcv_z

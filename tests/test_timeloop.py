@@ -159,3 +159,28 @@ def test_scalar_transport():
     expect = s0 * np.exp(-alpha * keff * nsteps * dt)
     err = np.abs(np.asarray(state.s) - expect).max()
     assert err < 5e-6, f"scalar diffusion decay error {err}"
+
+
+def test_wm_fast_bcs_match_full_pad(monkeypatch):
+    """The z-wall wall-model fast path (_wm_bcs_fast: 4 sliced x/y-filled
+    rows) must reproduce the full-field pad_velocity route bit-for-bit —
+    the x->y ghost fill of a z-row reads only that row."""
+    from cales_tpu import models
+    cfg = models.channel_wmles(ng=(16, 12, 12), visci=50000.0,
+                               dtype='float64')
+    grid = make_grid_from_config(cfg)
+    res = {}
+    for fast in (True, False):
+        if fast:
+            monkeypatch.delenv('CALES_NO_WM_FAST', raising=False)
+        else:
+            monkeypatch.setenv('CALES_NO_WM_FAST', '1')
+        sim = Simulation(cfg, grid)
+        assert sim._wm_z_fast == fast
+        u, v, w, p = initflow(cfg, grid)
+        state = sim.initial_state(u, v, w, p)
+        for _ in range(2):
+            state, _ = sim.step(state, 2e-4)
+        res[fast] = (np.asarray(state.u), np.asarray(state.visct))
+    assert np.array_equal(res[True][0], res[False][0])
+    assert np.array_equal(res[True][1], res[False][1])
