@@ -219,15 +219,29 @@ class Simulation:
         self._fuse_correc_smag = (
             self.use_pallas_smag and not self._kernel_sharded
             and mesh is None and not self._ywalled and not cfg.impdiff
-            and not self.has_wm
+            and (not self.has_wm or self._wm_z_fast)
             and cfg.cbc_vel(2, 0)[0] != 'P'
             and _os.environ.get('CALES_NO_FUSE_SMAG', '') != '1')
         if self._fuse_correc_smag:
-            dzc = grid.dzc
-            self._zrec_uv = tuple(
-                (self.cbcvel[0][2][iv], float(bvals[2][0]), float(dzc[0]),
-                 self.cbcvel[1][2][iv], float(bvals[2][1]), float(dzc[nz]))
-                for iv, bvals in ((0, self.bcu_vals), (1, self.bcv_vals)))
+            dzc, dzci_g = grid.dzc, grid.dzci
+            # per-face z-ghost recipes for the fused kernel's strain: the
+            # scalar-BC letters, or 'E' (one-sided lwm extrapolation,
+            # sgs.f90:682-767) on wall-modeled faces
+            fac_ex = (float(dzc[0] * dzci_g[1]),
+                      float(dzc[nz] * dzci_g[nz - 1]))
+            dz01 = (float(dzc[0]), float(dzc[nz]))
+
+            def _rec_for(iv, bvals):
+                out = []
+                for ib in range(2):
+                    if cfg.lwm[ib][2] != 0:
+                        out += ['E', fac_ex[ib], 0.0]
+                    else:
+                        out += [self.cbcvel[ib][2][iv],
+                                float(bvals[2][ib]), dz01[ib]]
+                return tuple(out)
+            self._zrec_uv = (_rec_for(0, self.bcu_vals),
+                             _rec_for(1, self.bcv_vals))
         # momentum+fillps single-pass fusion (explicit channel class): the
         # projection RHS comes out of the momentum kernel; bulk forcing
         # along periodic directions cancels in the divergence, so it is
@@ -450,10 +464,14 @@ class Simulation:
         the z-wall wall model reads.  Scalar-x/y-BC configs only (gated by
         _wm_z_fast): the full-field pad_velocity here cost ~6 field passes
         per substep on the kernel path for 4 consumed rows."""
+        return self._row_pad_xy(q[k], ivel)
+
+    def _row_pad_xy(self, plane, ivel):
+        """x/y ghost fill of one (ny, nx) z-row (scalar x/y BCs)."""
         face_key = ('x', 'y', 'z')[ivel]
         bcs = (self.bcu_vals, self.bcv_vals, self.bcw_vals)[ivel]
         dl = self.cfg.dl
-        s = q[k:k + 1]
+        s = plane[None]
         for key, idir in (('x', 0), ('y', 1)):
             axis = bnd.AX[key]
             lts = (self.cbcvel[0][idir][ivel], self.cbcvel[1][idir][ivel])
@@ -756,25 +774,63 @@ class Simulation:
             kw['xopi'] = self._xopiT
         if lo_wall or hi_wall:
             dzci = grid.dzci
-            pp0 = self._xinv_plane(pp[0]) if xspectral else pp[0]
-            ppn = self._xinv_plane(pp[-1]) if xspectral else pp[-1]
+            dzc = grid.dzc
+
+            def pprow(k):
+                q = pp[k]
+                return self._xinv_plane(q) if xspectral else q
 
             def corr_uv(uq, vq, ppq):
                 uq = fu + uq - dtrk * dxi * (jnp.roll(ppq, -1, axis=1) - ppq)
                 vq = fv + vq - dtrk * dyi * (jnp.roll(ppq, -1, axis=0) - ppq)
                 return uq, vq
-            u0, v0 = corr_uv(u[0], v[0], pp0)
-            un, vn = corr_uv(u[-1], v[-1], ppn)
-            A = u0 - self._ghost_row(self._zrec_uv[0], 0, u0)
-            B = v0 - self._ghost_row(self._zrec_uv[1], 0, v0)
-            t1 = A + jnp.roll(A, 1, axis=1)
-            t2 = B + jnp.roll(B, 1, axis=0)
-            tauw_lo = jnp.sqrt(t1 ** 2 + t2 ** 2) * dzci[0]
-            A = un - self._ghost_row(self._zrec_uv[0], 1, un)
-            B = vn - self._ghost_row(self._zrec_uv[1], 1, vn)
-            t1 = A + jnp.roll(A, 1, axis=1)
-            t2 = B + jnp.roll(B, 1, axis=0)
-            tauw_hi = jnp.sqrt(t1 ** 2 + t2 ** 2) * dzci[nz]
+
+            # wall-model faces: recompute the Neumann planes from the
+            # host-side-CORRECTED hwm rows (exactly what the unfused path's
+            # post-correction _dynamic_bcs does, main.f90:500-501) — plane
+            # expressions only, no field pass
+            wm_planes = {}
+            for ib in range(2):
+                if cfg.lwm[ib][2] == 0:
+                    continue
+                from .ops.boundary import bc_plane_shapes, ensure_plane
+                shapes = bc_plane_shapes(cfg.ng)
+                k2 = self.index_wm[2][ib]
+                k1 = k2 - 1 if ib == 0 else k2 + 1
+                cU, cV = {}, {}
+                for kp in (k1, k2):
+                    uq, vq = corr_uv(u[kp - 1], v[kp - 1], pprow(kp - 1))
+                    cU[kp] = self._row_pad_xy(uq, 0)
+                    cV[kp] = self._row_pad_xy(vq, 1)
+                umag = ensure_plane(self.bcu_vals[2][ib], shapes['z'],
+                                    u.dtype)
+                vmag = ensure_plane(self.bcv_vals[2][ib], shapes['z'],
+                                    u.dtype)
+                wm_planes[ib] = wm.z_wall_wm_planes(
+                    cfg, grid, cU[k1], cU[k2], cV[k1], cV[k2], umag, vmag,
+                    umag, vmag, ib, self.index_wm)
+
+            def tauw_face(side):
+                krow = 0 if side == 0 else -1
+                u_c, v_c = corr_uv(u[krow], v[krow], pprow(krow))
+                if side in wm_planes:
+                    # |grad u_par| at the wall face IS the wall-model
+                    # Neumann value: q - ghost = +-dzc*bc (sign-free in
+                    # the squares below)
+                    bu, bv = wm_planes[side]
+                    dz = dzc[0] if side == 0 else dzc[nz]
+                    A = dz * bnd._bc_plane(bu, u, 0, u.dtype)
+                    B = dz * bnd._bc_plane(bv, v, 0, u.dtype)
+                else:
+                    A = u_c - self._ghost_row(self._zrec_uv[0], side, u_c)
+                    B = v_c - self._ghost_row(self._zrec_uv[1], side, v_c)
+                t1 = A + jnp.roll(A, 1, axis=1)
+                t2 = B + jnp.roll(B, 1, axis=0)
+                dzi = dzci[0] if side == 0 else dzci[nz]
+                return jnp.sqrt(t1 ** 2 + t2 ** 2) * dzi
+
+            tauw_lo = tauw_face(0)
+            tauw_hi = tauw_face(1)
             zc = grid.zc[1:nz + 1]
             dw_lo = zc if lo_wall else np.full(nz, np.inf)
             dw_hi = (cfg.l[2] - zc) if hi_wall else np.full(nz, np.inf)

@@ -668,3 +668,39 @@ def test_pallas_step_integration_dns_no_sgs(monkeypatch):
         x, y = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
         err = np.abs(x - y).max()
         assert err < 1e-12, f"{name} DNS kernel mismatch: {err}"
+
+
+def test_wmles_fused_correc_smag_matches_unfused(monkeypatch):
+    """Round-3 WMLES fusion: the projection + pressure update + van-Driest
+    smag pass with 'E' (lwm extrapolation) in-kernel strain ghosts and the
+    wall-model Neumann planes recomputed from host-side-CORRECTED hwm rows
+    must reproduce the unfused kernel path (separate correc + smag kernels
+    + full post-correction wall-model update)."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu import models
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    cfg = models.channel_wmles(ng=(128, 16, 16), visci=50000.0,
+                               dtype='float64', ptransform='mat')
+    grid = make_grid_from_config(cfg)
+    results = {}
+    for fused in (True, False):
+        if fused:
+            monkeypatch.delenv('CALES_NO_FUSE_SMAG', raising=False)
+        else:
+            monkeypatch.setenv('CALES_NO_FUSE_SMAG', '1')
+        sim = Simulation(cfg, grid)
+        assert sim._fuse_correc_smag == fused, sim.exec_path()
+        s = sim.initial_state(*initflow(cfg, grid))
+        for _ in range(3):
+            s, _ = sim.step(s, 2e-4)
+        results[fused] = s
+    a, b = results[False], results[True]
+    for name in ('u', 'v', 'w', 'p', 'visct'):
+        x = np.asarray(getattr(a, name))
+        y = np.asarray(getattr(b, name))
+        if name == 'p':
+            x, y = x - x.mean(), y - y.mean()
+        err = np.abs(x - y).max()
+        assert err < 1e-11, f"{name} wmles-fusion mismatch: {err}"
