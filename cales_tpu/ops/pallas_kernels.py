@@ -374,14 +374,17 @@ def _dot_xop(a, b, dims=(((1,), (0,)), ((), ()))):
     return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
-def mom_tiles(nz, ny, itemsize, nx, split=None, fuse_fillps=False):
+def mom_tiles(nz, ny, itemsize, nx, split=None, fuse_fillps=False,
+              has_scal=False):
     """Tile pick with fused_mom_rk's exact VMEM budget (the largest of the
     kernel path) — the constructor gate MUST use this same function so a
     shape that passes the gate can never fail inside the wrapper.  split:
     the implicit-diffusion mode (None / '1d' / 'xy+z'), which adds three
-    diffusive-RHS outputs; fuse_fillps adds the projection-RHS output."""
-    return pick_tiles(nz, ny, itemsize, nx, nwin=10,
-                      nio=(9 if split is None else 12) + 2 * fuse_fillps)
+    diffusive-RHS outputs; fuse_fillps adds the projection-RHS output;
+    has_scal adds the passive-scalar window + its 3 in/out streams."""
+    return pick_tiles(nz, ny, itemsize, nx, nwin=10 + 2 * has_scal,
+                      nio=(9 if split is None else 12) + 2 * fuse_fillps
+                      + 3 * has_scal)
 
 
 def _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j, interpret,
@@ -432,7 +435,8 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
                 y_ext=False, split=None, has_xe=False,
                 ywalls=(False, False), fuse_fillps=False, wrec=None,
                 sum_flags=(False, False), has_xop=False, has_ystrips=False,
-                has_ruo=True, has_sgs=True):
+                has_ruo=True, has_sgs=True, has_scal=False, alpha_s=0.0,
+                ssource=0.0):
     """fuse_fillps: also emit the projection RHS div(u_new)/dt_rk in the
     same pass (fillps.f90 folded into the momentum tail): the RHS core is
     evaluated one y row wide (row 7, the j-1 neighbor of tile row 0 — the
@@ -460,6 +464,12 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
             u, v, w, p, ue, ve, we, pe = rest[0:8]
             s = se = None
             del rest[0:8]
+        sca = scae = None
+        if has_scal:
+            # passive-scalar window field + z-edge stack (scal.f90 fused
+            # into the momentum pass: the u/v/w windows are already here)
+            sca, scae = rest[0:2]
+            del rest[0:2]
         xe = xze = ye = yze = yh = yhz = None
         if has_xe:
             xe, xze = rest[0], rest[1]
@@ -470,12 +480,14 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
         if has_ystrips:
             yh, yhz = rest[0], rest[1]
             del rest[0:2]
-        ruo = rvo = rwo = None
+        ruo = rvo = rwo = rso = None
         if has_ruo:
             # first RK substep: f2 == 0 exactly (RK_COEFF[0][1]) so the
             # previous-RHS reads (3 full-field HBM streams) are skipped
             ruo, rvo, rwo = rest[0:3]
             del rest[0:3]
+            if has_scal:
+                rso = rest.pop(0)
         rvo_any = xop = None
         if fuse_fillps and has_ruo:
             rvo_any = rest.pop(0)
@@ -488,6 +500,10 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
             (u_o, v_o, w_o, ru_o, rv_o, rw_o,
              rud_o, rvd_o, rwd_o) = rest[0:9]
             del rest[0:9]
+        s_o = rs_o = None
+        if has_scal:
+            s_o, rs_o = rest[0:2]
+            del rest[0:2]
         rhs_o = usum_o = vsum_o = None
         if fuse_fillps:
             rhs_o = rest.pop(0)
@@ -495,12 +511,13 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
             usum_o = rest.pop(0)
         if sum_flags[1]:
             vsum_o = rest.pop(0)
-        nf = 4 + has_sgs
+        nf = 4 + has_sgs + has_scal
         if has_sgs:
             su2, sv2, sw2, ss2, sp2 = rest[0:5]
         else:
             su2, sv2, sw2, sp2 = rest[0:4]
             ss2 = None
+        ssc2 = rest[4 + has_sgs] if has_scal else None
         del rest[0:nf]
         sxe2 = sye2 = None
         if has_xe:
@@ -520,6 +537,8 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
         if has_sgs:
             base.append((s, se, ss2))
         base.append((p, pe, sp2))
+        if has_scal:
+            base.append((sca, scae, ssc2))
         if has_xe:
             base.append((xe, xze, sxe2))
         if has_ystrips:
@@ -534,6 +553,7 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
         su, sv, sw = wins[0:3]
         ss = wins[3] if has_sgs else None
         sp_ = wins[3 + has_sgs]
+        ssc = wins[4 + has_sgs] if has_scal else None
         sxe = wins[nf] if has_xe else None
         sye = wins[nf + has_xe] if has_ye else None
         y_lo = (j == 0) if ywalls[0] else None
@@ -552,7 +572,8 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
 
         def body(kk, w_prev):
             kz = z0 + kk + 1          # padded z index (Fortran k)
-            fwins = [su, sv, sw] + ([ss] if has_sgs else []) + [sp_]
+            fwins = ([su, sv, sw] + ([ss] if has_sgs else []) + [sp_]
+                     + ([ssc] if has_scal else []))
             acc = _PlaneAccessor(
                 {id(f): f for f in fwins},
                 kk, ty, interpret=interpret, xe=sxe,
@@ -591,6 +612,14 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
                 un = un + f2 * ruo[kk]
                 vn = vn + f2 * rvo[kk]
                 wn = wn + f2 * rwo[kk]
+            if has_scal:
+                ds = st.scalar_rhs_core(V, metrics.__getitem__,
+                                        su, sv, sw, ssc, alpha_s, dxi, dyi)
+                sn = V(ssc) + f1 * ds + f12 * ssource
+                if has_ruo:
+                    sn = sn + f2 * rso[kk]
+                s_o[kk] = sn
+                rs_o[kk] = ds
             if not fuse_fillps:
                 if split is not None:
                     # the full diffusive term enters the RK update; the
@@ -695,7 +724,8 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                  y_ext=False, split=None, xe=None, xze=None,
                  ye=None, yze=None, ywalls=(False, False),
                  fuse_fillps=False, wrec=None, sum_flags=(False, False),
-                 xop=None, ystrips=None, has_ruo=True, has_sgs=True):
+                 xop=None, ystrips=None, has_ruo=True, has_sgs=True,
+                 sca=None, scae=None, rso=None, scal_params=(0.0, 0.0)):
     """Momentum RHS + RK3 update in one HBM pass.
 
     u..p: interior (nz, ny, nx) fields; ue..pe: (3, ny, nx) z-edge stacks
@@ -727,7 +757,12 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
     dt = u.dtype
     if nx % 128 or ny % 8:
         return None
-    tiles = mom_tiles(nz, ny, dt.itemsize, nx, split=split)
+    has_scal = sca is not None
+    assert not (has_scal and (y_ext or fuse_fillps or xe is not None
+                              or ye is not None or ystrips is not None)), \
+        'fused scalar: single-chip xy-periodic path only'
+    tiles = mom_tiles(nz, ny, dt.itemsize, nx, split=split,
+                      has_scal=has_scal)
     if tiles is None:
         return None
     tz, ty = tiles
@@ -744,8 +779,8 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
         assert split is None and not y_ext and not has_xe and not has_ye
     if has_ystrips:
         assert not y_ext and not has_ye and not has_xe
-    nout = 6 if split is None else 9
-    nf = 4 + has_sgs
+    nout = (6 if split is None else 9) + 2 * has_scal
+    nf = 4 + has_sgs + has_scal
     nwin = nf + has_xe + has_ye
     gj = ny // ty
     grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
@@ -756,11 +791,15 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                        fuse_fillps=fuse_fillps, wrec=wrec,
                        sum_flags=sum_flags, has_xop=has_xop,
                        has_ystrips=has_ystrips, has_ruo=has_ruo,
-                       has_sgs=has_sgs)
+                       has_sgs=has_sgs, has_scal=has_scal,
+                       alpha_s=float(scal_params[0]),
+                       ssource=float(scal_params[1]))
     xargs = (xe, xze) if has_xe else ()
     yargs = (ye, yze) if has_ye else ()
     sargs = tuple(ystrips) if has_ystrips else ()
     rargs = (ruo, rvo, rwo) if has_ruo else ()
+    if has_ruo and has_scal:
+        rargs = rargs + (rso,)
     fargs = ((rvo,) if fuse_fillps and has_ruo
              else ())                         # rvo again, halo-strip source
     mat_spec = pl.BlockSpec((nx, nx), lambda k, j: (0, 0))
@@ -790,6 +829,9 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
     if has_ruo and not fuse_fillps and not _no_alias_io():
         ridx = 3 + 2 * nf + 2 * (has_xe + has_ye + has_ystrips)
         aliases = {ridx: 3, ridx + 1: 4, ridx + 2: 5}
+        if has_scal:
+            # dsdt carry in place alongside the momentum-RHS carries
+            aliases[ridx + 3] = (6 if split is None else 9) + 1
     outs = pl.pallas_call(
         kern,
         grid=grid,
@@ -815,6 +857,7 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
     )(sc, dzci_s, dzfi_s,
       *((u, v, w, s, p, ue, ve, we, se, pe) if has_sgs
         else (u, v, w, p, ue, ve, we, pe)),
+      *((sca, scae) if has_scal else ()),
       *xargs, *yargs, *sargs, *rargs, *fargs)
     return outs
 

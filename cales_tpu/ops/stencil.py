@@ -454,3 +454,28 @@ def bulk_mean(f, grid_vol_ratio):
     single fused multiply-reduce ran ~30x below bandwidth on TPU."""
     plane = jnp.sum(f, axis=(1, 2))
     return jnp.dot(plane, jnp.asarray(grid_vol_ratio, dtype=f.dtype))
+
+
+def scalar_rhs_core(V, M, up, vp, wp, sp, alpha, dxi, dyi):
+    """Passive-scalar advection-diffusion RHS through the accessor
+    interface (scal.f90:14-51) — shared by the XLA expression path
+    (scal.scalar_rhs) and the Pallas momentum mega-kernel's fused scalar
+    stream.  V(field, k=, j=, i=) reads a shifted plane; M(name) reads the
+    z metric ('dzci_c', 'dzci_m', 'dzfi_c'); alpha = visc/Pr."""
+    s_c = V(sp)
+    usim = 0.5 * (V(sp, i=-1) + s_c) * V(up, i=-1)
+    usip = 0.5 * (V(sp, i=1) + s_c) * V(up)
+    vsjm = 0.5 * (V(sp, j=-1) + s_c) * V(vp, j=-1)
+    vsjp = 0.5 * (V(sp, j=1) + s_c) * V(vp)
+    wskm = 0.5 * (V(sp, k=-1) + s_c) * V(wp, k=-1)
+    wskp = 0.5 * (V(sp, k=1) + s_c) * V(wp)
+    dsdxp = (V(sp, i=1) - s_c) * dxi
+    dsdxm = (s_c - V(sp, i=-1)) * dxi
+    dsdyp = (V(sp, j=1) - s_c) * dyi
+    dsdym = (s_c - V(sp, j=-1)) * dyi
+    dsdzp = (V(sp, k=1) - s_c) * M('dzci_c')
+    dsdzm = (s_c - V(sp, k=-1)) * M('dzci_m')
+    return (dxi * (-usip + usim) + (dsdxp - dsdxm) * alpha * dxi
+            + dyi * (-vsjp + vsjm) + (dsdyp - dsdym) * alpha * dyi
+            + M('dzfi_c') * (-wskp + wskm)
+            + (dsdzp - dsdzm) * alpha * M('dzfi_c'))

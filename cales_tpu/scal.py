@@ -12,36 +12,25 @@ from typing import NamedTuple, Any
 import jax.numpy as jnp
 
 from .config import RK_COEFF
-from .ops.stencil import _sh, _zb, bulk_mean
+from .ops.stencil import _sh, _zb, bulk_mean, scalar_rhs_core
 
 
 def scalar_rhs(up, vp, wp, sp, alpha, dxi, dyi, dzci, dzfi):
     """Advection-diffusion RHS for a cell-centered scalar (scal.f90:14-51).
-    alpha: molecular diffusivity.  All inputs padded."""
+    alpha: molecular diffusivity.  All inputs padded.  The discretization
+    lives in stencil.scalar_rhs_core (shared with the Pallas kernel)."""
     nz = up.shape[0] - 2
-    dzci_c = _zb(dzci, 1, nz + 1)
-    dzci_m = _zb(dzci, 0, nz)
-    dzfi_c = _zb(dzfi, 1, nz + 1)
+    metrics = {
+        'dzci_c': _zb(dzci, 1, nz + 1),
+        'dzci_m': _zb(dzci, 0, nz),
+        'dzfi_c': _zb(dzfi, 1, nz + 1),
+    }
 
     def V(P, k=0, j=0, i=0):
         return _sh(P, k, j, i)
 
-    s_c = V(sp)
-    usim = 0.5 * (V(sp, i=-1) + s_c) * V(up, i=-1)
-    usip = 0.5 * (V(sp, i=1) + s_c) * V(up)
-    vsjm = 0.5 * (V(sp, j=-1) + s_c) * V(vp, j=-1)
-    vsjp = 0.5 * (V(sp, j=1) + s_c) * V(vp)
-    wskm = 0.5 * (V(sp, k=-1) + s_c) * V(wp, k=-1)
-    wskp = 0.5 * (V(sp, k=1) + s_c) * V(wp)
-    dsdxp = (V(sp, i=1) - s_c) * dxi
-    dsdxm = (s_c - V(sp, i=-1)) * dxi
-    dsdyp = (V(sp, j=1) - s_c) * dyi
-    dsdym = (s_c - V(sp, j=-1)) * dyi
-    dsdzp = (V(sp, k=1) - s_c) * dzci_c
-    dsdzm = (s_c - V(sp, k=-1)) * dzci_m
-    return (dxi * (-usip + usim) + (dsdxp - dsdxm) * alpha * dxi
-            + dyi * (-vsjp + vsjm) + (dsdyp - dsdym) * alpha * dyi
-            + dzfi_c * (-wskp + wskm) + (dsdzp - dsdzm) * alpha * dzfi_c)
+    return scalar_rhs_core(V, metrics.__getitem__, up, vp, wp, sp,
+                           alpha, dxi, dyi)
 
 
 class ScalarState(NamedTuple):

@@ -191,8 +191,21 @@ class Simulation:
                  'present)')
         if not cfg.use_pallas:
             _why('use_pallas=False in config')
-        if cfg.scalar:
-            _why('scalar transport')
+        # passive scalar: fused into the momentum kernel on the single-chip
+        # xy-periodic path (its own window + dsdt carry); other modes fall
+        # back to the XLA path
+        self._scal_kernel_ok = (
+            cfg.scalar and mesh is None and not self._ywalled
+            and not any(cfg.lwm[ib][d] != 0 for ib in range(2)
+                        for d in range(3))
+            and all(cfg.cbcscal[ib][d] == 'P' for ib in range(2)
+                    for d in (0, 1))
+            and pk.mom_tiles(nz, ny_local, np.dtype(self.dtype).itemsize,
+                             nx_local, split=self._mom_split,
+                             has_scal=True) is not None)
+        if cfg.scalar and not self._scal_kernel_ok:
+            _why('scalar transport (non-periodic-xy scalar BCs, mesh, '
+                 'y walls, or no VMEM tiling with the scalar window)')
         if not xy_periodic:
             _why('non-periodic x/y BCs')
         if not tiles_ok:
@@ -203,7 +216,8 @@ class Simulation:
                  '(kernels need TPU f32, or CALES_PALLAS_INTERPRET=1)')
         self.use_pallas_mom = bool(
             cfg.use_pallas and (mesh is None or self._kernel_sharded)
-            and not cfg.scalar and xy_periodic and tiles_ok
+            and (not cfg.scalar or self._scal_kernel_ok)
+            and xy_periodic and tiles_ok
             and (on_tpu and cfg.dtype == 'float32' or self._pallas_interpret))
         self._kernel_sharded = self._kernel_sharded and self.use_pallas_mom
         walls_z_only = not any(
@@ -400,7 +414,9 @@ class Simulation:
                                     or getattr(self, 'use_pallas_solve_sharded',
                                                False)),
                                    ('cn', getattr(self, 'use_pallas_cn',
-                                                  False))) if on]
+                                                  False)),
+                                   ('scal', self.cfg.scalar and getattr(
+                                       self, '_scal_kernel_ok', False))) if on]
             tag = f", fused: {'+'.join(fus)}" if fus else ''
             return f'{kind} (sgs: {sgs}{tag})'
         why = self._fallback_reason or 'unknown'
@@ -613,6 +629,13 @@ class Simulation:
     def _zedge_s(self, s):
         cbc_z = (self.cfg.cbcsgs[0][2], self.cfg.cbcsgs[1][2])
         return bnd.zedge_scalar(s, cbc_z, self.bcs_vals[2], self.grid.dzc)
+
+    def _zedge_scal(self, s):
+        """z-edge stack of the passive scalar (its own BC table)."""
+        cfg = self.cfg
+        cbc_z = (cfg.cbcscal[0][2], cfg.cbcscal[1][2])
+        bv = (float(cfg.bcscal[0][2]), float(cfg.bcscal[1][2]))
+        return bnd.zedge_scalar(s, cbc_z, bv, self.grid.dzc)
 
     # --- y-edge bundles (y-walled kernel path, ops/boundary.yedge_*) ---
     def _pack_ybundle(self, stacks, zstacks):
@@ -1071,6 +1094,12 @@ class Simulation:
                         *fargs, *rargs, f1, f2)
                 else:
                     fuse_fp = self._fuse_mom_fillps
+                    scal_kw = {}
+                    if cfg.scalar and self._scal_kernel_ok:
+                        scal_kw = dict(
+                            sca=state.s, scae=self._zedge_scal(state.s),
+                            rso=None if first else state.dsdt_old,
+                            scal_params=(cfg.visc / cfg.pr, cfg.ssource))
                     outs = pk.fused_mom_rk(
                         u, v, w, visct if hs else None, p, ue, ve, we, se, pe,
                         ru_o, rv_o, rw_o, dzci, dzfi, f1, f2, visc,
@@ -1081,15 +1110,23 @@ class Simulation:
                         wrec=self._zrec_w if fuse_fp else None,
                         sum_flags=self._sum_flags,
                         xop=self._xopT if (self._fuse_xop and fuse_fp)
-                        else None, has_ruo=not first, has_sgs=hs)
-            if split is None:
-                u, v, w, ru, rv, rw = outs[0:6]
-                tail = list(outs[6:])
-                if self._fuse_mom_fillps and tail:
-                    rhs_fused = tail.pop(0)
-                mom_sums = tail
-            else:
-                u, v, w, ru, rv, rw, rud, rvd, rwd = outs
+                        else None, has_ruo=not first, has_sgs=hs,
+                        **scal_kw)
+            u, v, w, ru, rv, rw = outs[0:6]
+            tail = list(outs[6:])
+            if split is not None:
+                rud, rvd, rwd = tail[0:3]
+                del tail[0:3]
+            if cfg.scalar and self._scal_kernel_ok and not self._kernel_sharded:
+                s_new, dsdt = tail[0:2]
+                del tail[0:2]
+                if cfg.is_sforced:
+                    s_new = s_new + (cfg.scalf
+                                     - st.bulk_mean(s_new, self.gvr_f))
+                scal_state = (s_new, dsdt)
+            if self._fuse_mom_fillps and tail:
+                rhs_fused = tail.pop(0)
+            mom_sums = tail
             rhs_old = (ru, rv, rw)
         else:
             # ghosts of the current state (same fill the previous substep left)

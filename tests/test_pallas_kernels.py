@@ -704,3 +704,42 @@ def test_wmles_fused_correc_smag_matches_unfused(monkeypatch):
             x, y = x - x.mean(), y - y.mean()
         err = np.abs(x - y).max()
         assert err < 1e-11, f"{name} wmles-fusion mismatch: {err}"
+
+
+def test_scalar_fused_in_mom_kernel_matches_xla(monkeypatch):
+    """Passive scalar fused into the momentum mega-kernel (its own window
+    + dsdt carry, scal.f90 + rk.f90:123-195) must reproduce the XLA
+    expression path — velocity AND scalar — on a turbulent channel with
+    walls in z and a forced scalar."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    base = dict(ng=(128, 16, 16), l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=0.9,
+                visci=2000.0, inivel='log', is_wallturb=True, dtype='float64',
+                is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
+                sgstype='smag', ptransform='mat',
+                scalar=True, pr=0.71, iniscal='zer', ssource=0.05,
+                cbcscal=(('P', 'P', 'N'), ('P', 'P', 'N')),
+                cbcvel=((('P', 'P', 'P'), ('P', 'P', 'P'),
+                         ('D', 'D', 'D')),) * 2,
+                cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
+                cbcsgs=(('P', 'P', 'N'), ('P', 'P', 'N')))
+    results = []
+    for use_pallas in (False, True):
+        cfg = Config(**base, use_pallas=use_pallas)
+        grid = make_grid_from_config(cfg)
+        sim = Simulation(cfg, grid)
+        assert sim.use_pallas_mom == use_pallas, sim.exec_path()
+        s = sim.initial_state(*initflow(cfg, grid))
+        for _ in range(3):
+            s, _ = sim.step(s, 1e-3)
+        results.append(s)
+    a, b = results
+    for name in ('u', 'v', 'w', 'p', 's'):
+        x = np.asarray(getattr(a, name))
+        y = np.asarray(getattr(b, name))
+        if name == 'p':
+            x, y = x - x.mean(), y - y.mean()
+        err = np.abs(x - y).max()
+        assert err < 1e-11, f"{name} fused-scalar mismatch: {err}"
