@@ -285,11 +285,15 @@ class Simulation:
         # kernels' fu/fv (no u+f materialization) — forcing along periodic
         # directions cancels in the divergence, so the projection is
         # unchanged (rk.f90:197-222 reordered exactly)
+        # y walls included since r3: x-forcing still cancels exactly in
+        # the divergence (constant along the periodic x), and the y-walled
+        # corrector call already folds fu/fv
         self._defer_forcing = (
             self.use_pallas_mom and self._mom_split is None
-            and mesh is None and not self._ywalled and not self.has_wm
+            and mesh is None and not self.has_wm
             and not cfg.scalar and not cfg.is_forced[2]
-            and (cfg.is_forced[0] or cfg.is_forced[1]))
+            and (cfg.is_forced[0] or cfg.is_forced[1])
+            and not (self._ywalled and cfg.is_forced[1]))
         self._sum_flags = (bool(cfg.is_forced[0]) and self._defer_forcing,
                            bool(cfg.is_forced[1]) and self._defer_forcing)
         # x-transform fusion: the solve's first/last x operator matmuls run
