@@ -759,8 +759,8 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
         return None
     has_scal = sca is not None
     assert not (has_scal and (y_ext or fuse_fillps or xe is not None
-                              or ye is not None or ystrips is not None)), \
-        'fused scalar: single-chip xy-periodic path only'
+                              or ye is not None)), \
+        'fused scalar: xy-periodic single-chip or 1D-strips paths only'
     tiles = mom_tiles(nz, ny, dt.itemsize, nx, split=split,
                       has_scal=has_scal)
     if tiles is None:

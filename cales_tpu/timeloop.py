@@ -195,7 +195,10 @@ class Simulation:
         # xy-periodic path (its own window + dsdt carry); other modes fall
         # back to the XLA path
         self._scal_kernel_ok = (
-            cfg.scalar and mesh is None and not self._ywalled
+            cfg.scalar
+            and (mesh is None
+                 or (self._kernel_sharded and not self._gx_sharded))
+            and not self._ywalled
             and not any(cfg.lwm[ib][d] != 0 for ib in range(2)
                         for d in range(3))
             and all(cfg.cbcscal[ib][d] == 'P' for ib in range(2)
@@ -1011,6 +1014,8 @@ class Simulation:
         ru_o, rv_o, rw_o = state.rhs_old
         if self.hints is not None:
             u, v, w, p, visct = map(self.hints.field, (u, v, w, p, visct))
+            if cfg.scalar:
+                state = state._replace(s=self.hints.field(state.s))
         u, v, w, p, visct = map(self._lc, (u, v, w, p, visct))
 
         scal_state = None
@@ -1023,7 +1028,8 @@ class Simulation:
             # reference reads the same ghosts, bound.f90:117-123 reuse)
             from .ops import pallas_kernels as pk
             split = self._mom_split
-            nout = 6 if split is None else 9
+            nout = ((6 if split is None else 9)
+                    + (2 if cfg.scalar and self._scal_kernel_ok else 0))
             if cfg.impdiff:
                 # the CN Helmholtz RHS planes use the beginning-of-substep
                 # BC values (same fill the XLA path computes up front)
@@ -1054,20 +1060,30 @@ class Simulation:
             with jax.named_scope('momentum_rk_pallas'):
                 if self._kernel_sharded:
                     halo = self._halo_y
-                    nfl = 10 if hs else 8
+                    hsc = cfg.scalar and self._scal_kernel_ok
+                    nfl = (10 if hs else 8) + 2 * hsc
 
                     def mom_local(*a):
                         if hs:
                             (u_, v_, w_, s_, p_,
                              ue_, ve_, we_, se_, pe_) = a[0:10]
+                            na = 10
                         else:
                             u_, v_, w_, p_, ue_, ve_, we_, pe_ = a[0:8]
                             s_ = se_ = None
+                            na = 8
+                        sca_ = scae_ = None
+                        if hsc:
+                            sca_, scae_ = a[na:na + 2]
                         rest = a[nfl:]
                         r123, (f1_, f2_) = rest[:-2], rest[-2:]
-                        flds = [u_, v_, w_] + ([s_] if hs else []) + [p_]
+                        rso_ = None
+                        if r123 and hsc:
+                            r123, rso_ = r123[:-1], r123[-1]
+                        flds = ([u_, v_, w_] + ([s_] if hs else []) + [p_]
+                                + ([sca_] if hsc else []))
                         efls = ([ue_, ve_, we_] + ([se_] if hs else [])
-                                + [pe_])
+                                + [pe_] + ([scae_] if hsc else []))
                         if not self._gx_sharded:
                             # 1D decomposition: 8-row halo STRIPS, no
                             # extended-array materialization
@@ -1078,7 +1094,10 @@ class Simulation:
                                 visc, dxi, dyi, cfg.bforce,
                                 interpret=self._pallas_interpret,
                                 split=split, ystrips=ys,
-                                has_ruo=not first, has_sgs=hs)
+                                has_ruo=not first, has_sgs=hs,
+                                sca=sca_, scae=scae_, rso=rso_,
+                                scal_params=(cfg.visc / cfg.pr, cfg.ssource)
+                                if hsc else (0.0, 0.0))
                         xe = halo(self._xe_pack(flds))
                         xze = halo(self._xe_pack(efls))
                         hl = lambda q: None if q is None else halo(q)
@@ -1092,8 +1111,12 @@ class Simulation:
                             split=split, xe=xe, xze=xze,
                             has_ruo=not first, has_sgs=hs)
                     rargs = () if first else (ru_o, rv_o, rw_o)
+                    if hsc and not first:
+                        rargs = rargs + (state.dsdt_old,)
                     fargs = ((u, v, w, visct, p, ue, ve, we, se, pe) if hs
                              else (u, v, w, p, ue, ve, we, pe))
+                    if hsc:
+                        fargs = fargs + (state.s, self._zedge_scal(state.s))
                     outs = self._smap(mom_local, nfl + len(rargs), 2, nout)(
                         *fargs, *rargs, f1, f2)
                 else:
@@ -1121,7 +1144,7 @@ class Simulation:
             if split is not None:
                 rud, rvd, rwd = tail[0:3]
                 del tail[0:3]
-            if cfg.scalar and self._scal_kernel_ok and not self._kernel_sharded:
+            if cfg.scalar and self._scal_kernel_ok:
                 s_new, dsdt = tail[0:2]
                 del tail[0:2]
                 if cfg.is_sforced:
@@ -1470,6 +1493,9 @@ class Simulation:
                    zq=zq_new)
         if cfg.scalar:
             upd['s'], upd['dsdt_old'] = scal_state
+            if self.hints is not None:
+                upd['s'] = self.hints.field(upd['s'])
+                upd['dsdt_old'] = self.hints.field(upd['dsdt_old'])
         return state._replace(**upd), dpdl
 
     def _step_impl(self, state: State, dt):

@@ -369,3 +369,48 @@ def test_kernel_path_sharded_dns_no_sgs(monkeypatch):
                 a, b = a - a.mean(), b - b.mean()
             err = np.abs(a - b).max()
             assert err < 1e-11, f"{name} {shape} DNS-kernel mismatch: {err}"
+
+
+def test_scalar_kernel_sharded_matches_single(monkeypatch):
+    """The fused passive scalar under the 1D strips decomposition (its
+    window rides the same ppermute'd halo strips as the velocities) must
+    reproduce the single-device kernel path."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    cfg = Config(ng=(128, 32, 16), l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=0.9,
+                 visci=2000.0, inivel='log', is_wallturb=True, dtype='float64',
+                 is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
+                 sgstype='smag', ptransform='mat',
+                 scalar=True, pr=0.71, iniscal='zer', ssource=0.05,
+                 cbcscal=(('P', 'P', 'N'), ('P', 'P', 'N')),
+                 **_channel_bcs)
+    grid = make_grid_from_config(cfg)
+    u, v, w, p = initflow(cfg, grid)
+    dt = 1e-3
+
+    sim1 = Simulation(cfg, grid)
+    assert sim1.use_pallas_mom and sim1._scal_kernel_ok, sim1.exec_path()
+    s1 = sim1.initial_state(u, v, w, p)
+    for _ in range(2):
+        s1, _ = sim1.step(s1, dt)
+
+    mesh = make_mesh((2, 1))
+    simN = Simulation(cfg, grid, mesh=mesh)
+    assert simN._kernel_sharded and simN._scal_kernel_ok, simN.exec_path()
+    sN = simN.initial_state(u, v, w, p)
+    sh = field_sharding(mesh)
+    sN = sN._replace(u=jax.device_put(sN.u, sh), v=jax.device_put(sN.v, sh),
+                     w=jax.device_put(sN.w, sh), p=jax.device_put(sN.p, sh),
+                     visct=jax.device_put(sN.visct, sh),
+                     s=jax.device_put(sN.s, sh))
+    for _ in range(2):
+        sN, _ = simN.step(sN, dt)
+
+    for name in ('u', 'v', 'w', 'p', 's'):
+        a = np.asarray(getattr(s1, name))
+        b = np.asarray(getattr(sN, name))
+        if name == 'p':
+            a, b = a - a.mean(), b - b.mean()
+        err = np.abs(a - b).max()
+        assert err < 1e-10, f"{name} sharded-scalar mismatch: {err}"
