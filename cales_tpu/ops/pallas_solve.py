@@ -21,10 +21,14 @@ counterpart: /root/reference/src/solver.f90:20-233 (transform -> batched
 tridiagonal -> inverse transform); the eigen z-stage replaces the Thomas
 sweep exactly as in poisson._z_eigendecomposition.
 
-Used for the pressure Poisson solve on the single-chip kernel path when the
-momentum/corrector kernels already fuse the x operator matmuls
-(pre_xformed_x/skip_bwd_x), i.e. input and output are x-spectral
-(z, y, kx) real arrays.
+Every production pass runs IN PLACE (input_output_aliases) — an unaliased
+Pallas r+w pass streams at half bandwidth (tools/solve_probe5/6.py) — and
+the z stage is normally the O(nz) in-kernel Thomas sweep (plain or rank-1
+periodic) rather than the eigen matmuls.  Both in/out contracts are
+served: x-spectral (the kernels' x fusion, pre_xformed_x/skip_bwd_x) or
+physical (the x operator rides the y passes as a flat (tz*ny, nx) MXU
+dot).  The slab-sharded variant wraps these passes in shard_map around
+two explicit all-to-alls (poisson.solve_sharded_pallas).
 """
 from __future__ import annotations
 
@@ -37,16 +41,21 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_kernels import VMEM_BUDGET, _COMPILER_PARAMS, _dot_xop
 
 
-def y_tiles(nz, ny, nx, itemsize):
+def y_tiles(nz, ny, nx, itemsize, with_x=True):
     """z-block height for the y-transform kernels (no halos; in/out blocks
-    are auto-pipelined by Pallas, 2 slots each)."""
+    are auto-pipelined by Pallas, 2 slots each): 2x2 pipelined blocks +
+    wide/out concat copies + bf16 hi/lo splits = ~8 tiles; with_x adds the
+    flat x-dot intermediates (+ bf16 splits) and the (nx, nx) x operator
+    (~12 tiles).  Eligibility gates call with with_x=True (the worst
+    variant) so a gated shape can never exceed vmem_limit_bytes inside
+    any apply_y variant; the wrappers pick per-variant."""
+    nbuf = 12 if with_x else 8
     for tz in (32, 16, 8, 4, 2, 1):
         if nz % tz:
             continue
-        # 2x2 pipelined in/out blocks + wide/out concat copies + bf16
-        # hi/lo splits of the wide operand
-        if (8 * tz * ny * nx + 2 * ny * ny) * itemsize \
-                < VMEM_BUDGET - 8 * 1024 * 1024:
+        if ((nbuf * tz * ny * nx + 2 * ny * ny
+             + (2 * nx * nx if with_x else 0)) * itemsize
+                < VMEM_BUDGET - 8 * 1024 * 1024):
             return tz
     return None
 
@@ -67,8 +76,7 @@ def eligible(nz, ny, nx, itemsize):
             and z_tiles(nz, ny, nx, itemsize) is not None)
 
 
-def apply_y(arr, M, out_T=False, in_T=False, alias=False, MxT=None,
-            interpret=False):
+def apply_y(arr, M, alias=False, MxT=None, interpret=False):
     """out[z] = M @ arr[z] (@ MxT) for every z plane: the y-direction
     operator matmul — optionally fused with the x-direction transform —
     in one read+write pass.
@@ -78,66 +86,44 @@ def apply_y(arr, M, out_T=False, in_T=False, alias=False, MxT=None,
     tz*ny), so configs without the kernel-side x fusion still get the full
     x+y transform at ONE pass of HBM traffic.
 
-    out_T: write the result in (ny, nz, nx) layout (strided sublane
-    writes); in_T: the input arrives in that layout (strided reads).  One
-    transposed side per y kernel lets the middle z-eig pass read/write
-    fully aligned (nz, nx) slabs — measured 2.25 -> 2.09 ms for the full
-    3-pass solve at 512x256x256 f32 (tools/solve_probe2.py); superseded by
-    the aliased same-layout pipeline (tools/solve_probe7.py)."""
-    assert not (out_T and in_T)
-    if in_T:
-        ny, nz, nx = arr.shape
-    else:
-        nz, ny, nx = arr.shape
+    alias: run IN PLACE (input_output_aliases) — doubles the streaming
+    bandwidth: an unaliased Pallas r+w pass caps at ~330 GB/s vs ~630
+    aliased (tools/solve_probe6.py); the non-aliased in+out DMA pair is
+    the bottleneck, not slots or operand count (tools/solve_probe5.py)."""
+    nz, ny, nx = arr.shape
     assert M.shape == (ny, ny)
     dt = arr.dtype
-    tz = y_tiles(nz, ny, nx, dt.itemsize)
-    assert tz is not None
     has_x = MxT is not None
-    assert not (has_x and (out_T or in_T))
+    tz = y_tiles(nz, ny, nx, dt.itemsize, with_x=has_x)
+    assert tz is not None
 
     def kernel(m_ref, *refs):
         if has_x:
             xm_ref, d_ref, o_ref = refs
-        else:
-            d_ref, o_ref = refs
-        if has_x:
             # fused x transform: one flat (tz*ny, nx) @ (nx, nx) dot
             flat = d_ref[...].reshape(tz * ny, nx)
             planes = _dot_xop(flat, xm_ref[...]).reshape(tz, ny, nx)
             wide = jnp.concatenate([planes[z] for z in range(tz)], axis=1)
-        elif in_T:
-            wide = jnp.concatenate([d_ref[:, z, :] for z in range(tz)],
-                                   axis=1)
         else:
+            d_ref, o_ref = refs
             # one BIG dot per block: the tz z-planes concatenated along
             # lanes (free dim tz*nx) keep the MXU pipeline full —
             # per-plane (ny, ny) x (ny, nx) dots measured ~5x slower
             wide = jnp.concatenate([d_ref[z] for z in range(tz)], axis=1)
         out = _dot_xop(m_ref[...], wide)
         for z in range(tz):
-            if out_T:
-                o_ref[:, z, :] = out[:, z * nx:(z + 1) * nx]
-            else:
-                o_ref[z] = out[:, z * nx:(z + 1) * nx]
+            o_ref[z] = out[:, z * nx:(z + 1) * nx]
 
     z_blk = pl.BlockSpec((tz, ny, nx), lambda i: (i, 0, 0))
-    t_blk = pl.BlockSpec((ny, tz, nx), lambda i: (0, i, 0))
-    # in-place aliasing (same-layout passes only) doubles the streaming
-    # bandwidth: an unaliased Pallas r+w pass caps at ~330 GB/s vs ~630
-    # aliased (tools/solve_probe6.py) — the non-aliased in+out DMA pair is
-    # the bottleneck, not slots or operand count (tools/solve_probe5.py)
-    assert not (alias and (out_T or in_T))
     xargs = ((jnp.asarray(MxT, dtype=dt),) if has_x else ())
     xspecs = ([pl.BlockSpec((nx, nx), lambda i: (0, 0))] if has_x else [])
     return pl.pallas_call(
         kernel,
         grid=(nz // tz,),
         in_specs=[pl.BlockSpec((ny, ny), lambda i: (0, 0))] + xspecs
-                 + [t_blk if in_T else z_blk],
-        out_specs=t_blk if out_T else z_blk,
-        out_shape=jax.ShapeDtypeStruct(
-            (ny, nz, nx) if out_T else (nz, ny, nx), dt),
+                 + [z_blk],
+        out_specs=z_blk,
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
         input_output_aliases={1 + has_x: 0} if alias else {},
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
@@ -151,7 +137,7 @@ def apply_x(arr, MxT, alias=False, interpret=False):
     while x is still locally complete (before the y all-to-all)."""
     nz, ny, nx = arr.shape
     dt = arr.dtype
-    tz = y_tiles(nz, ny, nx, dt.itemsize)
+    tz = y_tiles(nz, ny, nx, dt.itemsize, with_x=True)
     assert tz is not None and MxT.shape == (nx, nx)
 
     def kernel(xm_ref, d_ref, o_ref):
@@ -171,20 +157,14 @@ def apply_x(arr, MxT, alias=False, interpret=False):
     )(jnp.asarray(MxT, dtype=dt), arr)
 
 
-def apply_z_eig(arr, Vl, Vr, lamz, lamy, lamx, tol, layout_T=False,
-                alias=False, interpret=False):
+def apply_z_eig(arr, Vl, Vr, lamz, lamy, lamx, tol, alias=False,
+                interpret=False):
     """out[:, j, :] = Vr @ (inv_j * (Vl @ arr[:, j, :])) per y row j, with
     inv_j = where(|lamz + lamy[j] + lamx| > tol, 1/lam3, 0) — the
     eigendecomposition z solve plus the singular-constant-mode projection
-    of poisson.solve, in one read+write pass.
-
-    layout_T: arr (and the output) are in (ny, nz, nx) layout, so every
-    block read/write is a fully aligned contiguous (ty, nz, nx) slab
-    instead of nz strided sublane accesses (tools/solve_probe2.py)."""
-    if layout_T:
-        ny, nz, nx = arr.shape
-    else:
-        nz, ny, nx = arr.shape
+    of poisson.solve, in one (aliased) read+write pass.  Used for
+    periodic z, where the Thomas sweep needs the rank-1 kernel instead."""
+    nz, ny, nx = arr.shape
     dt = arr.dtype
     ty = z_tiles(nz, ny, nx, dt.itemsize)
     assert ty is not None and Vl.shape == (nz, nz)
@@ -197,11 +177,8 @@ def apply_z_eig(arr, Vl, Vr, lamz, lamy, lamx, tol, layout_T=False,
         j = pl.program_id(0)
         # big-dot formulation (see apply_y): ty y-rows side-by-side along
         # lanes -> both eigen-matmuls run with free dim ty*nx
-        if layout_T:
-            wide = jnp.concatenate([d_ref[t] for t in range(ty)], axis=1)
-        else:
-            wide = jnp.concatenate([d_ref[:, t, :] for t in range(ty)],
-                                   axis=1)
+        wide = jnp.concatenate([d_ref[:, t, :] for t in range(ty)],
+                               axis=1)
         lam_w = jnp.concatenate(
             [lx_ref[...] + ly_ref[j * ty + t] for t in range(ty)], axis=1)
         hat = _dot_xop(vl_ref[...], wide)
@@ -209,17 +186,10 @@ def apply_z_eig(arr, Vl, Vr, lamz, lamy, lamx, tol, layout_T=False,
         inv = jnp.where(jnp.abs(lam3) > tol, 1.0 / lam3, 0.0)
         out = _dot_xop(vr_ref[...], hat * inv)
         for t in range(ty):
-            if layout_T:
-                o_ref[t] = out[:, t * nx:(t + 1) * nx]
-            else:
-                o_ref[:, t, :] = out[:, t * nx:(t + 1) * nx]
+            o_ref[:, t, :] = out[:, t * nx:(t + 1) * nx]
 
-    if layout_T:
-        blk = pl.BlockSpec((ty, nz, nx), lambda j: (j, 0, 0))
-        shape = (ny, nz, nx)
-    else:
-        blk = pl.BlockSpec((nz, ty, nx), lambda j: (0, j, 0))
-        shape = (nz, ny, nx)
+    blk = pl.BlockSpec((nz, ty, nx), lambda j: (0, j, 0))
+    shape = (nz, ny, nx)
     return pl.pallas_call(
         kernel,
         grid=(ny // ty,),
@@ -240,11 +210,13 @@ def apply_z_eig(arr, Vl, Vr, lamz, lamy, lamx, tol, layout_T=False,
 
 def thomas_z_tiles(nz, ny, nx, itemsize):
     """y-block width for the in-kernel Thomas z-stage (V1 layout): 2x2
-    pipelined in/out blocks + the (nz, ty, nx) factor scratch."""
+    pipelined in/out blocks + factor scratch.  Budgeted for the WORST
+    variant (the rank-1 periodic kernel's TWO (nz, ty, nx) scratch
+    buffers = 6 tiles), so the eligibility gate covers every caller."""
     for ty in (16, 8):
         if ny % ty:
             continue
-        if 5 * ty * nz * nx * itemsize < VMEM_BUDGET - 8 * 1024 * 1024:
+        if 6 * ty * nz * nx * itemsize < VMEM_BUDGET - 8 * 1024 * 1024:
             return ty
     return None
 

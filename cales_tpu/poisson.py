@@ -166,9 +166,12 @@ def make_solver(cfg: Config, grid: Grid, cbc, c_or_f,
 
 
 def pallas_eligible(sv: DirectSolver, shape, itemsize) -> bool:
-    """Whether the 3-pass Pallas solve path (ops/pallas_solve.py) can run:
-    x-spectral in/out (the kernel x fusion), all-matmul y transform with no
-    excluded rows, eigen z solve with no excluded plane, single device."""
+    """Whether the 3-pass aliased Pallas solve (ops/pallas_solve.py) can
+    run, for EITHER in/out contract — x-spectral (the kernel x fusion,
+    pre_xformed_x == skip_bwd_x == True) or physical (the x matmuls ride
+    the y passes as flat in-kernel dots): all-matmul square x/y transforms
+    with no excluded rows, z stage with no excluded plane, single
+    device."""
     from .ops import pallas_solve as ps
     nz, ny, nx = shape
     return (sv.zsolver == 'eig' and sv.qz == 0

@@ -85,7 +85,6 @@ def main():
     zc = np.asarray(grid.zc[1:n + 1])
     zf = np.asarray(grid.zf[1:n + 1])
     yc = (np.arange(n) + 0.5) / n
-    yf = (np.arange(n) + 1.0) / n
 
     # v at the vertical centerline y=0.5: y-face index n//2 - 1 is exactly
     # at 0.5 for even n
