@@ -284,7 +284,7 @@ def _pick_tiles_ds(nz, ny, itemsize, nx, nwin, nring, nio):
 
 
 def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret,
-                y_ext=False, ywalls=None, has_ystrips=False):
+                y_ext=False, ywalls=None, has_ystrips=False, has_ywf=False):
     """Ghost recipes (gated by `eligible`): 'wall' -> 2 q0 - q1, else
     ghost == nearest interior plane.
 
@@ -300,13 +300,15 @@ def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret,
 
     def kernel(dzci_s, dzfi_s, u, v, w, ue, ve, we, *rest):
         rest = list(rest)
-        ye = yze = yh = yhz = None
+        ye = yze = yh = yhz = ywf_s = None
         if has_ye:
             ye, yze = rest[0], rest[1]
             del rest[0:2]
         if has_ystrips:
             yh, yhz = rest[0], rest[1]
             del rest[0:2]
+        if has_ywf:
+            ywf_s = rest.pop(0)
         (fm0, fm1, fm2, fm3, fm4, fm5, fu_o, fv_o, fw_o,
          fc0, fc1, fc2, fl0, fl1, fl2, fl3, fl4, fl5, s0_o) = rest[0:19]
         del rest[0:19]
@@ -334,6 +336,11 @@ def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret,
         ybase = {id(su): 0, id(sv): 3, id(sw): 6}
         y_lo_t = (j == 0) if has_ye else None
         y_hi_t = (j == gj - 1) if has_ye else None
+        if has_ye and has_ywf:
+            # sharded y-walled runs: wall fixes fire only on the shard
+            # owning the wall (see pallas_kernels.fused_mom_rk ywf note)
+            y_lo_t = y_lo_t & (ywf_s[0, 0] > 0.5)
+            y_hi_t = y_hi_t & (ywf_s[0, 1] > 0.5)
 
         def _riota(shape):
             return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -475,7 +482,8 @@ def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret,
 
 def fused_dsmag_level1(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi,
                        wall_lo, wall_hi, interpret=False, y_ext=False,
-                       ye=None, yze=None, ywalls=None, ystrips=None):
+                       ye=None, yze=None, ywalls=None, ystrips=None,
+                       ywf=None):
     """DS1: returns (fm[6], fvel[3], fc[3], fl[6], s0) interiors or None.
 
     u, v, w: corrected-fill velocity interiors; ue, ve, we: their z-edge
@@ -500,8 +508,12 @@ def fused_dsmag_level1(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi,
     dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
     has_ye = ye is not None
     has_ystrips = ystrips is not None
+    has_ywf = ywf is not None
     yargs = (ye, yze) if has_ye else ()
     sargs = tuple(ystrips) if has_ystrips else ()
+    wargs = ((jnp.stack([jnp.asarray(ywf[0], dt),
+                         jnp.asarray(ywf[1], dt)]).reshape(1, 2),)
+             if has_ywf else ())
     grid = (nz // tz, ny // ty)
     int_spec = pl.BlockSpec((tz, ty, nx), lambda k, j: (k, j, 0))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -509,12 +521,13 @@ def fused_dsmag_level1(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi,
     kern = _ds1_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
                        bool(wall_lo), bool(wall_hi), interpret, y_ext=y_ext,
                        ywalls=ywalls if has_ye else None,
-                       has_ystrips=has_ystrips)
+                       has_ystrips=has_ystrips, has_ywf=has_ywf)
     outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[smem_spec, smem_spec]
-                 + [any_spec] * (6 + 2 * has_ye + 2 * has_ystrips),
+                 + [any_spec] * (6 + 2 * has_ye + 2 * has_ystrips)
+                 + [smem_spec] * has_ywf,
         out_specs=[int_spec] * 19,
         out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 19,
         scratch_shapes=[pltpu.VMEM((2, tz + 4, ty + 16, nx), dt)
@@ -526,24 +539,26 @@ def fused_dsmag_level1(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi,
                           pltpu.SemaphoreType.DMA((2, 3 + has_ye, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(dzci_s, dzfi_s, u, v, w, ue, ve, we, *yargs, *sargs)
+    )(dzci_s, dzfi_s, u, v, w, ue, ve, we, *yargs, *sargs, *wargs)
     return outs[0:6], outs[6:9], outs[9:12], outs[12:18], outs[18]
 
 
 def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret, y_ext=False,
-                ywalls=None, has_ystrips=False):
+                ywalls=None, has_ystrips=False, has_ywf=False):
     has_ye = ywalls is not None
     gj = ny // ty
 
     def kernel(alph2_s, dzci_s, dzfi_s, fu, fv, fw, fue, fve, fwe, *rest):
         rest = list(rest)
-        ye = yze = yh = yhz = None
+        ye = yze = yh = yhz = ywf_s = None
         if has_ye:
             ye, yze = rest[0], rest[1]
             del rest[0:2]
         if has_ystrips:
             yh, yhz = rest[0], rest[1]
             del rest[0:2]
+        if has_ywf:
+            ywf_s = rest.pop(0)
         (fm0, fm1, fm2, fm3, fm4, fm5,
          fc0, fc1, fc2, fl0, fl1, fl2, fl3, fl4, fl5, s0_i) = rest[0:16]
         del rest[0:16]
@@ -572,6 +587,9 @@ def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret, y_ext=False,
         sye = wins[3] if has_ye else None
         y_lo_t = (j == 0) if has_ye else None
         y_hi_t = (j == gj - 1) if has_ye else None
+        if has_ye and has_ywf:
+            y_lo_t = y_lo_t & (ywf_s[0, 0] > 0.5)
+            y_hi_t = y_hi_t & (ywf_s[0, 1] > 0.5)
         fm_i = (fm0, fm1, fm2, fm3, fm4, fm5)
         fc_i = (fc0, fc1, fc2)
         fl_i = (fl0, fl1, fl2, fl3, fl4, fl5)
@@ -633,7 +651,8 @@ def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret, y_ext=False,
 def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0,
                        alph2_1d, dzci, dzfi, dxi, dyi, avg,
                        interpret=False, y_ext=False,
-                       ye=None, yze=None, ywalls=None, ystrips=None):
+                       ye=None, yze=None, ywalls=None, ystrips=None,
+                       ywf=None):
     """DS2: Mij/Lij contraction from the DS1 outputs.
 
     fue..fwe: zedge stacks of the filtered-velocity BC fill (pad_vel
@@ -658,8 +677,12 @@ def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0,
     dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
     has_ye = ye is not None
     has_ystrips = ystrips is not None
+    has_ywf = ywf is not None
     yargs = (ye, yze) if has_ye else ()
     sargs = tuple(ystrips) if has_ystrips else ()
+    wargs = ((jnp.stack([jnp.asarray(ywf[0], dt),
+                         jnp.asarray(ywf[1], dt)]).reshape(1, 2),)
+             if has_ywf else ())
     grid = (nz // tz, ny // ty)
     int_spec = pl.BlockSpec((tz, ty, nx), lambda k, j: (k, j, 0))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -667,7 +690,7 @@ def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0,
     kern = _ds2_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi), avg,
                        interpret, y_ext=y_ext,
                        ywalls=ywalls if has_ye else None,
-                       has_ystrips=has_ystrips)
+                       has_ystrips=has_ystrips, has_ywf=has_ywf)
     if avg == 'cavity':
         out_specs = int_spec
         out_shape = jax.ShapeDtypeStruct((nz, ny, nx), dt)
@@ -683,6 +706,7 @@ def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0,
         grid=grid,
         in_specs=[smem_spec] * 3
                  + [any_spec] * (6 + 2 * has_ye + 2 * has_ystrips)
+                 + [smem_spec] * has_ywf
                  + [int_spec] * 16,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -694,4 +718,4 @@ def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(alph2_s, dzci_s, dzfi_s, fu, fv, fw, fue, fve, fwe, *yargs, *sargs,
-      *fm, *fc, *fl, s0)
+      *wargs, *fm, *fc, *fl, s0)

@@ -436,7 +436,7 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
                 ywalls=(False, False), fuse_fillps=False, wrec=None,
                 sum_flags=(False, False), has_xop=False, has_ystrips=False,
                 has_ruo=True, has_sgs=True, has_scal=False, alpha_s=0.0,
-                ssource=0.0):
+                ssource=0.0, has_ywf=False):
     """fuse_fillps: also emit the projection RHS div(u_new)/dt_rk in the
     same pass (fillps.f90 folded into the momentum tail): the RHS core is
     evaluated one y row wide (row 7, the j-1 neighbor of tile row 0 — the
@@ -556,8 +556,14 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
         ssc = wins[4 + has_sgs] if has_scal else None
         sxe = wins[nf] if has_xe else None
         sye = wins[nf + has_xe] if has_ye else None
+        # per-shard wall flags (sharded y-walled runs: the SAME program runs
+        # on every shard, so the wall fixes must be gated on whether THIS
+        # shard owns the wall — sc rows 2/3 carry the traced flags)
         y_lo = (j == 0) if ywalls[0] else None
         y_hi = (j == gj - 1) if ywalls[1] else None
+        if has_ywf:
+            y_lo = (y_lo & (sc[0, 2] > 0.5)) if ywalls[0] else None
+            y_hi = (y_hi & (sc[0, 3] > 0.5)) if ywalls[1] else None
         if fuse_fillps and has_ruo:
             # rvo halo strip (the j-1 row's previous-RHS, y-wrap aligned)
             ylo = pl.multiple_of((j * ty - 8) % ny, 8)
@@ -725,7 +731,8 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                  ye=None, yze=None, ywalls=(False, False),
                  fuse_fillps=False, wrec=None, sum_flags=(False, False),
                  xop=None, ystrips=None, has_ruo=True, has_sgs=True,
-                 sca=None, scae=None, rso=None, scal_params=(0.0, 0.0)):
+                 sca=None, scae=None, rso=None, scal_params=(0.0, 0.0),
+                 ywf=None):
     """Momentum RHS + RK3 update in one HBM pass.
 
     u..p: interior (nz, ny, nx) fields; ue..pe: (3, ny, nx) z-edge stacks
@@ -750,7 +757,13 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
     ye/yze + ywalls: packed 16-row y-edge bundle (+ its z-edge corner
     stack) for y-WALLED configs (duct/cavity class): rows 3m+0/1/2 = lo
     ghost / hi ghost / padded-ny row per field; the wall-adjacent tiles'
-    wrap rows are fixed in-register (_PlaneAccessor._fix_y)."""
+    wrap rows are fixed in-register (_PlaneAccessor._fix_y).
+
+    ywf: traced (2,) per-shard wall flags for SHARDED y-walled runs
+    (ystrips + ye together): the bundle is the GLOBAL one (its lo rows are
+    only read on the shard owning the lo wall, hi rows on the hi-wall
+    shard), and the in-kernel wall fixes fire only where ywf says this
+    shard touches a wall; interior shards read their ppermute'd strips."""
     nz, ny, nx = u.shape
     if y_ext:
         ny -= 16
@@ -767,7 +780,11 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
         return None
     tz, ty = tiles
 
-    sc = jnp.stack([jnp.asarray(f1, dt), jnp.asarray(f2, dt)]).reshape(1, 2)
+    has_ywf = ywf is not None
+    scs = [jnp.asarray(f1, dt), jnp.asarray(f2, dt)]
+    if has_ywf:
+        scs += [jnp.asarray(ywf[0], dt), jnp.asarray(ywf[1], dt)]
+    sc = jnp.stack(scs).reshape(1, len(scs))
     dzci_s = jnp.asarray(dzci, dt).reshape(-1, 1)
     dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
 
@@ -778,7 +795,7 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
     if fuse_fillps:
         assert split is None and not y_ext and not has_xe and not has_ye
     if has_ystrips:
-        assert not y_ext and not has_ye and not has_xe
+        assert not y_ext and not has_xe
     nout = (6 if split is None else 9) + 2 * has_scal
     nf = 4 + has_sgs + has_scal
     nwin = nf + has_xe + has_ye
@@ -793,7 +810,7 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                        has_ystrips=has_ystrips, has_ruo=has_ruo,
                        has_sgs=has_sgs, has_scal=has_scal,
                        alpha_s=float(scal_params[0]),
-                       ssource=float(scal_params[1]))
+                       ssource=float(scal_params[1]), has_ywf=has_ywf)
     xargs = (xe, xze) if has_xe else ()
     yargs = (ye, yze) if has_ye else ()
     sargs = tuple(ystrips) if has_ystrips else ()
@@ -996,7 +1013,7 @@ def fused_smag(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi, visc, cs_delta2_1d,
 
 def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
                    has_xe=False, ywalls=(False, False), has_ystrips=False,
-                   has_xop=False, has_yop=False):
+                   has_xop=False, has_yop=False, has_ywf=False):
     has_ye = any(ywalls)
     gj = ny // ty
 
@@ -1040,6 +1057,9 @@ def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
         sye = wins[3 + has_xe] if has_ye else None
         y_lo = (j == 0) if ywalls[0] else None
         y_hi = (j == gj - 1) if ywalls[1] else None
+        if has_ywf:
+            y_lo = (y_lo & (sc[0, 1] > 0.5)) if ywalls[0] else None
+            y_hi = (y_hi & (sc[0, 2] > 0.5)) if ywalls[1] else None
         dti = sc[0, 0]
 
         def body(kk, _):
@@ -1081,7 +1101,8 @@ def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
 
 def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False,
                  y_ext=False, xe=None, xze=None, ye=None, yze=None,
-                 ywalls=(False, False), ystrips=None, xop=None, yop=None):
+                 ywalls=(False, False), ystrips=None, xop=None, yop=None,
+                 ywf=None):
     """Poisson RHS div(u)/dt_rk in one pass (fillps.f90:14-48).
 
     u, v, w: prediction-velocity interiors; ue, ve, we: prediction-fill
@@ -1100,7 +1121,11 @@ def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False,
     if tiles is None:
         return None
     tz, ty = tiles
-    sc = jnp.asarray(dti, dt).reshape(1, 1)
+    has_ywf = ywf is not None
+    scs = [jnp.asarray(dti, dt)]
+    if has_ywf:
+        scs += [jnp.asarray(ywf[0], dt), jnp.asarray(ywf[1], dt)]
+    sc = jnp.stack(scs).reshape(1, len(scs))
     dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
     has_xe = xe is not None
     has_ye = ye is not None
@@ -1124,7 +1149,7 @@ def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False,
                           interpret, y_ext=y_ext, has_xe=has_xe,
                           ywalls=ywalls if has_ye else (False, False),
                           has_ystrips=has_ystrips, has_xop=has_xop,
-                          has_yop=has_yop)
+                          has_yop=has_yop, has_ywf=has_ywf)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -1369,7 +1394,7 @@ def fused_correc_updatep_smag(u, v, w, pp, p, ue, ve, we, ppe, dtrk,
 
 def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
                    impdiff=False, impdiff_1d=False, has_xe=False,
-                   ywalls=(False, False), has_ystrips=False):
+                   ywalls=(False, False), has_ystrips=False, has_ywf=False):
     has_ye = any(ywalls)
     gj = ny // ty
 
@@ -1411,6 +1436,9 @@ def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
         sye = wins[2 + has_xe] if has_ye else None
         y_lo = (j == 0) if ywalls[0] else None
         y_hi = (j == gj - 1) if ywalls[1] else None
+        if has_ywf:
+            y_lo = (y_lo & (sc[0, 4] > 0.5)) if ywalls[0] else None
+            y_hi = (y_hi & (sc[0, 5] > 0.5)) if ywalls[1] else None
         dtrk = sc[0, 0]
         alpha = sc[0, 1]
         fu = sc[0, 2]     # deferred bulk-forcing constants (fused-fillps
@@ -1459,7 +1487,7 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
                          alpha=0.0, impdiff=False, impdiff_1d=False,
                          dzfi=None, xe=None, xze=None, ye=None, yze=None,
                          ywalls=(False, False), fu=0.0, fv=0.0,
-                         ystrips=None, alias_p=False):
+                         ystrips=None, alias_p=False, ywf=None):
     """Velocity correction + pressure update in one pass (correc.f90:14-68,
     updatep.f90:14-24 explicit-diffusion branch).
 
@@ -1481,9 +1509,12 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
     if tiles is None:
         return None
     tz, ty = tiles
-    sc = jnp.stack([jnp.asarray(dtrk, dt), jnp.asarray(alpha, dt),
-                    jnp.asarray(fu, dt),
-                    jnp.asarray(fv, dt)]).reshape(1, 4)
+    has_ywf = ywf is not None
+    scs = [jnp.asarray(dtrk, dt), jnp.asarray(alpha, dt),
+           jnp.asarray(fu, dt), jnp.asarray(fv, dt)]
+    if has_ywf:
+        scs += [jnp.asarray(ywf[0], dt), jnp.asarray(ywf[1], dt)]
+    sc = jnp.stack(scs).reshape(1, len(scs))
     dzci_s = jnp.asarray(dzci, dt).reshape(-1, 1)
     dzfi_s = jnp.asarray(dzfi if dzfi is not None else np.zeros(nz + 2),
                          dt).reshape(-1, 1)
@@ -1499,7 +1530,7 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
                           interpret, y_ext=y_ext, impdiff=impdiff,
                           impdiff_1d=impdiff_1d, has_xe=has_xe,
                           ywalls=ywalls if has_ye else (False, False),
-                          has_ystrips=has_ystrips)
+                          has_ystrips=has_ystrips, has_ywf=has_ywf)
     # in-place correction: the u/v prediction inputs (and p with alias_p,
     # substeps where the donor is an intermediate) are read pointwise
     # through the same output-aligned int_spec blocks as the u/v/p outputs

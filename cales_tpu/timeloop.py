@@ -142,16 +142,20 @@ class Simulation:
         x_periodic = _dir_periodic(0)
         y_periodic = _dir_periodic(1)
         # non-periodic y (duct/cavity class) runs the kernels with the
-        # ye-bundle ghost-row fixes — scalar BC values only (no wall model)
-        # and unsharded for now
-        y_wall_ok = (not y_periodic and not self.has_wm and mesh is None)
+        # ye-bundle ghost-row fixes — scalar BC values only (no wall model).
+        # Sharded: 1D (gy) meshes combine the bundle fixes with the halo
+        # strips (the wall fixes are gated per shard, fused_mom_rk ywf);
+        # gx > 1 still falls back (the xe column protocol has no wall form)
+        gx_m = (1 if mesh is None else
+                dict(zip(mesh.axis_names, mesh.devices.shape)).get('gx', 1))
+        y_wall_ok = (not y_periodic and not self.has_wm and gx_m == 1)
         self._ywalled = not y_periodic
         xy_periodic = x_periodic and (y_periodic or y_wall_ok)
         if not x_periodic:
             _why('non-periodic x BCs')
         elif not (y_periodic or y_wall_ok):
-            _why('y-walled config with wall model or mesh '
-                 '(ye-bundle path is single-chip, scalar-BC only)')
+            _why('y-walled config with wall model or 2D (gx>1) mesh '
+                 '(ye-bundle path is gy-sharded/single-chip, scalar-BC only)')
         nx, ny, nz = cfg.ng
         # kernels under a mesh: per-shard Pallas under shard_map.  y halos
         # arrive as ppermute 8-row strips (y_ext mode); with gx > 1 the
@@ -592,6 +596,17 @@ class Simulation:
             return jnp.concatenate(parts, axis=1)
         return pack(arrays), pack(edges)
 
+    def _ywf_shard(self, dt):
+        """Per-shard y-wall flags (lo, hi) for the sharded y-walled kernel
+        path (runs inside shard_map): the SPMD kernel program is identical
+        on every shard, so the in-kernel wall ghost fixes are gated on
+        whether THIS shard owns the global lo / hi y wall."""
+        row = jax.lax.axis_index('gy')
+        gy = self._gy()
+        one, zero = jnp.ones((), dt), jnp.zeros((), dt)
+        return (jnp.where(row == 0, one, zero),
+                jnp.where(row == gy - 1, one, zero))
+
     def _xe_pack(self, arrays):
         """Packed x-ghost-column bundle for the per-shard kernels (gx > 1):
         ppermute each array's boundary columns with the cyclic x neighbors
@@ -904,18 +919,26 @@ class Simulation:
             from jax import shard_map
             from jax.sharding import PartitionSpec as Pspec
             F = Pspec(None, 'gy', 'gx')   # dsmag runs only at gx == 1
+            S = Pspec()                   # replicated (global y bundles)
             halo = self._halo_y
+            ywalled = self._ywalled
 
-            def ds1_local(u_, v_, w_, ue_, ve_, we_):
+            def ds1_local(u_, v_, w_, ue_, ve_, we_, *yb):
                 ys = self._halo_strips([u_, v_, w_], [ue_, ve_, we_])
+                ykw = {}
+                if ywalled:
+                    ykw = dict(ye=yb[0], yze=yb[1], ywalls=ykw1['ywalls'],
+                               ywf=self._ywf_shard(u_.dtype))
                 return pds.fused_dsmag_level1(
                     u_, v_, w_, ue_, ve_, we_, grid.dzci, grid.dzfi,
                     cfg.dli[0], cfg.dli[1], wall_lo, wall_hi,
-                    interpret=self._pallas_interpret, ystrips=ys)
+                    interpret=self._pallas_interpret, ystrips=ys, **ykw)
+            yb1 = (ye1, yze1) if ywalled else ()
             fm, fvel, fc, fl, s0 = shard_map(
-                ds1_local, mesh=self.mesh, in_specs=(F,) * 6,
+                ds1_local, mesh=self.mesh,
+                in_specs=(F,) * 6 + (S,) * len(yb1),
                 out_specs=((F,) * 6, (F,) * 3, (F,) * 3, (F,) * 6, F),
-                check_vma=False)(u, v, w, ue, ve, we)
+                check_vma=False)(u, v, w, ue, ve, we, *yb1)
         else:
             fm, fvel, fc, fl, s0 = pds.fused_dsmag_level1(
                 u, v, w, ue, ve, we, grid.dzci, grid.dzfi,
@@ -939,18 +962,25 @@ class Simulation:
         if wall_hi:
             alph2[-1] = 2.52
         if self._kernel_sharded:
-            def ds2_local(fu_, fv_, fw_, fue_, fve_, fwe_, *ints):
+            def ds2_local(fu_, fv_, fw_, fue_, fve_, fwe_, *rest):
+                ints, yb = rest[:16], rest[16:]
                 ys = self._halo_strips([fu_, fv_, fw_], [fue_, fve_, fwe_])
+                ykw = {}
+                if ywalled:
+                    ykw = dict(ye=yb[0], yze=yb[1], ywalls=ykw1['ywalls'],
+                               ywf=self._ywf_shard(fu_.dtype))
                 return pds.fused_dsmag_level2(
                     fu_, fv_, fw_, fue_, fve_, fwe_,
                     ints[0:6], ints[6:9], ints[9:15], ints[15],
                     alph2, grid.dzci, grid.dzfi, cfg.dli[0], cfg.dli[1],
                     cfg.dsmag_avg, interpret=self._pallas_interpret,
-                    ystrips=ys)
+                    ystrips=ys, **ykw)
             out_specs = F if cfg.dsmag_avg == 'cavity' else (F, F)
-            out = shard_map(ds2_local, mesh=self.mesh, in_specs=(F,) * 22,
+            yb2 = (ye2, yze2) if ywalled else ()
+            out = shard_map(ds2_local, mesh=self.mesh,
+                            in_specs=(F,) * 22 + (S,) * len(yb2),
                             out_specs=out_specs, check_vma=False)(
-                fu, fv, fw, fue, fve, fwe, *fm, *fc, *fl, s0)
+                fu, fv, fw, fue, fve, fwe, *fm, *fc, *fl, s0, *yb2)
         else:
             out = pds.fused_dsmag_level2(
                 fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0, alph2,
@@ -1076,7 +1106,15 @@ class Simulation:
                         if hsc:
                             sca_, scae_ = a[na:na + 2]
                         rest = a[nfl:]
-                        r123, (f1_, f2_) = rest[:-2], rest[-2:]
+                        ye_ = yze_ = ywf_ = None
+                        if self._ywalled:
+                            # GLOBAL y-edge bundle, replicated: only the
+                            # wall shards' rows are read (gated by ywf)
+                            r123 = rest[:-4]
+                            ye_, yze_, f1_, f2_ = rest[-4:]
+                            ywf_ = self._ywf_shard(u_.dtype)
+                        else:
+                            r123, (f1_, f2_) = rest[:-2], rest[-2:]
                         rso_ = None
                         if r123 and hsc:
                             r123, rso_ = r123[:-1], r123[-1]
@@ -1094,6 +1132,9 @@ class Simulation:
                                 visc, dxi, dyi, cfg.bforce,
                                 interpret=self._pallas_interpret,
                                 split=split, ystrips=ys,
+                                ye=ye_, yze=yze_,
+                                ywalls=(True, True) if self._ywalled
+                                else (False, False), ywf=ywf_,
                                 has_ruo=not first, has_sgs=hs,
                                 sca=sca_, scae=scae_, rso=rso_,
                                 scal_params=(cfg.visc / cfg.pr, cfg.ssource)
@@ -1117,8 +1158,10 @@ class Simulation:
                              else (u, v, w, p, ue, ve, we, pe))
                     if hsc:
                         fargs = fargs + (state.s, self._zedge_scal(state.s))
-                    outs = self._smap(mom_local, nfl + len(rargs), 2, nout)(
-                        *fargs, *rargs, f1, f2)
+                    sargs = (ye, yze, f1, f2) if self._ywalled else (f1, f2)
+                    outs = self._smap(mom_local, nfl + len(rargs),
+                                      len(sargs), nout)(
+                        *fargs, *rargs, *sargs)
                 else:
                     fuse_fp = self._fuse_mom_fillps
                     scal_kw = {}
@@ -1309,14 +1352,22 @@ class Simulation:
                 elif self._kernel_sharded:
                     halo = self._halo_y
 
-                    def fillps_local(u_, v_, w_, ue_, ve_, we_, dti_):
+                    def fillps_local(u_, v_, w_, ue_, ve_, we_, *extra):
+                        if self._ywalled:
+                            ye_, yze_, dti_ = extra
+                            ywf_ = self._ywf_shard(u_.dtype)
+                        else:
+                            (dti_,) = extra
+                            ye_ = yze_ = ywf_ = None
                         if not self._gx_sharded:
                             ys = self._halo_strips([u_, v_, w_],
                                                    [ue_, ve_, we_])
                             return pk.fused_fillps(
                                 u_, v_, w_, ue_, ve_, we_, dzfi, dti_,
                                 dxi, dyi, interpret=self._pallas_interpret,
-                                ystrips=ys)
+                                ystrips=ys, ye=ye_, yze=yze_,
+                                ywalls=(True, True) if self._ywalled
+                                else (False, False), ywf=ywf_)
                         xe = halo(self._xe_pack([u_, v_, w_]))
                         xze = halo(self._xe_pack([ue_, ve_, we_]))
                         return pk.fused_fillps(
@@ -1324,8 +1375,10 @@ class Simulation:
                             halo(ve_), halo(we_), dzfi, dti_, dxi, dyi,
                             interpret=self._pallas_interpret, y_ext=True,
                             xe=xe, xze=xze)
-                    rhs = self._smap(fillps_local, 6, 1, 1)(
-                        u, v, w, ue2, ve2, we2, 1.0 / dtrk)
+                    fsargs = ((ye2, yze2, 1.0 / dtrk) if self._ywalled
+                              else (1.0 / dtrk,))
+                    rhs = self._smap(fillps_local, 6, len(fsargs), 1)(
+                        u, v, w, ue2, ve2, we2, *fsargs)
                 else:
                     rhs = pk.fused_fillps(u, v, w, ue2, ve2, we2, dzfi,
                                           1.0 / dtrk, dxi, dyi,
@@ -1356,6 +1409,11 @@ class Simulation:
             # transform, and host-side plane consumers invert the two rows
             # they need (tiny matmuls)
             ppe = self._zedge_p(pp)
+            ycor = yzcor = None
+            if self._ywalled:
+                ypp, zypp = self._ybundle_p(pp)
+                ycor, yzcor = self._pack_ybundle(
+                    [yw2, ypp, yv2], [zyw2, zypp, zyv2])
             visct_done = False
             with jax.named_scope('correc_updatep_pallas'):
                 imp_kw = dict(impdiff=cfg.impdiff, impdiff_1d=cfg.impdiff_1d,
@@ -1372,7 +1430,13 @@ class Simulation:
                 elif self._kernel_sharded:
                     halo = self._halo_y
 
-                    def correc_local(u_, v_, w_, pp_, p_, we_, ppe_, dt_, al_):
+                    def correc_local(u_, v_, w_, pp_, p_, we_, ppe_, *ex):
+                        if self._ywalled:
+                            ycor_, yzcor_, dt_, al_ = ex
+                            ywf_ = self._ywf_shard(u_.dtype)
+                        else:
+                            dt_, al_ = ex
+                            ycor_ = yzcor_ = ywf_ = None
                         if not self._gx_sharded:
                             ys = self._halo_strips([w_, pp_], [we_, ppe_])
                             return pk.fused_correc_updatep(
@@ -1380,6 +1444,9 @@ class Simulation:
                                 dxi, dyi, dzci,
                                 interpret=self._pallas_interpret,
                                 alpha=al_, ystrips=ys,
+                                ye=ycor_, yze=yzcor_,
+                                ywalls=(True, True) if self._ywalled
+                                else (False, False), ywf=ywf_,
                                 alias_p=not first, **imp_kw)
                         xe = halo(self._xe_pack([w_, pp_]))
                         xze = halo(self._xe_pack([we_, ppe_]))
@@ -1389,14 +1456,12 @@ class Simulation:
                             interpret=self._pallas_interpret, y_ext=True,
                             alpha=al_, xe=xe, xze=xze,
                             alias_p=not first, **imp_kw)
-                    u, v, w, p = self._smap(correc_local, 7, 2, 4)(
-                        u, v, w, pp, p, we2, ppe, dtrk, alpha)
+                    csargs = ((ycor, yzcor, dtrk, alpha) if self._ywalled
+                              else (dtrk, alpha))
+                    u, v, w, p = self._smap(correc_local, 7,
+                                            len(csargs), 4)(
+                        u, v, w, pp, p, we2, ppe, *csargs)
                 else:
-                    ycor = yzcor = None
-                    if self._ywalled:
-                        ypp, zypp = self._ybundle_p(pp)
-                        ycor, yzcor = self._pack_ybundle(
-                            [yw2, ypp, yv2], [zyw2, zypp, zyv2])
                     u, v, w, p = pk.fused_correc_updatep(
                         u, v, w, pp, p, we2, ppe, dtrk, dxi, dyi, dzci,
                         interpret=self._pallas_interpret, alpha=alpha,

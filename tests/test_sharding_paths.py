@@ -414,3 +414,88 @@ def test_scalar_kernel_sharded_matches_single(monkeypatch):
             a, b = a - a.mean(), b - b.mean()
         err = np.abs(a - b).max()
         assert err < 1e-10, f"{name} sharded-scalar mismatch: {err}"
+
+
+_duct_bcs = dict(
+    cbcvel=((('P', 'P', 'P'), ('D', 'D', 'D'), ('D', 'D', 'D')),) * 2,
+    cbcpre=(('P', 'N', 'N'), ('P', 'N', 'N')),
+    cbcsgs=(('P', 'N', 'N'), ('P', 'N', 'N')))
+
+
+def _compare_kernel_sharded(cfg, mesh_shape, nsteps=2, dt=1e-3, tol=1e-11,
+                            names=('u', 'v', 'w', 'p', 'visct'),
+                            assert_flags=None, check_vlo=()):
+    """Single-device kernel path vs the kernel-sharded path (interpret)."""
+    grid = make_grid_from_config(cfg)
+    u, v, w, p = initflow(cfg, grid)
+
+    sim1 = Simulation(cfg, grid)
+    assert sim1.use_pallas_mom, sim1.exec_path()
+    s1 = sim1.initial_state(u, v, w, p)
+    for _ in range(nsteps):
+        s1, _ = sim1.step(s1, dt)
+
+    mesh = make_mesh(mesh_shape)
+    simN = Simulation(cfg, grid, mesh=mesh)
+    assert simN.use_pallas_mom and simN._kernel_sharded, simN.exec_path()
+    if assert_flags:
+        assert_flags(simN)
+    sN = simN.initial_state(u, v, w, p)
+    sh = field_sharding(mesh)
+    sN = sN._replace(u=jax.device_put(sN.u, sh), v=jax.device_put(sN.v, sh),
+                     w=jax.device_put(sN.w, sh), p=jax.device_put(sN.p, sh),
+                     visct=jax.device_put(sN.visct, sh))
+    for _ in range(nsteps):
+        sN, _ = simN.step(sN, dt)
+
+    for name in names:
+        a = np.asarray(getattr(s1, name))
+        b = np.asarray(getattr(sN, name))
+        if name == 'p':
+            a, b = a - a.mean(), b - b.mean()
+        err = np.abs(a - b).max()
+        assert err < tol, f"{name} kernel-sharded mismatch: {err}"
+    for m in check_vlo:
+        err = np.abs(np.asarray(s1.vlo[m]) - np.asarray(sN.vlo[m])).max()
+        assert err < tol, f"vlo[{m}] kernel-sharded mismatch: {err}"
+
+
+def test_ywalled_kernel_sharded_matches_single(monkeypatch):
+    """y-walled (duct-class) configs on the kernel-SHARDED path: the global
+    y-edge bundles ride replicated next to the ppermute halo strips and the
+    in-kernel wall ghost fixes fire only on the wall-owning shards (the
+    reference runs its fused kernels on any pencil, initmpi.f90:56-73 +
+    bound.f90:698-723)."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    for sgstype in ('none', 'smag'):
+        cfg = Config(ng=(128, 32, 16), l=(2 * np.pi, 2.0, 2.0), gtype=1,
+                     gr=0.5, visci=2000.0, inivel='duc', is_wallturb=False,
+                     dtype='float64', is_forced=(True, False, False),
+                     velf=(1.0, 0.0, 0.0), sgstype=sgstype, ptransform='mat',
+                     **_duct_bcs)
+        _compare_kernel_sharded(
+            cfg, (2, 1),
+            assert_flags=lambda s: s._ywalled or (_ for _ in ()).throw(
+                AssertionError('expected y-walled')),
+            check_vlo=(1, 2))
+
+
+def test_ywalled_dsmag_kernel_sharded_matches_single(monkeypatch):
+    """Dynamic-Smagorinsky duct (BASELINE config #4) under the 1D slab
+    decomposition: both dsmag pipeline levels take the halo strips + the
+    replicated y-edge bundles with per-shard wall gating."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    cfg = Config(ng=(128, 32, 16), l=(2 * np.pi, 2.0, 2.0), gtype=1, gr=0.5,
+                 visci=2000.0, inivel='duc', is_wallturb=False,
+                 dtype='float64', is_forced=(True, False, False),
+                 velf=(1.0, 0.0, 0.0), sgstype='dsmag', dsmag_avg='duct',
+                 ptransform='mat', **_duct_bcs)
+
+    def flags(simN):
+        assert simN._ywalled and simN.use_pallas_dsmag, simN.exec_path()
+
+    _compare_kernel_sharded(cfg, (2, 1), assert_flags=flags)
