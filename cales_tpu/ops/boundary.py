@@ -307,14 +307,32 @@ def _yrows_face(q, letters, bcvals, dr, lo_keep=None, keep=False):
     return jnp.stack([lo, hi, newlast], axis=1)
 
 
-def _zedge_of_yrows(rows, letters, bcval_scalars, dr, face=False,
+def _corner_rows(val, dtype):
+    """z-direction BC value at the y-row-stack row positions
+    [padded y 0, padded y ny+1, padded y ny]: scalars pass through;
+    a padded (ny+2, nx+2) plane (wall-model Neumann values) contributes
+    its matching rows, shape (3, nx), broadcasting against the (3, nx)
+    y-row planes of _zedge_of_yrows."""
+    if hasattr(val, 'ndim') and getattr(val, 'ndim', 0) == 2:
+        return jnp.stack([val[0], val[-1], val[-2]])[:, 1:-1].astype(dtype)
+    return val
+
+
+def _bfill(b, like):
+    """Dirichlet corner row: scalar or (3, nx) row broadcast to (3, nx)."""
+    return jnp.broadcast_to(jnp.asarray(b, like.dtype), like.shape)
+
+
+def _zedge_of_yrows(rows, letters, bcvals, dr, face=False,
                     vlo_plane=None, keep=False):
     """z-edge stack (3, 3, nx) of a (nz, 3, nx) y-row stack — the corner
     values of the reference's sequential x->y->z fill: the z formula applied
-    to the y-ghost rows.  BC values must be scalars (wall-model plane values
-    are gated out by the caller)."""
+    to the y-ghost rows.  BC values are scalars or padded (ny+2, nx+2)
+    planes (wall-model Neumann values; their rows at the y-ghost positions
+    are what the sequential fill reads there)."""
     first, second_last, last = rows[0], rows[-2], rows[-1]
-    b0, b1 = bcval_scalars
+    b0 = _corner_rows(bcvals[0], rows.dtype)
+    b1 = _corner_rows(bcvals[1], rows.dtype)
     if not face:
         if letters[0] == 'P':
             lo, hi = last, first
@@ -331,10 +349,9 @@ def _zedge_of_yrows(rows, letters, bcval_scalars, dr, face=False,
                         vlo_plane[-2, 1:-1]]).astype(rows.dtype)
         hi = second_last if letters[1] == 'D' else last
         return jnp.stack([lo, last, hi])
-    lo = jnp.full_like(first, b0) if letters[0] == 'D' \
-        else -dr[0] * b0 + first
+    lo = _bfill(b0, first) if letters[0] == 'D' else -dr[0] * b0 + first
     if letters[1] == 'D':
-        newlast, hi = jnp.full_like(first, b1), second_last
+        newlast, hi = _bfill(b1, first), second_last
     else:
         newlast, hi = dr[1] * b1 + second_last, last
     return jnp.stack([lo, newlast, hi])
@@ -345,7 +362,8 @@ def yedge_velocity(u, v, w, cbcvel, bcu, bcv, bcw, dl, dzc, dzf,
     """y-row stacks (nz, 3, nx) for (u, v, w) + their z-edge corner stacks
     (3, 3, nx) — the y-wall kernel-input protocol (rows [padded y 0,
     padded y ny+1, padded y ny]).  Same semantics as pad_velocity's y and z
-    passes; BC values must be scalars except the retained vlo plane."""
+    passes; BC values may be scalars or padded planes (wall-model Neumann
+    values on y/z-wall-modeled faces, duct WMLES class)."""
     nz = u.shape[0]
     dr_y_par = (dl[1], dl[1])
     dr_z_par = (float(dzc[0]), float(dzc[nz]))

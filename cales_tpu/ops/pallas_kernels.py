@@ -375,16 +375,17 @@ def _dot_xop(a, b, dims=(((1,), (0,)), ((), ()))):
 
 
 def mom_tiles(nz, ny, itemsize, nx, split=None, fuse_fillps=False,
-              has_scal=False):
+              has_scal=False, fold_cn=False):
     """Tile pick with fused_mom_rk's exact VMEM budget (the largest of the
     kernel path) — the constructor gate MUST use this same function so a
     shape that passes the gate can never fail inside the wrapper.  split:
     the implicit-diffusion mode (None / '1d' / 'xy+z'), which adds three
-    diffusive-RHS outputs; fuse_fillps adds the projection-RHS output;
-    has_scal adds the passive-scalar window + its 3 in/out streams."""
+    diffusive-RHS outputs unless fold_cn elides them; fuse_fillps adds the
+    projection-RHS output; has_scal adds the passive-scalar window + its 3
+    in/out streams."""
     return pick_tiles(nz, ny, itemsize, nx, nwin=10 + 2 * has_scal,
-                      nio=(9 if split is None else 12) + 2 * fuse_fillps
-                      + 3 * has_scal)
+                      nio=(9 if split is None or fold_cn else 12)
+                      + 2 * fuse_fillps + 3 * has_scal)
 
 
 def _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j, interpret,
@@ -436,7 +437,7 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
                 ywalls=(False, False), fuse_fillps=False, wrec=None,
                 sum_flags=(False, False), has_xop=False, has_ystrips=False,
                 has_ruo=True, has_sgs=True, has_scal=False, alpha_s=0.0,
-                ssource=0.0, has_ywf=False):
+                ssource=0.0, has_ywf=False, fold_cn=False):
     """fuse_fillps: also emit the projection RHS div(u_new)/dt_rk in the
     same pass (fillps.f90 folded into the momentum tail): the RHS core is
     evaluated one y row wide (row 7, the j-1 neighbor of tile row 0 — the
@@ -493,8 +494,9 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
             rvo_any = rest.pop(0)
         if has_xop:
             xop = rest.pop(0)
-        if split is None:
+        if split is None or fold_cn:
             u_o, v_o, w_o, ru_o, rv_o, rw_o = rest[0:6]
+            rud_o = rvd_o = rwd_o = None
             del rest[0:6]
         else:
             (u_o, v_o, w_o, ru_o, rv_o, rw_o,
@@ -627,16 +629,32 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
                 s_o[kk] = sn
                 rs_o[kk] = ds
             if not fuse_fillps:
+                usum_v, vsum_v = un, vn
                 if split is not None:
-                    # the full diffusive term enters the RK update; the
-                    # caller subtracts 0.5*f12*rd before the CN Helmholtz
-                    # solves (rk.f90:90-94 + main.f90:423-431 ordering)
-                    un = un + f12 * rud
-                    vn = vn + f12 * rvd
-                    wn = wn + f12 * rwd
-                    rud_o[kk] = rud
-                    rvd_o[kk] = rvd
-                    rwd_o[kk] = rwd
+                    if fold_cn:
+                        # emit the CN-solve RHS directly: u_RK(full diff)
+                        # - 0.5*f12*rd in one shot (rk.f90:90-94 +
+                        # main.f90:423-431 collapsed) — the three rd output
+                        # streams and the caller's subtraction pass are
+                        # elided.  Bulk-forcing sums still measure the FULL
+                        # prediction (reference rk.f90:197-222 ordering).
+                        h = 0.5 * f12
+                        usum_v = un + f12 * rud
+                        vsum_v = vn + f12 * rvd
+                        un = un + h * rud
+                        vn = vn + h * rvd
+                        wn = wn + h * rwd
+                    else:
+                        # the full diffusive term enters the RK update; the
+                        # caller subtracts 0.5*f12*rd before the CN
+                        # Helmholtz solves
+                        un = un + f12 * rud
+                        vn = vn + f12 * rvd
+                        wn = wn + f12 * rwd
+                        rud_o[kk] = rud
+                        rvd_o[kk] = rvd
+                        rwd_o[kk] = rwd
+                        usum_v, vsum_v = un, vn
                 u_o[kk] = un
                 v_o[kk] = vn
                 w_o[kk] = wn
@@ -645,10 +663,10 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
                 rw_o[kk] = rw
                 if sum_flags[0]:
                     usum_o[kk] = jnp.broadcast_to(
-                        jnp.sum(un).reshape(1, 1), (8, 128))
+                        jnp.sum(usum_v).reshape(1, 1), (8, 128))
                 if sum_flags[1]:
                     vsum_o[kk] = jnp.broadcast_to(
-                        jnp.sum(vn).reshape(1, 1), (8, 128))
+                        jnp.sum(vsum_v).reshape(1, 1), (8, 128))
                 return 0
 
             # --- fused fillps tail (explicit path only) ---
@@ -732,7 +750,7 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                  fuse_fillps=False, wrec=None, sum_flags=(False, False),
                  xop=None, ystrips=None, has_ruo=True, has_sgs=True,
                  sca=None, scae=None, rso=None, scal_params=(0.0, 0.0),
-                 ywf=None):
+                 ywf=None, fold_cn=False):
     """Momentum RHS + RK3 update in one HBM pass.
 
     u..p: interior (nz, ny, nx) fields; ue..pe: (3, ny, nx) z-edge stacks
@@ -748,7 +766,11 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
     implicit.  With a split the velocity outputs include the FULL f12*rd
     diffusive update (the caller subtracts 0.5*f12*rd before its CN
     Helmholtz solves, main.f90:423-431) and three extra outputs
-    (rud, rvd, rwd) carry the implicit RHS parts.
+    (rud, rvd, rwd) carry the implicit RHS parts — unless fold_cn, where
+    the kernel emits u_RK - 0.5*f12*rd (the CN RHS) directly, the rd
+    outputs are elided (3 HBM streams + the caller's subtraction pass
+    saved), and the sum_flags partial sums still measure the FULL
+    prediction for the bulk-forcing controller.
 
     xe/xze: packed x-ghost-column bundle (+ its z-edge stack) for x-SHARDED
     runs — see _PlaneAccessor; lane layout 2m/2m+1 for window field m in
@@ -774,8 +796,9 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
     assert not (has_scal and (y_ext or fuse_fillps or xe is not None
                               or ye is not None)), \
         'fused scalar: xy-periodic single-chip or 1D-strips paths only'
+    assert not (fold_cn and split is None)
     tiles = mom_tiles(nz, ny, dt.itemsize, nx, split=split,
-                      has_scal=has_scal)
+                      has_scal=has_scal, fold_cn=fold_cn)
     if tiles is None:
         return None
     tz, ty = tiles
@@ -796,7 +819,7 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
         assert split is None and not y_ext and not has_xe and not has_ye
     if has_ystrips:
         assert not y_ext and not has_xe
-    nout = (6 if split is None else 9) + 2 * has_scal
+    nout = (6 if split is None or fold_cn else 9) + 2 * has_scal
     nf = 4 + has_sgs + has_scal
     nwin = nf + has_xe + has_ye
     gj = ny // ty
@@ -810,7 +833,8 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                        has_ystrips=has_ystrips, has_ruo=has_ruo,
                        has_sgs=has_sgs, has_scal=has_scal,
                        alpha_s=float(scal_params[0]),
-                       ssource=float(scal_params[1]), has_ywf=has_ywf)
+                       ssource=float(scal_params[1]), has_ywf=has_ywf,
+                       fold_cn=fold_cn)
     xargs = (xe, xze) if has_xe else ()
     yargs = (ye, yze) if has_ye else ()
     sargs = tuple(ystrips) if has_ystrips else ()
@@ -848,7 +872,7 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
         aliases = {ridx: 3, ridx + 1: 4, ridx + 2: 5}
         if has_scal:
             # dsdt carry in place alongside the momentum-RHS carries
-            aliases[ridx + 3] = (6 if split is None else 9) + 1
+            aliases[ridx + 3] = (6 if split is None or fold_cn else 9) + 1
     outs = pl.pallas_call(
         kern,
         grid=grid,

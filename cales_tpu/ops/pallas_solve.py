@@ -228,14 +228,15 @@ def apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
                            interpret, n_solve=n_solve)
 
 
-def apply_thomas_helmholtz_z(arr, a, b, c, interpret=False):
+def apply_thomas_helmholtz_z(arr, a, b, c, interpret=False, shift=None):
     """In-place tridiag(a, b, c) solve along z with NO diagonal shift —
     the z-only Crank–Nicolson Helmholtz solve (I + alpha*Lz) of the
     _IMPDIFF_1D path (solver_gaussel_z, solver.f90:182-233), with the
     caller passing the pre-scaled (a*alpha, b*alpha+1, c*alpha) rows.
     One aliased read+write pass per velocity component instead of the two
     (nz, nz) eigen matmul passes of solve_z_only's eig branch."""
-    return _apply_thomas_z(arr, a, b, c, None, None, False, 0.0, interpret)
+    return _apply_thomas_z(arr, a, b, c, None, None, False, 0.0, interpret,
+                           shift=shift)
 
 
 def apply_thomas_periodic_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
@@ -344,7 +345,7 @@ def apply_thomas_periodic_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
 
 
 def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
-                    interpret=False, n_solve=None):
+                    interpret=False, n_solve=None, shift=None):
     """In-place tridiag(a, b + lamy[j] + lamx, c) solve along z — the
     direct O(nz) replacement for the z-eig stage's two (nz, nz) bf16x3
     matmuls, for non-periodic z.
@@ -384,8 +385,16 @@ def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
         lam_args, lam_specs = (), []
     pin = bool(pin_singular)
     tol = float(tol)
+    # traced constant RHS shift (the folded bulk-forcing add of the CN
+    # Helmholtz path: solving rhs+f == adding f to the field pre-solve)
+    has_shift = shift is not None
+    shift_args = ((jnp.full((1, 1), 1.0, dt) * shift,) if has_shift else ())
+    shift_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                   if has_shift else [])
 
     def kernel(a_ref, b_ref, c_ref, *refs):
+        refs = list(refs)
+        sh_ref = refs.pop(0) if has_shift else None
         if has_lam:
             ly_ref, lx_ref, d_ref, o_ref, w_ref = refs
             j = pl.program_id(0)
@@ -395,6 +404,7 @@ def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
         else:
             d_ref, o_ref, w_ref = refs
             lam = jnp.zeros((ty, nx), dt)
+        sh = sh_ref[0, 0] if has_shift else 0.0
 
         # peeled z=0 step: pin the singular lanes' gauge here
         zfac0 = 1.0 / (b_ref[0] + lam)
@@ -402,7 +412,7 @@ def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
             zfac0 = jnp.where(jnp.abs(lam) <= tol, 0.0, zfac0)
         d_0 = c_ref[0] * zfac0
         w_ref[0] = d_0
-        p_0 = d_ref[0] * zfac0
+        p_0 = (d_ref[0] + sh) * zfac0 if has_shift else d_ref[0] * zfac0
         o_ref[0] = p_0
 
         def fwd(z, carry):
@@ -410,7 +420,8 @@ def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
             az, bz, cz = a_ref[z], b_ref[z], c_ref[z]
             zfac = 1.0 / (bz + lam - az * d_prev)
             d_k = cz * zfac
-            p_k = (d_ref[z] - az * p_prev) * zfac
+            rhs_z = d_ref[z] + sh if has_shift else d_ref[z]
+            p_k = (rhs_z - az * p_prev) * zfac
             w_ref[z] = d_k
             o_ref[z] = p_k
             return d_k, p_k
@@ -426,9 +437,9 @@ def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
         jax.lax.fori_loop(0, ns - 1, bwd, o_ref[ns - 1])
 
         # qz passthrough rows (face-staggered Dirichlet tail): explicit
-        # copy — do not rely on the aliased buffer's prior content
+        # copy (+ the shift, which the caller applies to the whole field)
         for z in range(ns, nz):
-            o_ref[z] = d_ref[z]
+            o_ref[z] = d_ref[z] + sh if has_shift else d_ref[z]
 
     blk = pl.BlockSpec((nz, ty, nx), lambda j: (0, j, 0))
     return pl.pallas_call(
@@ -437,11 +448,11 @@ def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
-                 + lam_specs + [blk],
+                 + shift_specs + lam_specs + [blk],
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
         scratch_shapes=[pltpu.VMEM((nz, ty, nx), dt)],
-        input_output_aliases={3 + len(lam_specs): 0},
+        input_output_aliases={3 + has_shift + len(lam_specs): 0},
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(a_s, b_s, c_s, *lam_args, arr)
+    )(a_s, b_s, c_s, *shift_args, *lam_args, arr)

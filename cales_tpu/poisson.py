@@ -502,14 +502,19 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None,
 
 
 def solve_z_only(sv: DirectSolver, p, alpha, pallas=False,
-                 pallas_interpret=False):
+                 pallas_interpret=False, shift=None):
     """z-implicit-only Helmholtz solve (I + alpha*Lz) p = rhs with no x/y
     transforms (solver_gaussel_z, solver.f90:182-233; the _IMPDIFF_1D path).
 
     pallas: one aliased in-place Pallas Thomas pass
     (ops/pallas_solve.apply_thomas_helmholtz_z) instead of the two (nz, nz)
     eigen matmul passes — the caller must be on a single device with a
-    TPU-f32 (or interpret) kernel path."""
+    TPU-f32 (or interpret) kernel path.
+
+    shift: traced constant added to the RHS inside the pass — the folded
+    bulk-forcing add (reference order: u += f THEN solve, rk.f90:197-222 +
+    main.f90:423-431; adding f to the RHS is identical and saves the
+    full-field read+write the separate add would cost)."""
     nz = p.shape[0]
     qz = sv.qz
     zbody = p[: nz - qz]
@@ -522,8 +527,15 @@ def solve_z_only(sv: DirectSolver, p, alpha, pallas=False,
             b = sv.b[:n] * alpha + 1.0
             c = sv.c[:n] * alpha
             zsol = ps.apply_thomas_helmholtz_z(
-                zbody, a, b, c, interpret=pallas_interpret)
-            return (jnp.concatenate([zsol, p[n:]], axis=0) if qz else zsol)
+                zbody, a, b, c, interpret=pallas_interpret, shift=shift)
+            if not qz:
+                return zsol
+            tail = p[n:] if shift is None else p[n:] + shift
+            return jnp.concatenate([zsol, tail], axis=0)
+    if shift is not None:
+        zbody = zbody + shift
+        p = p if qz == 0 else jnp.concatenate(
+            [zbody, p[nz - qz:] + shift], axis=0)
     if sv.zsolver == 'eig':
         rdt = zbody.dtype
         Vl = jnp.asarray(sv.zVl, dtype=rdt)

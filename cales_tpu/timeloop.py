@@ -83,17 +83,26 @@ class Simulation:
         import os as _os
         self.has_wm = any(cfg.lwm[ib][d] != 0 for ib in range(2) for d in range(3))
         self.index_wm = wm.find_index_wm(cfg, grid) if self.has_wm else None
-        # z-only wall models with scalar x/y BCs: update the wm Neumann
-        # planes from 4 sliced rows instead of full-field pads (the pad
-        # cost ~6 field passes/substep on the kernel path)
-        self._wm_z_fast = (
+        # y/z-only wall models with scalar static BCs: update the wm
+        # Neumann planes from sliced rows instead of full-field pads (the
+        # pad cost ~6 field passes/substep on the kernel path).  The wall
+        # model never reads dynamically-filled ghosts — the generic path
+        # pads with the STATIC values before updating — so row slices
+        # x/y- (z walls) or x/z-filled (y walls) with the static scalars
+        # are bit-identical inputs.
+        scalar_bcs = all(
+            np.isscalar(b[idir][ib]) or np.ndim(b[idir][ib]) == 0
+            for b in (self.bcu_vals, self.bcv_vals, self.bcw_vals)
+            for idir in range(3) for ib in range(2))
+        self._wm_fast = (
             self.has_wm
-            and not any(cfg.lwm[ib][d] != 0 for ib in range(2)
-                        for d in (0, 1))
-            and all(np.isscalar(b[idir][ib]) or np.ndim(b[idir][ib]) == 0
-                    for b in (self.bcu_vals, self.bcv_vals, self.bcw_vals)
-                    for idir in (0, 1) for ib in range(2))
+            and not any(cfg.lwm[ib][0] != 0 for ib in range(2))
+            and scalar_bcs
             and _os.environ.get('CALES_NO_WM_FAST', '') != '1')
+        # z-only variant (gates the fused correc+smag 'E' recipes)
+        self._wm_z_fast = (
+            self._wm_fast
+            and not any(cfg.lwm[ib][1] != 0 for ib in range(2)))
         # pressure BC RHS planes (cmpt_rhs_b, main.f90:317)
         self.rhsb_p = poisson.rhs_bound_planes(
             cfg, grid, self.cbcpre, ('c', 'c', 'c'),
@@ -142,20 +151,17 @@ class Simulation:
         x_periodic = _dir_periodic(0)
         y_periodic = _dir_periodic(1)
         # non-periodic y (duct/cavity class) runs the kernels with the
-        # ye-bundle ghost-row fixes — scalar BC values only (no wall model).
-        # Sharded: 1D (gy) meshes combine the bundle fixes with the halo
-        # strips (the wall fixes are gated per shard, fused_mom_rk ywf);
-        # gx > 1 still falls back (the xe column protocol has no wall form)
-        gx_m = (1 if mesh is None else
-                dict(zip(mesh.axis_names, mesh.devices.shape)).get('gx', 1))
-        y_wall_ok = (not y_periodic and not self.has_wm and gx_m == 1)
+        # ye-bundle ghost-row fixes; wall-modeled y/z faces (duct WMLES)
+        # are carried the same way — the bundles are built from the
+        # wall-model-updated Neumann planes each substep (_ybundle_vel
+        # bcs=).  Sharded: 1D (gy) meshes combine the bundle fixes with
+        # the halo strips (the wall fixes are gated per shard, fused_mom_rk
+        # ywf); 2D (gx>1) meshes patch the xe ghost-column packs' wall rows
+        # from the bundles host-side (_xe_wall_rows / _halo_y_patched)
         self._ywalled = not y_periodic
-        xy_periodic = x_periodic and (y_periodic or y_wall_ok)
+        xy_periodic = x_periodic
         if not x_periodic:
             _why('non-periodic x BCs')
-        elif not (y_periodic or y_wall_ok):
-            _why('y-walled config with wall model or 2D (gx>1) mesh '
-                 '(ye-bundle path is gy-sharded/single-chip, scalar-BC only)')
         nx, ny, nz = cfg.ng
         # kernels under a mesh: per-shard Pallas under shard_map.  y halos
         # arrive as ppermute 8-row strips (y_ext mode); with gx > 1 the
@@ -214,7 +220,7 @@ class Simulation:
             _why('scalar transport (non-periodic-xy scalar BCs, mesh, '
                  'y walls, or no VMEM tiling with the scalar window)')
         if not xy_periodic:
-            _why('non-periodic x/y BCs')
+            _why('non-periodic x BCs')
         if not tiles_ok:
             _why('no VMEM tiling for (nz,ny_local,nx_local)='
                  f'({nz},{ny_local},{nx_local}) (need nx%128==0, ny%8==0)')
@@ -227,6 +233,18 @@ class Simulation:
             and xy_periodic and tiles_ok
             and (on_tpu and cfg.dtype == 'float32' or self._pallas_interpret))
         self._kernel_sharded = self._kernel_sharded and self.use_pallas_mom
+        # CN fold (single-chip kernel path ONLY — the XLA path keeps the
+        # reference's explicit dance): the momentum kernel emits the
+        # CN-solve RHS u_RK - 0.5*f12*rd directly — 3 rd output streams +
+        # the caller's 9-pass subtraction elided.  Bulk forcing is then
+        # measured from in-kernel partial sums of the FULL prediction and,
+        # for impdiff_1d, folded into the Thomas solve's RHS shift (zero
+        # extra passes).  w-forcing keeps the unfolded path (no w sums).
+        self._cn_fold = (self.use_pallas_mom and self._mom_split is not None
+                         and mesh is None and not cfg.is_forced[2]
+                         and _os.environ.get('CALES_NO_CN_FOLD', '') != '1')
+        self._cn_shift_forcing = (self._cn_fold and cfg.impdiff_1d
+                                  and (cfg.is_forced[0] or cfg.is_forced[1]))
         walls_z_only = not any(
             effective_cbcvel(cfg)[ib][d][d] == 'D' for ib in range(2)
             for d in (0, 1)) and not any(cfg.lwm[ib][d] != 0 for ib in range(2)
@@ -301,8 +319,11 @@ class Simulation:
             and not cfg.scalar and not cfg.is_forced[2]
             and (cfg.is_forced[0] or cfg.is_forced[1])
             and not (self._ywalled and cfg.is_forced[1]))
-        self._sum_flags = (bool(cfg.is_forced[0]) and self._defer_forcing,
-                           bool(cfg.is_forced[1]) and self._defer_forcing)
+        need_sums = (self._defer_forcing
+                     or (self._cn_fold
+                         and (cfg.is_forced[0] or cfg.is_forced[1])))
+        self._sum_flags = (bool(cfg.is_forced[0]) and need_sums,
+                           bool(cfg.is_forced[1]) and need_sums)
         # x-transform fusion: the solve's first/last x operator matmuls run
         # on the kernels' otherwise-idle MXU (mom emits the RHS x-spectral;
         # the corrector consumes the solution x-spectral).  Needs both
@@ -477,7 +498,7 @@ class Simulation:
         bcu, bcv, bcw = self.bcu_vals, self.bcv_vals, self.bcw_vals
         if not self.has_wm:
             return bcu, bcv, bcw
-        if getattr(self, '_wm_z_fast', False):
+        if getattr(self, '_wm_fast', False):
             return self._wm_bcs_fast(u, v, w)
         up, vp, wp, _ = bnd.pad_velocity(
             u, v, w, self.cbcvel, bcu, bcv, bcw, self.cfg.dl, self.grid.dzc,
@@ -509,10 +530,32 @@ class Simulation:
                 s = bnd._set_centered(s, axis, lts, bcs[idir], dr)
         return s[0]
 
+    def _row_pad_xz(self, plane, ivel):
+        """x/z ghost fill of one (nz, nx) y-row (static scalar BCs)."""
+        face_key = ('x', 'y', 'z')[ivel]
+        bcs = (self.bcu_vals, self.bcv_vals, self.bcw_vals)[ivel]
+        dl = self.cfg.dl
+        dzc, dzf = self.grid.dzc, self.grid.dzf
+        nz = plane.shape[0]
+        s = plane[:, None, :]
+        for key, idir in (('x', 0), ('z', 2)):
+            axis = bnd.AX[key]
+            lts = (self.cbcvel[0][idir][ivel], self.cbcvel[1][idir][ivel])
+            if key == 'x':
+                dr_par = dr_nrm = (dl[0], dl[0])
+            else:
+                dr_par = (float(dzc[0]), float(dzc[nz]))
+                dr_nrm = (float(dzf[0]), float(dzf[nz]))
+            if key == face_key:
+                s = bnd._set_face(s, axis, lts, bcs[idir], dr_nrm)
+            else:
+                s = bnd._set_centered(s, axis, lts, bcs[idir], dr_par)
+        return s[:, 0, :]
+
     def _wm_bcs_fast(self, u, v, w):
-        """z-wall wall-model BC update from 4 sliced rows instead of a
+        """y/z-wall wall-model BC update from sliced rows instead of a
         full-field pad (identical numbers: the x->y fill of a z-row only
-        reads that row)."""
+        reads that row, and likewise the x->z fill of a y-row)."""
         from .ops.boundary import bc_plane_shapes, ensure_plane
         cfg = self.cfg
         shapes = bc_plane_shapes(cfg.ng)
@@ -533,9 +576,26 @@ class Simulation:
             bcu_z[ib], bcv_z[ib] = wm.z_wall_wm_planes(
                 cfg, self.grid, U1, U2, V1, V2, umag, vmag,
                 umag, vmag, ib, self.index_wm)
-        bcu = (self.bcu_vals[0], self.bcu_vals[1], tuple(bcu_z))
+        bcu_y = list(self.bcu_vals[1])
+        bcw_y = list(self.bcw_vals[1])
+        for ib in range(2):
+            if cfg.lwm[ib][1] == 0:
+                continue
+            j2 = self.index_wm[1][ib]
+            j1 = j2 - 1 if ib == 0 else j2 + 1
+            U1 = self._row_pad_xz(u[:, j1 - 1], 0)
+            U2 = self._row_pad_xz(u[:, j2 - 1], 0)
+            W1 = self._row_pad_xz(w[:, j1 - 1], 2)
+            W2 = self._row_pad_xz(w[:, j2 - 1], 2)
+            umag = ensure_plane(self.bcu_vals[1][ib], shapes['y'], dtype)
+            wmag = ensure_plane(self.bcw_vals[1][ib], shapes['y'], dtype)
+            bcu_y[ib], bcw_y[ib] = wm.y_wall_wm_planes(
+                cfg, self.grid, U1, U2, W1, W2, umag, wmag,
+                umag, wmag, ib, self.index_wm)
+        bcu = (self.bcu_vals[0], tuple(bcu_y), tuple(bcu_z))
         bcv = (self.bcv_vals[0], self.bcv_vals[1], tuple(bcv_z))
-        return bcu, bcv, self.bcw_vals
+        bcw = (self.bcw_vals[0], tuple(bcw_y), self.bcw_vals[2])
+        return bcu, bcv, bcw
 
     def _pad_vel(self, u, v, w, bcu, bcv, bcw, vlo=None, is_correc=False):
         return bnd.pad_velocity(u, v, w, self.cbcvel, bcu, bcv, bcw,
@@ -607,6 +667,53 @@ class Simulation:
         return (jnp.where(row == 0, one, zero),
                 jnp.where(row == gy - 1, one, zero))
 
+    def _yslice_gx(self, a):
+        """Local x block of a replicated global y-edge bundle (inside
+        shard_map on a gx > 1 mesh): the kernels' bundle windows are
+        per-shard, so the global (…, nx) bundle is sliced to this shard's
+        x range."""
+        gx = self._gx()
+        if gx == 1:
+            return a
+        nxl = a.shape[-1] // gx
+        xi = jax.lax.axis_index('gx')
+        return jax.lax.dynamic_slice_in_dim(a, xi * nxl, nxl, axis=a.ndim - 1)
+
+    def _ystag_rw_gx(self, q, row):
+        """Apply the y-staggered wall-face rewrite (bundle padded-ny slot)
+        to the hi-wall shard's last interior y row — needed BEFORE packing
+        x ghost columns (gx > 1 y-walled), so neighbors' edge lanes see the
+        wall-face value the in-kernel ystag fix presents for local reads."""
+        gy = self._gy()
+        is_hi = jax.lax.axis_index('gy') == gy - 1
+        last = jnp.where(is_hi, row.astype(q.dtype), q[:, -1])
+        return jnp.concatenate([q[:, :-1], last[:, None]], axis=1)
+
+    def _halo_y_patched(self, a, rlo, rhi):
+        """_halo_y with the wall shards' +-1 ghost rows (rows 7 / 8+ny of
+        the y_ext layout — the only halo rows a 3-point stencil reads)
+        overwritten by exact host-built bundle values; interior shards keep
+        the ppermute'd neighbor rows."""
+        gy = self._gy()
+        fwd = [(i, (i + 1) % gy) for i in range(gy)]
+        bwd = [(i, (i - 1) % gy) for i in range(gy)]
+        lo = jax.lax.ppermute(a[:, -8:], 'gy', fwd)
+        hi = jax.lax.ppermute(a[:, :8], 'gy', bwd)
+        row = jax.lax.axis_index('gy')
+        wl = jnp.where(row == 0, rlo.astype(a.dtype), lo[:, -1])
+        wh = jnp.where(row == gy - 1, rhi.astype(a.dtype), hi[:, 0])
+        return jnp.concatenate(
+            [lo[:, :-1], wl[:, None], a, wh[:, None], hi[:, 1:]], axis=1)
+
+    def _xe_wall_rows(self, ye_l, nf):
+        """(lo, hi) xe-lane-packed y-wall ghost rows: lane 2m / 2m+1 of the
+        xe ghost-column bundle at the y-ghost rows must hold the x
+        neighbors' ghost values — i.e. their y-edge bundle rows (base
+        3m = padded y 0, 3m+1 = padded ny+1) at their boundary columns."""
+        lo = self._xe_pack([ye_l[:, 3 * m] for m in range(nf)])
+        hi = self._xe_pack([ye_l[:, 3 * m + 1] for m in range(nf)])
+        return lo, hi
+
     def _xe_pack(self, arrays):
         """Packed x-ghost-column bundle for the per-shard kernels (gx > 1):
         ppermute each array's boundary columns with the cyclic x neighbors
@@ -672,10 +779,15 @@ class Simulation:
             list(zstacks) + [jnp.zeros((3, 16 - nrows, nx), dt)], axis=1)
         return ye, yze
 
-    def _ybundle_vel(self, u, v, w, vlo=None, is_correc=False):
+    def _ybundle_vel(self, u, v, w, vlo=None, is_correc=False, bcs=None):
+        """bcs: (bcu, bcv, bcw) override — the wall-model-updated plane
+        pytrees for y/z-wall-modeled configs (the static scalars otherwise,
+        matching the reference's is_updt_wm=.false. reuse)."""
+        bcu, bcv, bcw = (bcs if bcs is not None
+                         else (self.bcu_vals, self.bcv_vals, self.bcw_vals))
         return bnd.yedge_velocity(
-            u, v, w, self.cbcvel, self.bcu_vals, self.bcv_vals,
-            self.bcw_vals, self.cfg.dl, self.grid.dzc, self.grid.dzf,
+            u, v, w, self.cbcvel, bcu, bcv, bcw,
+            self.cfg.dl, self.grid.dzc, self.grid.dzf,
             vlo=vlo, is_correc=is_correc)
 
     def _ybundle_p(self, p):
@@ -1077,9 +1189,17 @@ class Simulation:
             se = self._zedge_s(visct) if hs else None
             ye = yze = None
             if self._ywalled:
-                # y-wall ghost-row bundles of the same (post-correc) fill
+                # y-wall ghost-row bundles of the same (post-correc) fill;
+                # with a y/z wall model the bundles carry the wm-updated
+                # Neumann planes (recomputed here — a pure function of
+                # (u, v, w), identical to the values the previous substep's
+                # zq stacks were built with)
+                ybcs = None
+                if self.has_wm:
+                    ybcs = ((bcu, bcv, bcw) if cfg.impdiff
+                            else self._dynamic_bcs(u, v, w))
                 (yu, yv, yw), zy = self._ybundle_vel(
-                    u, v, w, vlo=state.vlo, is_correc=True)
+                    u, v, w, vlo=state.vlo, is_correc=True, bcs=ybcs)
                 yp, zyp = self._ybundle_p(p)
                 ystk, zstk = [yu, yv, yw], list(zy)
                 if hs:
@@ -1139,9 +1259,36 @@ class Simulation:
                                 sca=sca_, scae=scae_, rso=rso_,
                                 scal_params=(cfg.visc / cfg.pr, cfg.ssource)
                                 if hsc else (0.0, 0.0))
-                        xe = halo(self._xe_pack(flds))
-                        xze = halo(self._xe_pack(efls))
+                        # 2D (gx>1) mesh: extended arrays + packed x
+                        # ghost-column bundles.  y-walled configs ride the
+                        # SAME in-kernel ye-bundle fixes as the 1D path —
+                        # only the xe packs need host-side patching: their
+                        # wall-ghost rows (7 / 8+ny) come from the x
+                        # neighbors' bundle rows, and v's wall-face slot is
+                        # rewritten before packing so edge lanes see what
+                        # the in-kernel ystag fix presents locally.
                         hl = lambda q: None if q is None else halo(q)
+                        ykw = {}
+                        if self._ywalled:
+                            ye_l = self._yslice_gx(ye_)
+                            yze_l = self._yslice_gx(yze_)
+                            vx = self._ystag_rw_gx(v_, ye_l[:, 5])
+                            vex = self._ystag_rw_gx(ve_, yze_l[:, 5])
+                            fx = [u_, vx, w_] + ([s_] if hs else []) + [p_]
+                            ex = ([ue_, vex, we_] + ([se_] if hs else [])
+                                  + [pe_])
+                            lo_r, hi_r = self._xe_wall_rows(ye_l, len(fx))
+                            zlo, zhi = self._xe_wall_rows(yze_l, len(fx))
+                            xe = self._halo_y_patched(self._xe_pack(fx),
+                                                      lo_r, hi_r)
+                            xze = self._halo_y_patched(self._xe_pack(ex),
+                                                       zlo, zhi)
+                            ykw = dict(ye=ye_l, yze=yze_l,
+                                       ywalls=(True, True),
+                                       ywf=self._ywf_shard(u_.dtype))
+                        else:
+                            xe = halo(self._xe_pack(flds))
+                            xze = halo(self._xe_pack(efls))
                         return pk.fused_mom_rk(
                             halo(u_), halo(v_), halo(w_), hl(s_), halo(p_),
                             halo(ue_), halo(ve_), halo(we_), hl(se_),
@@ -1150,7 +1297,7 @@ class Simulation:
                             visc, dxi, dyi, cfg.bforce,
                             interpret=self._pallas_interpret, y_ext=True,
                             split=split, xe=xe, xze=xze,
-                            has_ruo=not first, has_sgs=hs)
+                            has_ruo=not first, has_sgs=hs, **ykw)
                     rargs = () if first else (ru_o, rv_o, rw_o)
                     if hsc and not first:
                         rargs = rargs + (state.dsdt_old,)
@@ -1181,10 +1328,10 @@ class Simulation:
                         sum_flags=self._sum_flags,
                         xop=self._xopT if (self._fuse_xop and fuse_fp)
                         else None, has_ruo=not first, has_sgs=hs,
-                        **scal_kw)
+                        fold_cn=self._cn_fold, **scal_kw)
             u, v, w, ru, rv, rw = outs[0:6]
             tail = list(outs[6:])
-            if split is not None:
+            if split is not None and not self._cn_fold:
                 rud, rvd, rwd = tail[0:3]
                 del tail[0:3]
             if cfg.scalar and self._scal_kernel_ok:
@@ -1260,10 +1407,14 @@ class Simulation:
         defer_f = (self.use_pallas_mom
                    and getattr(self, '_defer_forcing', False)
                    and len(mom_sums) > 0)
-        if defer_f:
+        fold_f = (self.use_pallas_mom and self._cn_fold
+                  and not defer_f and len(mom_sums) > 0)
+        if defer_f or fold_f:
             # means from the momentum kernel's partial plane sums; the
-            # constants are folded into the projection kernel (the forcing
-            # cancels in the divergence along periodic directions)
+            # constants are folded into the projection kernel (explicit
+            # path: the forcing cancels in the divergence along periodic
+            # directions) or into the CN Helmholtz RHS shift (impdiff_1d
+            # fold) / a plain add (full-3D fold)
             gvr = jnp.asarray(self.gvr_f, u.dtype)
             si = 0
             if cfg.is_forced[0]:
@@ -1273,6 +1424,13 @@ class Simulation:
             if cfg.is_forced[1]:
                 f[1] = cfg.velf[1] - jnp.dot(
                     jnp.sum(mom_sums[si][:, ::8, 0], axis=1), gvr)
+            if fold_f and not self._cn_shift_forcing:
+                # full-3D CN path: no solve-shift plumbing — plain add
+                # (reference order preserved: forcing before the solves)
+                if cfg.is_forced[0]:
+                    u = u + f[0]
+                if cfg.is_forced[1]:
+                    v = v + f[1]
         else:
             if cfg.is_forced[0]:
                 f[0] = cfg.velf[0] - st.bulk_mean(u, self.gvr_f)
@@ -1287,10 +1445,13 @@ class Simulation:
 
         alpha = -0.5 * visc * dtrk
         if cfg.impdiff:
-            # Crank–Nicolson Helmholtz solves (main.f90:423-491)
-            u = u - 0.5 * f12 * rud
-            v = v - 0.5 * f12 * rvd
-            w = w - 0.5 * f12 * rwd
+            # Crank–Nicolson Helmholtz solves (main.f90:423-491); with the
+            # kernel CN fold the 0.5*f12*rd subtraction already happened
+            # in-register inside the momentum kernel (rud is None then)
+            if rud is not None:
+                u = u - 0.5 * f12 * rud
+                v = v - 0.5 * f12 * rvd
+                w = w - 0.5 * f12 * rwd
             for ivel, (fld, bcf) in enumerate(((u, bcu), (v, bcv), (w, bcw))):
                 cbc = tuple((self.cbcvel[0][d][ivel], self.cbcvel[1][d][ivel])
                             for d in range(3))
@@ -1302,6 +1463,9 @@ class Simulation:
                               for k, v_ in planes.items()}
                 fld = poisson.add_rhs_bound(cfg, cf, cbc, fld, planes)
                 if cfg.impdiff_1d:
+                    shift = (f[ivel]
+                             if self._cn_shift_forcing and cfg.is_forced[ivel]
+                             else None)
                     if self.use_pallas_cn_sharded:
                         fld = poisson.solve_z_only_sharded(
                             self.solver_vel[ivel], fld, alpha, self.mesh,
@@ -1311,7 +1475,8 @@ class Simulation:
                             self.solver_vel[ivel], fld, alpha,
                             pallas=self.use_pallas_cn
                             and self.mesh is None,
-                            pallas_interpret=self._pallas_interpret)
+                            pallas_interpret=self._pallas_interpret,
+                            shift=shift)
                 else:
                     fld = poisson.solve(
                         self.solver_vel[ivel], fld, alpha=alpha,
@@ -1341,9 +1506,11 @@ class Simulation:
             ye2 = yze2 = None
             if self._ywalled:
                 # prediction-fill y bundles (v's rewrite row participates
-                # in the divergence and the correction)
+                # in the divergence and the correction); wm configs reuse
+                # the freshly-updated planes from the fill above
                 (yu2, yv2, yw2), (zyu2, zyv2, zyw2) = self._ybundle_vel(
-                    u, v, w, is_correc=False)
+                    u, v, w, is_correc=False,
+                    bcs=(bcu, bcv, bcw) if self.has_wm else None)
                 ye2, yze2 = self._pack_ybundle([yu2, yv2, yw2],
                                                [zyu2, zyv2, zyw2])
             with jax.named_scope('poisson'):
@@ -1368,13 +1535,29 @@ class Simulation:
                                 ystrips=ys, ye=ye_, yze=yze_,
                                 ywalls=(True, True) if self._ywalled
                                 else (False, False), ywf=ywf_)
-                        xe = halo(self._xe_pack([u_, v_, w_]))
-                        xze = halo(self._xe_pack([ue_, ve_, we_]))
+                        ykw = {}
+                        if self._ywalled:
+                            ye_l = self._yslice_gx(ye_)
+                            yze_l = self._yslice_gx(yze_)
+                            vx = self._ystag_rw_gx(v_, ye_l[:, 5])
+                            vex = self._ystag_rw_gx(ve_, yze_l[:, 5])
+                            lo_r, hi_r = self._xe_wall_rows(ye_l, 3)
+                            zlo, zhi = self._xe_wall_rows(yze_l, 3)
+                            xe = self._halo_y_patched(
+                                self._xe_pack([u_, vx, w_]), lo_r, hi_r)
+                            xze = self._halo_y_patched(
+                                self._xe_pack([ue_, vex, we_]), zlo, zhi)
+                            ykw = dict(ye=ye_l, yze=yze_l,
+                                       ywalls=(True, True),
+                                       ywf=self._ywf_shard(u_.dtype))
+                        else:
+                            xe = halo(self._xe_pack([u_, v_, w_]))
+                            xze = halo(self._xe_pack([ue_, ve_, we_]))
                         return pk.fused_fillps(
                             halo(u_), halo(v_), halo(w_), halo(ue_),
                             halo(ve_), halo(we_), dzfi, dti_, dxi, dyi,
                             interpret=self._pallas_interpret, y_ext=True,
-                            xe=xe, xze=xze)
+                            xe=xe, xze=xze, **ykw)
                     fsargs = ((ye2, yze2, 1.0 / dtrk) if self._ywalled
                               else (1.0 / dtrk,))
                     rhs = self._smap(fillps_local, 6, len(fsargs), 1)(
@@ -1448,8 +1631,22 @@ class Simulation:
                                 ywalls=(True, True) if self._ywalled
                                 else (False, False), ywf=ywf_,
                                 alias_p=not first, **imp_kw)
-                        xe = halo(self._xe_pack([w_, pp_]))
-                        xze = halo(self._xe_pack([we_, ppe_]))
+                        ykw = {}
+                        if self._ywalled:
+                            ycor_l = self._yslice_gx(ycor_)
+                            yzcor_l = self._yslice_gx(yzcor_)
+                            lo_r, hi_r = self._xe_wall_rows(ycor_l, 2)
+                            zlo, zhi = self._xe_wall_rows(yzcor_l, 2)
+                            xe = self._halo_y_patched(
+                                self._xe_pack([w_, pp_]), lo_r, hi_r)
+                            xze = self._halo_y_patched(
+                                self._xe_pack([we_, ppe_]), zlo, zhi)
+                            ykw = dict(ye=ycor_l, yze=yzcor_l,
+                                       ywalls=(True, True),
+                                       ywf=self._ywf_shard(u_.dtype))
+                        else:
+                            xe = halo(self._xe_pack([w_, pp_]))
+                            xze = halo(self._xe_pack([we_, ppe_]))
                         return pk.fused_correc_updatep(
                             u_, v_, halo(w_), halo(pp_), p_, halo(we_),
                             halo(ppe_), dt_, dxi, dyi, dzci,

@@ -181,44 +181,13 @@ def update_wallmodel_bcs(cfg, grid, up, vp, wp, bcu, bcv, bcw,
 
         # ---------------- y walls (wmodel.f90:171-221) ----------------
         if cfg.lwm[ib][1] != 0:
-            mtype = cfg.lwm[ib][1]
             j2 = index_wm[1][ib]
             j1 = j2 - 1 if ib == 0 else j2 + 1
-            coef = ((h - (j1 - 0.5) * dl[1]) / dl[1] if ib == 0
-                    else (h - (ny - j1 + 0.5) * dl[1]) / dl[1])
-            sgn = 1.0 if ib == 0 else -1.0
-            U1, U2 = up[:, j1, :], up[:, j2, :]          # (nz+2, nx+2)
-            W1, W2 = wp[:, j1, :], wp[:, j2, :]
-            # bcu%y over (i=0..nx, k=1..nz)
-            u1 = U1[1:nz + 1, 0:nx + 1]
-            u2 = U2[1:nz + 1, 0:nx + 1]
-            w1 = 0.25 * (W1[1:nz + 1, 0:nx + 1] + W1[1:nz + 1, 1:nx + 2]
-                         + W1[0:nz, 0:nx + 1] + W1[0:nz, 1:nx + 2])
-            w2 = 0.25 * (W2[1:nz + 1, 0:nx + 1] + W2[1:nz + 1, 1:nx + 2]
-                         + W2[0:nz, 0:nx + 1] + W2[0:nz, 1:nx + 2])
-            um = bcu_mag[1][ib][1:nz + 1, 0:nx + 1]
-            wm_ = 0.25 * (bcw_mag[1][ib][1:nz + 1, 0:nx + 1]
-                          + bcw_mag[1][ib][1:nz + 1, 1:nx + 2]
-                          + bcw_mag[1][ib][0:nz, 0:nx + 1]
-                          + bcw_mag[1][ib][0:nz, 1:nx + 2])
-            t1, _ = wallmodel_tauw(mtype, _rel(u1, u2, coef, um),
-                                   _rel(w1, w2, coef, wm_), h, cfg.l[1], visc)
-            bcu[1][ib] = bcu[1][ib].at[1:nz + 1, 0:nx + 1].set(sgn * visci * t1)
-            # bcw%y over (i=1..nx, k=0..nz)
-            wei_k = wei[0:nz + 1]
-            u1 = 0.5 * ((1 - wei_k) * (U1[0:nz + 1, 0:nx] + U1[0:nz + 1, 1:nx + 1])
-                        + wei_k * (U1[1:nz + 2, 0:nx] + U1[1:nz + 2, 1:nx + 1]))
-            u2 = 0.5 * ((1 - wei_k) * (U2[0:nz + 1, 0:nx] + U2[0:nz + 1, 1:nx + 1])
-                        + wei_k * (U2[1:nz + 2, 0:nx] + U2[1:nz + 2, 1:nx + 1]))
-            w1 = W1[0:nz + 1, 1:nx + 1]
-            w2 = W2[0:nz + 1, 1:nx + 1]
-            umg = bcu_mag[1][ib]
-            um = 0.5 * ((1 - wei_k) * (umg[0:nz + 1, 0:nx] + umg[0:nz + 1, 1:nx + 1])
-                        + wei_k * (umg[1:nz + 2, 0:nx] + umg[1:nz + 2, 1:nx + 1]))
-            wm_ = bcw_mag[1][ib][0:nz + 1, 1:nx + 1]
-            _, t2 = wallmodel_tauw(mtype, _rel(u1, u2, coef, um),
-                                   _rel(w1, w2, coef, wm_), h, cfg.l[1], visc)
-            bcw[1][ib] = bcw[1][ib].at[0:nz + 1, 1:nx + 1].set(sgn * visci * t2)
+            bcu[1][ib], bcw[1][ib] = y_wall_wm_planes(
+                cfg, grid, up[:, j1, :], up[:, j2, :],
+                wp[:, j1, :], wp[:, j2, :],
+                bcu_mag[1][ib], bcw_mag[1][ib], bcu[1][ib], bcw[1][ib],
+                ib, index_wm)
 
         # ---------------- z walls (wmodel.f90:222-272) ----------------
         if cfg.lwm[ib][2] != 0:
@@ -231,6 +200,55 @@ def update_wallmodel_bcs(cfg, grid, up, vp, wp, bcu, bcv, bcw,
 
     to_t = lambda x: tuple(tuple(p) for p in x)
     return to_t(bcu), to_t(bcv), to_t(bcw)
+
+def y_wall_wm_planes(cfg, grid, U1, U2, W1, W2, umag, wmag, bcu_y, bcw_y,
+                     ib, index_wm):
+    """The y-wall branch of the wall-model BC update (wmodel.f90:171-221)
+    on explicit padded (nz+2, nx+2) velocity ROWS at (j1, j2) — shared by
+    the full-field update above and the sliced-row fast path
+    (timeloop._wm_bcs_fast, duct-WMLES class).  Returns the updated
+    (bcu_y, bcw_y) planes for face ib."""
+    nx, ny, nz = cfg.ng
+    dl = cfg.dl
+    h, visc = cfg.hwm, cfg.visc
+    visci = 1.0 / visc
+    zc, zf, dzc = grid.zc, grid.zf, grid.dzc
+    wei = ((zf - zc) / dzc)[:, None]           # (nz+2, 1)
+    mtype = cfg.lwm[ib][1]
+    j2 = index_wm[1][ib]
+    j1 = j2 - 1 if ib == 0 else j2 + 1
+    coef = ((h - (j1 - 0.5) * dl[1]) / dl[1] if ib == 0
+            else (h - (ny - j1 + 0.5) * dl[1]) / dl[1])
+    sgn = 1.0 if ib == 0 else -1.0
+    # bcu%y over (i=0..nx, k=1..nz)
+    u1 = U1[1:nz + 1, 0:nx + 1]
+    u2 = U2[1:nz + 1, 0:nx + 1]
+    w1 = 0.25 * (W1[1:nz + 1, 0:nx + 1] + W1[1:nz + 1, 1:nx + 2]
+                 + W1[0:nz, 0:nx + 1] + W1[0:nz, 1:nx + 2])
+    w2 = 0.25 * (W2[1:nz + 1, 0:nx + 1] + W2[1:nz + 1, 1:nx + 2]
+                 + W2[0:nz, 0:nx + 1] + W2[0:nz, 1:nx + 2])
+    um = umag[1:nz + 1, 0:nx + 1]
+    wm_ = 0.25 * (wmag[1:nz + 1, 0:nx + 1] + wmag[1:nz + 1, 1:nx + 2]
+                  + wmag[0:nz, 0:nx + 1] + wmag[0:nz, 1:nx + 2])
+    t1, _ = wallmodel_tauw(mtype, _rel(u1, u2, coef, um),
+                           _rel(w1, w2, coef, wm_), h, cfg.l[1], visc)
+    bcu_y = bcu_y.at[1:nz + 1, 0:nx + 1].set(sgn * visci * t1)
+    # bcw%y over (i=1..nx, k=0..nz)
+    wei_k = wei[0:nz + 1]
+    u1 = 0.5 * ((1 - wei_k) * (U1[0:nz + 1, 0:nx] + U1[0:nz + 1, 1:nx + 1])
+                + wei_k * (U1[1:nz + 2, 0:nx] + U1[1:nz + 2, 1:nx + 1]))
+    u2 = 0.5 * ((1 - wei_k) * (U2[0:nz + 1, 0:nx] + U2[0:nz + 1, 1:nx + 1])
+                + wei_k * (U2[1:nz + 2, 0:nx] + U2[1:nz + 2, 1:nx + 1]))
+    w1 = W1[0:nz + 1, 1:nx + 1]
+    w2 = W2[0:nz + 1, 1:nx + 1]
+    um = 0.5 * ((1 - wei_k) * (umag[0:nz + 1, 0:nx] + umag[0:nz + 1, 1:nx + 1])
+                + wei_k * (umag[1:nz + 2, 0:nx] + umag[1:nz + 2, 1:nx + 1]))
+    wm_ = wmag[0:nz + 1, 1:nx + 1]
+    _, t2 = wallmodel_tauw(mtype, _rel(u1, u2, coef, um),
+                           _rel(w1, w2, coef, wm_), h, cfg.l[1], visc)
+    bcw_y = bcw_y.at[0:nz + 1, 1:nx + 1].set(sgn * visci * t2)
+    return bcu_y, bcw_y
+
 
 def z_wall_wm_planes(cfg, grid, U1, U2, V1, V2, umag, vmag, bcu_z, bcv_z,
                      ib, index_wm):

@@ -318,6 +318,59 @@ def test_pallas_step_integration_wmles(monkeypatch):
                                atol=1e-13)
 
 
+def test_pallas_step_integration_duct_wmles(monkeypatch):
+    """Kernel path on a wall-modeled square duct (log-law wall model on all
+    four y/z side walls, examples/turbulent_duct_wmles class): the y-edge
+    bundles carry the wall-model-updated Neumann planes (plane-valued
+    _yrows/_zedge_of_yrows corner rows) and the momentum/fillps/correc
+    kernels consume them; smag stays on the XLA fallback (walls_z_only is
+    False).  Parity vs the all-XLA path."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    base = dict(ng=(128, 16, 16), l=(12.8, 2.0, 2.0), gtype=1, gr=0.0,
+                visci=20000.0, inivel='duc', is_wallturb=True,
+                dtype='float64', is_forced=(True, False, False),
+                velf=(1.0, 0.0, 0.0), sgstype='smag', hwm=0.2,
+                lwm=((0, 1, 1), (0, 1, 1)),
+                cbcvel=((('P', 'P', 'P'), ('D', 'D', 'D'),
+                         ('D', 'D', 'D')),) * 2,
+                cbcpre=(('P', 'N', 'N'), ('P', 'N', 'N')),
+                cbcsgs=(('P', 'D', 'D'), ('P', 'D', 'D')))
+    results = []
+    # run 0: XLA path, generic full-pad wall-model update (the oracle);
+    # run 1: XLA path, sliced-row fast wm update (must be bit-identical);
+    # run 2: kernel path (fast wm + wm-plane ye bundles)
+    for i, up_ in enumerate((False, False, True)):
+        if i == 0:
+            monkeypatch.setenv('CALES_NO_WM_FAST', '1')
+        else:
+            monkeypatch.delenv('CALES_NO_WM_FAST', raising=False)
+        cfg = Config(**base, use_pallas=up_)
+        grid = make_grid_from_config(cfg)
+        sim = Simulation(cfg, grid)
+        if up_:
+            assert sim.use_pallas_mom, sim.exec_path()
+            assert sim._ywalled and sim.has_wm and sim._wm_fast
+            assert not sim.use_pallas_smag     # XLA smag fallback
+        s = sim.initial_state(*initflow(cfg, grid))
+        for _ in range(2):
+            s, _ = sim.step(s, 1e-3)
+        results.append(s)
+    a, fast, b = results
+    for f in ('u', 'v', 'w', 'p', 'visct'):
+        np.testing.assert_array_equal(np.asarray(getattr(fast, f)),
+                                      np.asarray(getattr(a, f)),
+                                      err_msg=f'wm fast path: {f}')
+    np.testing.assert_allclose(np.asarray(b.u), np.asarray(a.u), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(b.v), np.asarray(a.v), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(b.w), np.asarray(a.w), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(b.p), np.asarray(a.p), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(b.visct), np.asarray(a.visct),
+                               atol=1e-13)
+
+
 def test_pallas_step_integration_dsmag(monkeypatch):
     """Dynamic-Smagorinsky kernel pipeline (DS1+DS2, interpret mode) vs the
     XLA dsmag path: channel, 2 steps, near-bitwise (averaging reassociates
@@ -429,6 +482,12 @@ def test_pallas_step_integration_impdiff(monkeypatch):
             if use_pallas:
                 assert sim.use_pallas_mom, sim.exec_path()
                 assert sim._mom_split == ('1d' if imp1d else 'xy+z')
+                # the CN fold (rd streams elided, forcing folded into the
+                # solve RHS for impdiff_1d) must be what this test covers
+                assert sim._cn_fold
+                assert sim._cn_shift_forcing == imp1d
+            else:
+                assert not sim._cn_fold
             s = sim.initial_state(*initflow(cfg, grid))
             for _ in range(3):
                 s, _ = sim.step(s, 1e-3)

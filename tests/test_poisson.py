@@ -252,6 +252,34 @@ def test_pallas_helmholtz_z_matches_xla():
                                    rtol=0, err_msg=str((cbc, cf)))
 
 
+def test_helmholtz_z_shift_matches_pre_add():
+    """solve_z_only(shift=f) (the folded bulk-forcing add of the CN-fold
+    path, rk.f90:197-222 + main.f90:423-431 ordering) must equal adding f
+    to the RHS field before the solve — XLA and Pallas branches, incl. the
+    qz=1 face-staggered passthrough tail."""
+    from cales_tpu.poisson import solve_z_only
+    ng = (96, 12, 16)
+    rng = np.random.default_rng(7)
+    rhs = jnp.asarray(rng.standard_normal((ng[2], ng[1], ng[0])))
+    cfg = Config(ng=ng, l=(1.3, 0.9, 2.0), gtype=1, gr=0.8,
+                 dtype='float64', ptransform='mat')
+    grid = make_grid(cfg.gtype, ng[2], cfg.gr, cfg.l[2])
+    f = 0.0173
+    for cbc, cf in ((('PP', 'PP', 'DD'), ('c', 'c', 'c')),
+                    (('PP', 'PP', 'DD'), ('c', 'c', 'f'))):
+        sv = make_solver(cfg, grid, cbc, cf)
+        alpha = -0.043
+        for pallas in (False, True):
+            a = np.asarray(solve_z_only(sv, rhs + f, alpha, pallas=pallas,
+                                        pallas_interpret=pallas))
+            b = np.asarray(solve_z_only(sv, rhs, alpha, pallas=pallas,
+                                        pallas_interpret=pallas,
+                                        shift=jnp.asarray(f)))
+            np.testing.assert_allclose(b, a, atol=1e-13 * np.abs(a).max(),
+                                       rtol=0,
+                                       err_msg=str((cbc, cf, pallas)))
+
+
 def test_pallas_solve_thomas_matches_xla(monkeypatch):
     """The opt-in aliased V1 pipeline (default for non-periodic z: in-place y
     passes + in-kernel eps-regularized Thomas z sweep) must agree with the

@@ -482,6 +482,75 @@ def test_ywalled_kernel_sharded_matches_single(monkeypatch):
             check_vlo=(1, 2))
 
 
+def test_ywalled_kernel_2d_mesh_matches_single(monkeypatch):
+    """y-walled (duct-class) configs on a 2D (gy, gx) pencil mesh: the
+    in-kernel ye-bundle wall fixes compose with the xe ghost-column
+    protocol — the xe packs' wall-ghost rows are patched host-side from
+    the x neighbors' bundle rows and v's wall-face slot is rewritten
+    before packing (timeloop._xe_wall_rows/_ystag_rw_gx).  The reference
+    runs its kernels on any pencil (initmpi.f90:56-73)."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    for sgstype in ('none', 'smag'):
+        cfg = Config(ng=(256, 32, 16), l=(2 * np.pi, 2.0, 2.0), gtype=1,
+                     gr=0.5, visci=2000.0, inivel='duc', is_wallturb=False,
+                     dtype='float64', is_forced=(True, False, False),
+                     velf=(1.0, 0.0, 0.0), sgstype=sgstype, ptransform='mat',
+                     **_duct_bcs)
+
+        def flags(simN):
+            assert simN._ywalled and simN._gx_sharded, simN.exec_path()
+
+        _compare_kernel_sharded(cfg, (2, 2), assert_flags=flags,
+                                check_vlo=(1, 2))
+
+
+def test_ywalled_wmles_kernel_2d_mesh_matches_single(monkeypatch):
+    """Wall-modeled duct on a 2D (gy, gx) mesh: the wm-plane-valued
+    bundles ride the same host-side xe patching."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = Config(ng=(256, 32, 16), l=(2 * np.pi, 2.0, 2.0), gtype=1, gr=0.0,
+                 visci=20000.0, inivel='duc', is_wallturb=False,
+                 dtype='float64', is_forced=(True, False, False),
+                 velf=(1.0, 0.0, 0.0), sgstype='smag', ptransform='mat',
+                 lwm=((0, 1, 1), (0, 1, 1)), hwm=0.2,
+                 cbcvel=_duct_bcs['cbcvel'], cbcpre=_duct_bcs['cbcpre'],
+                 cbcsgs=(('P', 'D', 'D'), ('P', 'D', 'D')))
+
+    def flags(simN):
+        assert simN._ywalled and simN._gx_sharded and simN.has_wm, \
+            simN.exec_path()
+
+    _compare_kernel_sharded(cfg, (2, 2), assert_flags=flags,
+                            check_vlo=(1, 2))
+
+
+def test_ywalled_wmles_kernel_sharded_matches_single(monkeypatch):
+    """Wall-modeled duct (y/z log-law walls, examples/turbulent_duct_wmles
+    class) under the 1D slab decomposition: the replicated y-edge bundles
+    carry the wall-model-updated Neumann planes."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    cfg = Config(ng=(128, 32, 16), l=(2 * np.pi, 2.0, 2.0), gtype=1, gr=0.0,
+                 visci=20000.0, inivel='duc', is_wallturb=False,
+                 dtype='float64', is_forced=(True, False, False),
+                 velf=(1.0, 0.0, 0.0), sgstype='smag', ptransform='mat',
+                 lwm=((0, 1, 1), (0, 1, 1)), hwm=0.2,
+                 cbcvel=_duct_bcs['cbcvel'], cbcpre=_duct_bcs['cbcpre'],
+                 cbcsgs=(('P', 'D', 'D'), ('P', 'D', 'D')))
+
+    def flags(simN):
+        assert simN._ywalled and simN.has_wm and simN._wm_fast, \
+            simN.exec_path()
+
+    _compare_kernel_sharded(cfg, (2, 1), assert_flags=flags,
+                            check_vlo=(1, 2))
+
+
 def test_ywalled_dsmag_kernel_sharded_matches_single(monkeypatch):
     """Dynamic-Smagorinsky duct (BASELINE config #4) under the 1D slab
     decomposition: both dsmag pipeline levels take the halo strips + the
