@@ -393,6 +393,113 @@ def yedge_scalar(p, cbc, bcvals, dl, dzc):
     return yp, zyp
 
 
+def _xcols_centered(q, letters, bcvals, dr):
+    """(nz, ny, 3) x-ghost-column stack [padded x 0, padded x nx+1,
+    padded x nx] for an x-centered field — the x-wall analogue of
+    _yrows_centered, consumed by the kernels' xe edge-lane roll fixes
+    (set_bc semantics, bound.f90:232-352 along x)."""
+    nz, ny, _ = q.shape
+    first, last = q[:, :, 0], q[:, :, -1]
+    if letters[0] == 'P':
+        lo, hi = last, first
+    else:
+        b0 = _bc_row(bcvals[0], nz, ny, q.dtype)
+        b1 = _bc_row(bcvals[1], nz, ny, q.dtype)
+        lo = 2.0 * b0 - first if letters[0] == 'D' else -dr[0] * b0 + first
+        hi = 2.0 * b1 - last if letters[1] == 'D' else dr[1] * b1 + last
+    return jnp.stack([lo, hi, last], axis=2)
+
+
+def _xcols_face(q, letters, bcvals, dr, lo_keep=None, keep=False):
+    """x-ghost-column stack for the x-face-staggered component (u): cols
+    [padded x 0, padded x nx+1, padded x nx (the set_bc rewrite slot)]."""
+    nz, ny, _ = q.shape
+    first, second_last, last = q[:, :, 0], q[:, :, -2], q[:, :, -1]
+    if letters[0] == 'P':
+        return jnp.stack([last, first, last], axis=2)
+    if keep:
+        hi = second_last if letters[1] == 'D' else last
+        lo = lo_keep[1:-1, 1:-1].astype(q.dtype)
+        return jnp.stack([lo, hi, last], axis=2)
+    b0 = _bc_row(bcvals[0], nz, ny, q.dtype)
+    b1 = _bc_row(bcvals[1], nz, ny, q.dtype)
+    lo = b0 if letters[0] == 'D' else -dr[0] * b0 + first
+    if letters[1] == 'D':
+        newlast, hi = b1, second_last
+    else:
+        newlast, hi = dr[1] * b1 + second_last, last
+    return jnp.stack([lo, hi, newlast], axis=2)
+
+
+def _zedge_of_xcols(cols, letters, bcval_scalars, dr, face=False,
+                    vlo_plane=None, keep=False):
+    """z-edge stack (3, ny, 3) of a (nz, ny, 3) x-column stack — the corner
+    values of the sequential x->y->z fill: the z formula applied to the
+    x-ghost columns.  BC values must be scalars (x-wall-modeled faces are
+    gated off the kernel path)."""
+    first, second_last, last = cols[0], cols[-2], cols[-1]
+    b0, b1 = bcval_scalars
+    if not face:
+        if letters[0] == 'P':
+            lo, hi = last, first
+        else:
+            lo = 2.0 * b0 - first if letters[0] == 'D' else -dr[0] * b0 + first
+            hi = 2.0 * b1 - last if letters[1] == 'D' else dr[1] * b1 + last
+        return jnp.stack([lo, last, hi])
+    if letters[0] == 'P':
+        return jnp.stack([last, last, first])
+    if keep:
+        # w corners at the retained lower z wall face: the vlo plane's
+        # x-ghost entries (padded plane cols [0, nx+1, nx])
+        lo = jnp.stack([vlo_plane[1:-1, 0], vlo_plane[1:-1, -1],
+                        vlo_plane[1:-1, -2]], axis=1).astype(cols.dtype)
+        hi = second_last if letters[1] == 'D' else last
+        return jnp.stack([lo, last, hi])
+    lo = jnp.full_like(first, b0) if letters[0] == 'D' \
+        else -dr[0] * b0 + first
+    if letters[1] == 'D':
+        newlast, hi = jnp.full_like(first, b1), second_last
+    else:
+        newlast, hi = dr[1] * b1 + second_last, last
+    return jnp.stack([lo, newlast, hi])
+
+
+def xedge_velocity(u, v, w, cbcvel, bcu, bcv, bcw, dl, dzc, dzf,
+                   vlo=None, is_correc=False):
+    """x-ghost-column stacks (nz, ny, 3) for (u, v, w) + their z-edge
+    corner stacks (3, ny, 3) — the x-wall kernel-input protocol (cols
+    [padded x 0, padded x nx+1, padded x nx]).  Same semantics as
+    pad_velocity's x and z passes; scalar static BC values only (x-wall
+    wall models are gated off the kernel path)."""
+    nz = u.shape[0]
+    dr_x = (dl[0], dl[0])
+    dr_z_par = (float(dzc[0]), float(dzc[nz]))
+    dr_z_nrm = (float(dzf[0]), float(dzf[nz]))
+    xlts = lambda ivel: (cbcvel[0][0][ivel], cbcvel[1][0][ivel])
+    zlts = lambda ivel: (cbcvel[0][2][ivel], cbcvel[1][2][ivel])
+    keep_u = is_correc and xlts(0)[0] != 'P' and vlo is not None
+    xu = _xcols_face(u, xlts(0), bcu[0], dr_x,
+                     lo_keep=vlo[0] if keep_u else None, keep=keep_u)
+    xv = _xcols_centered(v, xlts(1), bcv[0], dr_x)
+    xw = _xcols_centered(w, xlts(2), bcw[0], dr_x)
+    keep_w = is_correc and zlts(2)[0] != 'P' and vlo is not None
+    zxu = _zedge_of_xcols(xu, zlts(0), bcu[2], dr_z_par)
+    zxv = _zedge_of_xcols(xv, zlts(1), bcv[2], dr_z_par)
+    zxw = _zedge_of_xcols(xw, zlts(2), bcw[2], dr_z_nrm, face=True,
+                          vlo_plane=vlo[2] if keep_w else None, keep=keep_w)
+    return (xu, xv, xw), (zxu, zxv, zxw)
+
+
+def xedge_scalar(p, cbc, bcvals, dl, dzc):
+    """x-column stack + z-edge corner stack for a cell-centered scalar
+    (boundp x/z semantics)."""
+    nz = p.shape[0]
+    xp_ = _xcols_centered(p, cbc[0], bcvals[0], (dl[0], dl[0]))
+    zxp = _zedge_of_xcols(xp_, cbc[2], bcvals[2],
+                          (float(dzc[0]), float(dzc[nz])))
+    return xp_, zxp
+
+
 def pad_velocity(u, v, w, cbcvel, bcu, bcv, bcw, dl, dzc, dzf,
                  vlo=None, is_correc=False):
     """Ghost fill for the staggered velocity (bounduvw, bound.f90:18-154).

@@ -159,9 +159,19 @@ class Simulation:
         # ywf); 2D (gx>1) meshes patch the xe ghost-column packs' wall rows
         # from the bundles host-side (_xe_wall_rows / _halo_y_patched)
         self._ywalled = not y_periodic
-        xy_periodic = x_periodic
-        if not x_periodic:
-            _why('non-periodic x BCs')
+        # non-periodic x (inflow/outflow, developing-channel class) runs
+        # the kernels with host-built x-ghost-column bundles riding the xe
+        # edge-lane roll-fix protocol (ops/boundary.xedge_*) — no ppermute,
+        # the columns come from the BC recipes; u's wall-face rewrite slot
+        # is patched into the kernel-input copy host-side.  Single-chip,
+        # y-periodic, scalar static BCs, no wall model (v1 scope).
+        self._xwalled = not x_periodic
+        x_wall_ok = (self._xwalled and mesh is None and not self.has_wm
+                     and not cfg.scalar and y_periodic and scalar_bcs)
+        xy_periodic = x_periodic or x_wall_ok
+        if self._xwalled and not x_wall_ok:
+            _why('non-periodic x BCs with wall model/scalar/y-walls/mesh '
+                 '(xedge path is single-chip, y-periodic, scalar-BC only)')
         nx, ny, nz = cfg.ng
         # kernels under a mesh: per-shard Pallas under shard_map.  y halos
         # arrive as ppermute 8-row strips (y_ext mode); with gx > 1 the
@@ -250,7 +260,7 @@ class Simulation:
             for d in (0, 1)) and not any(cfg.lwm[ib][d] != 0 for ib in range(2)
                                          for d in (0, 1))
         self.use_pallas_smag = (self.use_pallas_mom and cfg.sgstype == 'smag'
-                                and walls_z_only)
+                                and walls_z_only and not self._xwalled)
         # single-pass projection+updatep+smag fusion (channel-LES class):
         # removes the separate smag kernel's window reads (ops/
         # pallas_kernels.fused_correc_updatep_smag); needs in-kernel z-ghost
@@ -292,7 +302,8 @@ class Simulation:
         # kernel's ~1 ms; kept for future tile-shape regimes
         self._fuse_mom_fillps = (
             self.use_pallas_mom and self._mom_split is None
-            and mesh is None and not self._ywalled and not self.has_wm
+            and mesh is None and not self._ywalled and not self._xwalled
+            and not self.has_wm
             and not cfg.scalar
             and cfg.cbc_vel(2, 2)[0] != 'P' and not cfg.is_forced[2]
             and _os.environ.get('CALES_FUSE_FILLPS', '') == '1'
@@ -317,6 +328,7 @@ class Simulation:
             self.use_pallas_mom and self._mom_split is None
             and mesh is None and not self.has_wm
             and not cfg.scalar and not cfg.is_forced[2]
+            and not self._xwalled    # cancellation needs periodic x
             and (cfg.is_forced[0] or cfg.is_forced[1])
             and not (self._ywalled and cfg.is_forced[1]))
         need_sums = (self._defer_forcing
@@ -386,7 +398,8 @@ class Simulation:
             # filter stencils), not carried by the 1-column xe bundle
             from .ops import pallas_dsmag as pds
             self.use_pallas_dsmag = (
-                pds.eligible(cfg, self.sgs_setup)
+                not self._xwalled      # filters need 2-deep x ghosts
+                and pds.eligible(cfg, self.sgs_setup)
                 and pds.ds_tiles(nz, ny_local, np.dtype(self.dtype).itemsize,
                                  nx_local) is not None)
         # z-only CN Helmholtz solves as single aliased Pallas Thomas passes
@@ -666,6 +679,35 @@ class Simulation:
         one, zero = jnp.ones((), dt), jnp.zeros((), dt)
         return (jnp.where(row == 0, one, zero),
                 jnp.where(row == gy - 1, one, zero))
+
+    def _xe_pack_cols(self, stacks):
+        """Packed xe bundle from host-built x-ghost-column stacks
+        (x-WALLED single-chip path — no ppermute, the ghost columns come
+        from the BC recipes, ops/boundary.xedge_*): lane 2m = padded x 0,
+        lane 2m+1 = padded x nx+1 of field m, zero-padded to 128 lanes."""
+        cols = []
+        for s in stacks:
+            cols.append(s[..., 0:1])
+            cols.append(s[..., 1:2])
+        pad = jnp.zeros(cols[0].shape[:-1] + (128 - len(cols),),
+                        cols[0].dtype)
+        return jnp.concatenate(cols + [pad], axis=-1)
+
+    def _patch_last_xcol(self, q, col):
+        """Replace the last interior x column (the x-staggered wall-face
+        rewrite slot, padded x nx) with the bundle value — the set_bc
+        rewrite of the prediction fill, presented to every kernel
+        consumer (fillps divergence, correc base)."""
+        return jnp.concatenate([q[..., :-1], col[..., None].astype(q.dtype)],
+                               axis=-1)
+
+    def _xbundle_vel(self, u, v, w, vlo=None, is_correc=False, bcs=None):
+        bcu, bcv, bcw = (bcs if bcs is not None
+                         else (self.bcu_vals, self.bcv_vals, self.bcw_vals))
+        return bnd.xedge_velocity(
+            u, v, w, self.cbcvel, bcu, bcv, bcw,
+            self.cfg.dl, self.grid.dzc, self.grid.dzf,
+            vlo=vlo, is_correc=is_correc)
 
     def _yslice_gx(self, a):
         """Local x block of a replicated global y-edge bundle (inside
@@ -1207,6 +1249,25 @@ class Simulation:
                     ystk.append(ys)
                     zstk.append(zys)
                 ye, yze = self._pack_ybundle(ystk + [yp], zstk + [zyp])
+            xeb = xzeb = None
+            if self._xwalled:
+                # x-ghost-column bundles of the same (post-correc) fill —
+                # the xe protocol with host-BUILT columns (no ppermute)
+                (xcu, xcv, xcw), zxc = self._xbundle_vel(
+                    u, v, w, vlo=state.vlo, is_correc=True)
+                xcp, zxcp = bnd.xedge_scalar(p, self.cbcpre, self.bcp_vals,
+                                             cfg.dl, grid.dzc)
+                cstk, zcstk = [xcu, xcv, xcw], list(zxc)
+                if hs:
+                    cbcs_s = tuple((cfg.cbcsgs[0][d], cfg.cbcsgs[1][d])
+                                   for d in range(3))
+                    xcs, zxcs = bnd.xedge_scalar(visct, cbcs_s,
+                                                 self.bcs_vals, cfg.dl,
+                                                 grid.dzc)
+                    cstk.append(xcs)
+                    zcstk.append(zxcs)
+                xeb = self._xe_pack_cols(cstk + [xcp])
+                xzeb = self._xe_pack_cols(zcstk + [zxcp])
             with jax.named_scope('momentum_rk_pallas'):
                 if self._kernel_sharded:
                     halo = self._halo_y
@@ -1323,6 +1384,7 @@ class Simulation:
                         dxi, dyi, cfg.bforce,
                         interpret=self._pallas_interpret, split=split,
                         ye=ye, yze=yze, ywalls=(True, True),
+                        xe=xeb, xze=xzeb,
                         fuse_fillps=fuse_fp,
                         wrec=self._zrec_w if fuse_fp else None,
                         sum_flags=self._sum_flags,
@@ -1501,8 +1563,20 @@ class Simulation:
             # prediction-velocity BC fill (main.f90:493-494) as edge stacks;
             # the w wall-face rewrite of set_bc travels in row 1 of we2
             bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
+            xkw_f = {}
+            if self._xwalled:
+                # prediction-fill x bundles; u's wall-face rewrite (set_bc
+                # on the x-staggered component) is patched into the
+                # kernel-input copy BEFORE the z-edge stacks are built so
+                # corner values see the rewritten face (sequential x->z)
+                (xu2, xv2, xw2), (zxu2, zxv2, zxw2) = self._xbundle_vel(
+                    u, v, w, is_correc=False, bcs=(bcu, bcv, bcw))
+                u = self._patch_last_xcol(u, xu2[..., 2])
             ue2, ve2, we2 = self._zedge_vel(u, v, w, bcu, bcv, bcw,
                                             is_correc=False)
+            if self._xwalled:
+                xkw_f = dict(xe=self._xe_pack_cols([xu2, xv2, xw2]),
+                             xze=self._xe_pack_cols([zxu2, zxv2, zxw2]))
             ye2 = yze2 = None
             if self._ywalled:
                 # prediction-fill y bundles (v's rewrite row participates
@@ -1571,7 +1645,7 @@ class Simulation:
                                           xop=self._xopT if self._fuse_xop
                                           else None,
                                           yop=self._yopF if self._fuse_yop
-                                          else None)
+                                          else None, **xkw_f)
                 rhs = poisson.add_rhs_bound(cfg, ('c', 'c', 'c'), self.cbcpre,
                                             rhs, self.rhsb_p)
                 xf = self._fuse_xop
@@ -1593,6 +1667,12 @@ class Simulation:
             # they need (tiny matmuls)
             ppe = self._zedge_p(pp)
             ycor = yzcor = None
+            xkw_c = {}
+            if self._xwalled:
+                xpp, zxpp = bnd.xedge_scalar(pp, self.cbcpre, self.bcp_vals,
+                                             cfg.dl, grid.dzc)
+                xkw_c = dict(xe=self._xe_pack_cols([xw2, xpp]),
+                             xze=self._xe_pack_cols([zxw2, zxpp]))
             if self._ywalled:
                 ypp, zypp = self._ybundle_p(pp)
                 ycor, yzcor = self._pack_ybundle(
@@ -1663,7 +1743,8 @@ class Simulation:
                         u, v, w, pp, p, we2, ppe, dtrk, dxi, dyi, dzci,
                         interpret=self._pallas_interpret, alpha=alpha,
                         ye=ycor, yze=yzcor, ywalls=(True, True),
-                        fu=fu_d, fv=fv_d, alias_p=not first, **imp_kw)
+                        fu=fu_d, fv=fv_d, alias_p=not first,
+                        **xkw_c, **imp_kw)
             # lower-wall w face plane: the padded-row-0 entry of the correc
             # ghost-range sweep (correc.f90:45-67), a plane-sized update
             if xf:
@@ -1689,6 +1770,28 @@ class Simulation:
                 vlo_v = jnp.concatenate([vlo_v[:, -1:], vlo_v, vlo_v[:, :1]],
                                         axis=1)
                 vlo = (state.vlo[0], vlo_v, wlo)
+            elif self._xwalled:
+                # x-ghost entries of the w z=0 plane through the corner
+                # stacks; the u wall-face plane (padded x 0) evolves
+                # through the padded correc sweep (correc.f90:45-67)
+                dzci0 = float(dzci[0])
+                w_xlo = zxw2[0][:, 0] - dtrk * dzci0 * (xpp[0, :, 0]
+                                                        - zxpp[0, :, 0])
+                w_xhi = zxw2[0][:, 1] - dtrk * dzci0 * (xpp[0, :, 1]
+                                                        - zxpp[0, :, 1])
+                wlo = jnp.concatenate([w_xlo[:, None], wlo, w_xhi[:, None]],
+                                      axis=1)
+                wlo = jnp.concatenate([wlo[-1:], wlo, wlo[:1]], axis=0)
+                ulo_i = xu2[:, :, 0] - dtrk * dxi * (pp[:, :, 0]
+                                                     - xpp[:, :, 0])
+                u_zlo = zxu2[0][:, 0] - dtrk * dxi * (ppe[0][:, 0]
+                                                      - zxpp[0, :, 0])
+                u_zhi = zxu2[2][:, 0] - dtrk * dxi * (ppe[2][:, 0]
+                                                      - zxpp[2, :, 0])
+                ulo = jnp.concatenate([u_zlo[None], ulo_i, u_zhi[None]],
+                                      axis=0)
+                ulo = jnp.concatenate([ulo[:, -1:], ulo, ulo[:, :1]], axis=1)
+                vlo = (ulo, state.vlo[1], wlo)
             else:
                 # the x/y planes are unused under periodic x/y
                 # (pad_velocity's 'P' branch never reads vlo)

@@ -371,6 +371,61 @@ def test_pallas_step_integration_duct_wmles(monkeypatch):
                                atol=1e-13)
 
 
+def test_pallas_step_integration_xwalled(monkeypatch):
+    """Kernel path on non-periodic-x configs (inflow/outflow developing
+    channel class, examples/developing_channel): the host-built x-ghost-
+    column bundles (ops/boundary.xedge_*) ride the xe edge-lane roll-fix
+    protocol and u's wall-face rewrite is patched into the kernel-input
+    copy.  Parity vs the all-XLA path, incl. the retained u inflow-face
+    plane (vlo[0])."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    base = dict(ng=(128, 16, 16), l=(2.0, 1.5, 1.0), gtype=1, gr=0.0,
+                visci=5000.0, inivel='uni', is_wallturb=False,
+                dtype='float64',
+                cbcvel=((('D', 'N', 'N'), ('P', 'P', 'P'),
+                         ('D', 'D', 'D')),
+                        (('N', 'N', 'N'), ('P', 'P', 'P'),
+                         ('D', 'D', 'D'))),
+                bcvel=(((1.0, 0.0, 0.0), (0.0, 0.0, 0.0),
+                        (0.0, 0.0, 0.0)),) * 2,
+                cbcpre=(('N', 'P', 'N'), ('D', 'P', 'N')),
+                cbcsgs=(('N', 'P', 'D'), ('N', 'P', 'D')))
+    for sgstype, extra in (('none', {}), ('smag', {}),
+                           ('none', dict(impdiff=True, impdiff_1d=True))):
+        results = []
+        for up_ in (False, True):
+            cfg = Config(**base, sgstype=sgstype, use_pallas=up_, **extra)
+            grid = make_grid_from_config(cfg)
+            sim = Simulation(cfg, grid)
+            if up_:
+                assert sim.use_pallas_mom, sim.exec_path()
+                assert sim._xwalled and not sim._ywalled
+                assert not sim.use_pallas_smag   # XLA smag fallback
+            s = sim.initial_state(*initflow(cfg, grid))
+            for _ in range(3):
+                s, _ = sim.step(s, 5e-4)
+            results.append(s)
+        a, b = results
+        np.testing.assert_allclose(np.asarray(b.u), np.asarray(a.u),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(b.v), np.asarray(a.v),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(b.w), np.asarray(a.w),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(b.p), np.asarray(a.p),
+                                   atol=1e-11)
+        np.testing.assert_allclose(np.asarray(b.visct),
+                                   np.asarray(a.visct), atol=1e-13)
+        for m in range(3):
+            np.testing.assert_allclose(np.asarray(b.vlo[m]),
+                                       np.asarray(a.vlo[m]), atol=1e-12,
+                                       err_msg=f'vlo[{m}] ({sgstype}, '
+                                               f'{extra})')
+
+
 def test_pallas_step_integration_dsmag(monkeypatch):
     """Dynamic-Smagorinsky kernel pipeline (DS1+DS2, interpret mode) vs the
     XLA dsmag path: channel, 2 steps, near-bitwise (averaging reassociates
