@@ -249,13 +249,20 @@ class _PlaneAccessor:
     """
 
     def __init__(self, windows, kk, ty, interpret=False, xe=None, xlane=None,
-                 ye=None, ylane=None, ystag=None, y_lo=None, y_hi=None):
+                 ye=None, ylane=None, ystag=None, y_lo=None, y_hi=None,
+                 xe_ybase=None):
         self.win = windows            # dict: field key -> scratch ref
         self.kk = kk
         self.ty = ty
         self.interpret = interpret
         self.xe = xe
         self.xlane = xlane or {}
+        # x+y-walled: the xe window's y-wall ghost rows (7 / 8+ty / 7+ty)
+        # contain wrap garbage at wall tiles — replaced from the ye
+        # bundle's xe corner section (rows xe_ybase+0/1/2, lanes [:128]);
+        # the row-2 replacement is safe for ALL lanes (centered fields'
+        # section row 2 is their interior last row, a no-op)
+        self.xe_ybase = xe_ybase
         # y-wall ghost-row fix (see _fix_y): ye = 16-row bundle window;
         # ylane: fid -> row base (rows base+0/1/2 = lo ghost, hi ghost,
         # padded-ny rewrite); ystag: fids whose padded-ny row is rewritten
@@ -276,7 +283,22 @@ class _PlaneAccessor:
         m = self.xlane[fid]
         xkey = ('xe', dk)
         if xkey not in self._cache:
-            self._cache[xkey] = self.xe[self.kk + 1 + dk]
+            xp_ = self.xe[self.kk + 1 + dk]
+            if self.xe_ybase is not None and self.ye is not None:
+                ykey = ('ye', dk)
+                if ykey not in self._cache:
+                    self._cache[ykey] = self.ye[self.kk + 1 + dk]
+                ysec = self._cache[ykey][:, :xp_.shape[-1]]
+                b = self.xe_ybase
+                r = jax.lax.broadcasted_iota(jnp.int32, xp_.shape, 0)
+                if self.y_lo is not None:
+                    xp_ = jnp.where((r == 7) & self.y_lo, ysec[b:b + 1], xp_)
+                if self.y_hi is not None:
+                    xp_ = jnp.where((r == 8 + self.ty) & self.y_hi,
+                                    ysec[b + 1:b + 2], xp_)
+                    xp_ = jnp.where((r == 7 + self.ty) & self.y_hi,
+                                    ysec[b + 2:b + 3], xp_)
+            self._cache[xkey] = xp_
         xp = self._cache[xkey]
         nx = p.shape[-1]
         if self._iota is None:
@@ -437,7 +459,7 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
                 ywalls=(False, False), fuse_fillps=False, wrec=None,
                 sum_flags=(False, False), has_xop=False, has_ystrips=False,
                 has_ruo=True, has_sgs=True, has_scal=False, alpha_s=0.0,
-                ssource=0.0, has_ywf=False, fold_cn=False):
+                ssource=0.0, has_ywf=False, fold_cn=False, xye=False):
     """fuse_fillps: also emit the projection RHS div(u_new)/dt_rk in the
     same pass (fillps.f90 folded into the momentum tail): the RHS core is
     evaluated one y row wide (row 7, the j-1 neighbor of tile row 0 — the
@@ -587,7 +609,8 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
                 kk, ty, interpret=interpret, xe=sxe,
                 xlane={id(f): m for m, f in enumerate(fwins)},
                 ye=sye, ylane={id(f): 3 * m for m, f in enumerate(fwins)},
-                ystag={id(sv)}, y_lo=y_lo, y_hi=y_hi)
+                ystag={id(sv)}, y_lo=y_lo, y_hi=y_hi,
+                xe_ybase=3 * len(fwins) if xye else None)
             metrics = {
                 'dzci_c': dzci_s[kz, 0],
                 'dzci_m': dzci_s[kz - 1, 0],
@@ -750,7 +773,7 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                  fuse_fillps=False, wrec=None, sum_flags=(False, False),
                  xop=None, ystrips=None, has_ruo=True, has_sgs=True,
                  sca=None, scae=None, rso=None, scal_params=(0.0, 0.0),
-                 ywf=None, fold_cn=False):
+                 ywf=None, fold_cn=False, xye=False):
     """Momentum RHS + RK3 update in one HBM pass.
 
     u..p: interior (nz, ny, nx) fields; ue..pe: (3, ny, nx) z-edge stacks
@@ -834,7 +857,7 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                        has_sgs=has_sgs, has_scal=has_scal,
                        alpha_s=float(scal_params[0]),
                        ssource=float(scal_params[1]), has_ywf=has_ywf,
-                       fold_cn=fold_cn)
+                       fold_cn=fold_cn, xye=xye and has_xe and has_ye)
     xargs = (xe, xze) if has_xe else ()
     yargs = (ye, yze) if has_ye else ()
     sargs = tuple(ystrips) if has_ystrips else ()
@@ -889,7 +912,7 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                         for _ in range(nf)]
                        + ([pltpu.VMEM((2, tz + 2, ty + 16, 128), dt)]
                           if has_xe else [])
-                       + ([pltpu.VMEM((2, tz + 2, 16, nx), dt)]
+                       + ([pltpu.VMEM((2, tz + 2, ye.shape[1], nx), dt)]
                           if has_ye else [])
                        + fextra
                        + [pltpu.SemaphoreType.DMA((2, nwin, 9))],
@@ -1037,7 +1060,7 @@ def fused_smag(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi, visc, cs_delta2_1d,
 
 def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
                    has_xe=False, ywalls=(False, False), has_ystrips=False,
-                   has_xop=False, has_yop=False, has_ywf=False):
+                   has_xop=False, has_yop=False, has_ywf=False, xye=False):
     has_ye = any(ywalls)
     gj = ny // ty
 
@@ -1093,7 +1116,8 @@ def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
                                  xlane={id(su): 0, id(sv): 1, id(sw): 2},
                                  ye=sye,
                                  ylane={id(su): 0, id(sv): 3, id(sw): 6},
-                                 ystag={id(sv)}, y_lo=y_lo, y_hi=y_hi)
+                                 ystag={id(sv)}, y_lo=y_lo, y_hi=y_hi,
+                                 xe_ybase=9 if xye else None)
             rhs = ((acc.V(sw) - acc.V(sw, k=-1)) * dti * dzfi_s[kz, 0]
                    + (acc.V(sv) - acc.V(sv, j=-1)) * (dti * dyi)
                    + (acc.V(su) - acc.V(su, i=-1)) * (dti * dxi))
@@ -1126,7 +1150,7 @@ def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
 def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False,
                  y_ext=False, xe=None, xze=None, ye=None, yze=None,
                  ywalls=(False, False), ystrips=None, xop=None, yop=None,
-                 ywf=None):
+                 ywf=None, xye=False):
     """Poisson RHS div(u)/dt_rk in one pass (fillps.f90:14-48).
 
     u, v, w: prediction-velocity interiors; ue, ve, we: prediction-fill
@@ -1173,7 +1197,8 @@ def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False,
                           interpret, y_ext=y_ext, has_xe=has_xe,
                           ywalls=ywalls if has_ye else (False, False),
                           has_ystrips=has_ystrips, has_xop=has_xop,
-                          has_yop=has_yop, has_ywf=has_ywf)
+                          has_yop=has_yop, has_ywf=has_ywf,
+                          xye=xye and has_xe and has_ye)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -1187,7 +1212,7 @@ def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False,
                         for _ in range(3)]
                        + ([pltpu.VMEM((2, tz + 2, ty + 16, 128), dt)]
                           if has_xe else [])
-                       + ([pltpu.VMEM((2, tz + 2, 16, nx), dt)]
+                       + ([pltpu.VMEM((2, tz + 2, ye.shape[1], nx), dt)]
                           if has_ye else [])
                        + [pltpu.SemaphoreType.DMA((2, nwin, 9))],
         compiler_params=_COMPILER_PARAMS,
@@ -1418,7 +1443,7 @@ def fused_correc_updatep_smag(u, v, w, pp, p, ue, ve, we, ppe, dtrk,
 
 def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
                    impdiff=False, impdiff_1d=False, has_xe=False,
-                   ywalls=(False, False), has_ystrips=False, has_ywf=False):
+                   ywalls=(False, False), has_ystrips=False, has_ywf=False, xye=False):
     has_ye = any(ywalls)
     gj = ny // ty
 
@@ -1474,7 +1499,8 @@ def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
                                  interpret=interpret, xe=sxe,
                                  xlane={id(sw): 0, id(spp): 1},
                                  ye=sye, ylane={id(sw): 0, id(spp): 3},
-                                 y_lo=y_lo, y_hi=y_hi)
+                                 y_lo=y_lo, y_hi=y_hi,
+                                 xe_ybase=9 if xye else None)
             ppc = acc.V(spp)
             vin = v_i[kk]
             if ywalls[1]:
@@ -1511,7 +1537,7 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
                          alpha=0.0, impdiff=False, impdiff_1d=False,
                          dzfi=None, xe=None, xze=None, ye=None, yze=None,
                          ywalls=(False, False), fu=0.0, fv=0.0,
-                         ystrips=None, alias_p=False, ywf=None):
+                         ystrips=None, alias_p=False, ywf=None, xye=False):
     """Velocity correction + pressure update in one pass (correc.f90:14-68,
     updatep.f90:14-24 explicit-diffusion branch).
 
@@ -1554,7 +1580,7 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
                           interpret, y_ext=y_ext, impdiff=impdiff,
                           impdiff_1d=impdiff_1d, has_xe=has_xe,
                           ywalls=ywalls if has_ye else (False, False),
-                          has_ystrips=has_ystrips, has_ywf=has_ywf)
+                          has_ystrips=has_ystrips, has_ywf=has_ywf, xye=xye and has_xe and has_ye)
     # in-place correction: the u/v prediction inputs (and p with alias_p,
     # substeps where the donor is an intermediate) are read pointwise
     # through the same output-aligned int_spec blocks as the u/v/p outputs
@@ -1579,7 +1605,7 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
                         for _ in range(2)]
                        + ([pltpu.VMEM((2, tz + 2, ty + 16, 128), dt)]
                           if has_xe else [])
-                       + ([pltpu.VMEM((2, tz + 2, 16, nx), dt)]
+                       + ([pltpu.VMEM((2, tz + 2, ye.shape[1], nx), dt)]
                           if has_ye else [])
                        + [pltpu.SemaphoreType.DMA((2, nwin, 9))],
         compiler_params=_COMPILER_PARAMS,

@@ -167,11 +167,11 @@ class Simulation:
         # y-periodic, scalar static BCs, no wall model (v1 scope).
         self._xwalled = not x_periodic
         x_wall_ok = (self._xwalled and mesh is None and not self.has_wm
-                     and not cfg.scalar and y_periodic and scalar_bcs)
+                     and not cfg.scalar and scalar_bcs)
         xy_periodic = x_periodic or x_wall_ok
         if self._xwalled and not x_wall_ok:
-            _why('non-periodic x BCs with wall model/scalar/y-walls/mesh '
-                 '(xedge path is single-chip, y-periodic, scalar-BC only)')
+            _why('non-periodic x BCs with wall model/scalar/mesh '
+                 '(xedge path is single-chip, scalar-BC only)')
         nx, ny, nz = cfg.ng
         # kernels under a mesh: per-shard Pallas under shard_map.  y halos
         # arrive as ppermute 8-row strips (y_ext mode); with gx > 1 the
@@ -709,6 +709,106 @@ class Simulation:
             self.cfg.dl, self.grid.dzc, self.grid.dzf,
             vlo=vlo, is_correc=is_correc)
 
+    @staticmethod
+    def _rec_ghosts(arr, lts, bvals, dr, axis=-1):
+        """(lo, hi) ghost values of a centered field along `axis` (set_bc
+        formulas, scalar static BCs) — used for vlo-plane ghost entries in
+        the x+y-walled kernel path."""
+        b0, b1 = float(bvals[0]), float(bvals[1])
+        first = jnp.take(arr, 0, axis=axis)
+        last = jnp.take(arr, arr.shape[axis] - 1, axis=axis)
+        lo = 2.0 * b0 - first if lts[0] == 'D' else -dr[0] * b0 + first
+        hi = 2.0 * b1 - last if lts[1] == 'D' else dr[1] * b1 + last
+        return lo, hi
+
+    def _xye_section(self, entries, vlo=None, is_correc=False):
+        """xe corner section of the ye/yze bundles (x+y-walled configs):
+        the y (then z) recipes applied to each field's x-ghost-column
+        stack — the sequential x->y(->z) corner values the xe window's
+        y-wall ghost rows must present (_PlaneAccessor xe_ybase).
+
+        entries: (xcols (nz, ny, 3), kind 'c'/'v'/'w', ylts, ybc, zlts,
+        zbc) per field, in xe-lane order.  Returns the packed
+        ((nz, 3, nx), (3, 3, nx)) section rows (lanes 2m / 2m+1 = the
+        lo / hi ghost columns; scalar static BCs only)."""
+        cfg, grid = self.cfg, self.grid
+        nz = cfg.ng[2]
+        dr_y = (cfg.dl[1], cfg.dl[1])
+        dzc, dzf = grid.dzc, grid.dzf
+        dr_zc = (float(dzc[0]), float(dzc[nz]))
+        dr_zf = (float(dzf[0]), float(dzf[nz]))
+        rows, zrows = [], []
+        for xc, kind, ylts, ybc, zlts, zbc in entries:
+            if kind == 'v':
+                keep = is_correc and ylts[0] != 'P' and vlo is not None
+                if keep:
+                    v1 = vlo[1]
+                    lo = jnp.stack([v1[1:-1, 0], v1[1:-1, -1],
+                                    v1[1:-1, -2]], axis=1).astype(xc.dtype)
+                    sl, la = xc[:, -2], xc[:, -1]
+                    hi = sl if ylts[1] == 'D' else la
+                    cr = jnp.stack([lo, hi, la], axis=1)
+                else:
+                    cr = bnd._yrows_face(xc, ylts, ybc, dr_y)
+            else:
+                cr = bnd._yrows_centered(xc, ylts, ybc, dr_y)
+            if kind == 'w':
+                keepw = is_correc and zlts[0] != 'P' and vlo is not None
+                if keepw:
+                    # the stored wlo plane's corner entries (y-ghost AND
+                    # x-ghost, maintained through the correc evolution)
+                    v2 = vlo[2]
+                    yix = jnp.asarray([0, -1, -2])
+                    lo = v2[yix][:, yix].astype(xc.dtype)
+                    second_last, last = cr[-2], cr[-1]
+                    hi = second_last if zlts[1] == 'D' else last
+                    zr = jnp.stack([lo, last, hi])
+                else:
+                    zr = bnd._zedge_of_yrows(cr, zlts, zbc, dr_zf,
+                                             face=True)
+            else:
+                zr = bnd._zedge_of_yrows(cr, zlts, zbc, dr_zc)
+            rows.append(cr)
+            zrows.append(zr)
+
+        def pack(stks):
+            cols = []
+            for s in stks:
+                cols.append(s[..., 0:1])
+                cols.append(s[..., 1:2])
+            pad = jnp.zeros(cols[0].shape[:-1]
+                            + (cfg.ng[0] - len(cols),), cols[0].dtype)
+            return jnp.concatenate(cols + [pad], axis=-1)
+        return pack(rows), pack(zrows)
+
+    def _xye_entries(self, cstks, with_p=True, correc_wp=False):
+        """Entry specs for _xye_section in xe-lane order: velocity triple
+        (+ visct + pressure, mom site), prediction triple (fillps), or
+        the (w, pp) pair (correc site)."""
+        cfg = self.cfg
+        ylts = lambda iv: (self.cbcvel[0][1][iv], self.cbcvel[1][1][iv])
+        zlts = lambda iv: (self.cbcvel[0][2][iv], self.cbcvel[1][2][iv])
+        bcs = (self.bcu_vals, self.bcv_vals, self.bcw_vals)
+        if correc_wp:
+            xw, xp_ = cstks
+            return [(xw, 'w', ylts(2), bcs[2][1], zlts(2), bcs[2][2]),
+                    (xp_, 'c', self.cbcpre[1], self.bcp_vals[1],
+                     self.cbcpre[2], self.bcp_vals[2])]
+        out = [(cstks[0], 'c', ylts(0), bcs[0][1], zlts(0), bcs[0][2]),
+               (cstks[1], 'v', ylts(1), bcs[1][1], zlts(1), bcs[1][2]),
+               (cstks[2], 'w', ylts(2), bcs[2][1], zlts(2), bcs[2][2])]
+        k = 3
+        if len(cstks) > (3 + with_p):
+            cbcs = tuple((cfg.cbcsgs[0][d], cfg.cbcsgs[1][d])
+                         for d in range(3))
+            out.append((cstks[k], 'c', cbcs[1], self.bcs_vals[1],
+                        cbcs[2], self.bcs_vals[2]))
+            k += 1
+        if with_p:
+            out.append((cstks[k], 'c', self.cbcpre[1], self.bcp_vals[1],
+                        self.cbcpre[2], self.bcp_vals[2]))
+        return out
+
     def _yslice_gx(self, a):
         """Local x block of a replicated global y-edge bundle (inside
         shard_map on a gx > 1 mesh): the kernels' bundle windows are
@@ -809,16 +909,24 @@ class Simulation:
         return bnd.zedge_scalar(s, cbc_z, bv, self.grid.dzc)
 
     # --- y-edge bundles (y-walled kernel path, ops/boundary.yedge_*) ---
-    def _pack_ybundle(self, stacks, zstacks):
+    def _pack_ybundle(self, stacks, zstacks, xsec=None):
         """Pack per-field (nz, 3, nx) y-row stacks + (3, 3, nx) corner
-        stacks into the 16-row kernel bundles (rows 3m+0/1/2)."""
+        stacks into the kernel bundles (rows 3m+0/1/2; 16 rows, or the
+        next multiple of 8 when the x+y-walled xe corner section rides
+        at base 3*nfields)."""
         nz, _, nx = stacks[0].shape
         dt = stacks[0].dtype
         nrows = 3 * len(stacks)
+        parts, zparts = list(stacks), list(zstacks)
+        if xsec is not None:
+            parts.append(xsec[0])
+            zparts.append(xsec[1])
+            nrows += 3
+        rows = max(16, -(-nrows // 8) * 8)
         ye = jnp.concatenate(
-            list(stacks) + [jnp.zeros((nz, 16 - nrows, nx), dt)], axis=1)
+            parts + [jnp.zeros((nz, rows - nrows, nx), dt)], axis=1)
         yze = jnp.concatenate(
-            list(zstacks) + [jnp.zeros((3, 16 - nrows, nx), dt)], axis=1)
+            zparts + [jnp.zeros((3, rows - nrows, nx), dt)], axis=1)
         return ye, yze
 
     def _ybundle_vel(self, u, v, w, vlo=None, is_correc=False, bcs=None):
@@ -1230,6 +1338,27 @@ class Simulation:
             hs = cfg.sgstype != 'none'
             se = self._zedge_s(visct) if hs else None
             ye = yze = None
+            xeb = xzeb = None
+            if self._xwalled:
+                # x-ghost-column bundles of the same (post-correc) fill —
+                # the xe protocol with host-BUILT columns (no ppermute)
+                (xcu, xcv, xcw), zxc = self._xbundle_vel(
+                    u, v, w, vlo=state.vlo, is_correc=True)
+                xcp, zxcp = bnd.xedge_scalar(p, self.cbcpre, self.bcp_vals,
+                                             cfg.dl, grid.dzc)
+                cstk, zcstk = [xcu, xcv, xcw], list(zxc)
+                if hs:
+                    cbcs_s = tuple((cfg.cbcsgs[0][d], cfg.cbcsgs[1][d])
+                                   for d in range(3))
+                    xcs, zxcs = bnd.xedge_scalar(visct, cbcs_s,
+                                                 self.bcs_vals, cfg.dl,
+                                                 grid.dzc)
+                    cstk.append(xcs)
+                    zcstk.append(zxcs)
+                cstk.append(xcp)
+                zcstk.append(zxcp)
+                xeb = self._xe_pack_cols(cstk)
+                xzeb = self._xe_pack_cols(zcstk)
             if self._ywalled:
                 # y-wall ghost-row bundles of the same (post-correc) fill;
                 # with a y/z wall model the bundles carry the wm-updated
@@ -1248,26 +1377,13 @@ class Simulation:
                     ys, zys = self._ybundle_s(visct)
                     ystk.append(ys)
                     zstk.append(zys)
-                ye, yze = self._pack_ybundle(ystk + [yp], zstk + [zyp])
-            xeb = xzeb = None
-            if self._xwalled:
-                # x-ghost-column bundles of the same (post-correc) fill —
-                # the xe protocol with host-BUILT columns (no ppermute)
-                (xcu, xcv, xcw), zxc = self._xbundle_vel(
-                    u, v, w, vlo=state.vlo, is_correc=True)
-                xcp, zxcp = bnd.xedge_scalar(p, self.cbcpre, self.bcp_vals,
-                                             cfg.dl, grid.dzc)
-                cstk, zcstk = [xcu, xcv, xcw], list(zxc)
-                if hs:
-                    cbcs_s = tuple((cfg.cbcsgs[0][d], cfg.cbcsgs[1][d])
-                                   for d in range(3))
-                    xcs, zxcs = bnd.xedge_scalar(visct, cbcs_s,
-                                                 self.bcs_vals, cfg.dl,
-                                                 grid.dzc)
-                    cstk.append(xcs)
-                    zcstk.append(zxcs)
-                xeb = self._xe_pack_cols(cstk + [xcp])
-                xzeb = self._xe_pack_cols(zcstk + [zxcp])
+                xsec = None
+                if self._xwalled:
+                    xsec = self._xye_section(
+                        self._xye_entries(cstk, with_p=True),
+                        vlo=state.vlo, is_correc=True)
+                ye, yze = self._pack_ybundle(ystk + [yp], zstk + [zyp],
+                                             xsec=xsec)
             with jax.named_scope('momentum_rk_pallas'):
                 if self._kernel_sharded:
                     halo = self._halo_y
@@ -1390,7 +1506,8 @@ class Simulation:
                         sum_flags=self._sum_flags,
                         xop=self._xopT if (self._fuse_xop and fuse_fp)
                         else None, has_ruo=not first, has_sgs=hs,
-                        fold_cn=self._cn_fold, **scal_kw)
+                        fold_cn=self._cn_fold,
+                        xye=self._xwalled and self._ywalled, **scal_kw)
             u, v, w, ru, rv, rw = outs[0:6]
             tail = list(outs[6:])
             if split is not None and not self._cn_fold:
@@ -1576,7 +1693,8 @@ class Simulation:
                                             is_correc=False)
             if self._xwalled:
                 xkw_f = dict(xe=self._xe_pack_cols([xu2, xv2, xw2]),
-                             xze=self._xe_pack_cols([zxu2, zxv2, zxw2]))
+                             xze=self._xe_pack_cols([zxu2, zxv2, zxw2]),
+                             xye=self._ywalled)
             ye2 = yze2 = None
             if self._ywalled:
                 # prediction-fill y bundles (v's rewrite row participates
@@ -1585,8 +1703,14 @@ class Simulation:
                 (yu2, yv2, yw2), (zyu2, zyv2, zyw2) = self._ybundle_vel(
                     u, v, w, is_correc=False,
                     bcs=(bcu, bcv, bcw) if self.has_wm else None)
+                xsec2 = None
+                if self._xwalled:
+                    xsec2 = self._xye_section(
+                        self._xye_entries([xu2, xv2, xw2], with_p=False),
+                        is_correc=False)
                 ye2, yze2 = self._pack_ybundle([yu2, yv2, yw2],
-                                               [zyu2, zyv2, zyw2])
+                                               [zyu2, zyv2, zyw2],
+                                               xsec=xsec2)
             with jax.named_scope('poisson'):
                 if rhs_fused is not None:
                     rhs = rhs_fused
@@ -1672,11 +1796,17 @@ class Simulation:
                 xpp, zxpp = bnd.xedge_scalar(pp, self.cbcpre, self.bcp_vals,
                                              cfg.dl, grid.dzc)
                 xkw_c = dict(xe=self._xe_pack_cols([xw2, xpp]),
-                             xze=self._xe_pack_cols([zxw2, zxpp]))
+                             xze=self._xe_pack_cols([zxw2, zxpp]),
+                             xye=self._ywalled)
             if self._ywalled:
                 ypp, zypp = self._ybundle_p(pp)
+                xsec_c = None
+                if self._xwalled:
+                    xsec_c = self._xye_section(
+                        self._xye_entries([xw2, xpp], correc_wp=True),
+                        is_correc=False)
                 ycor, yzcor = self._pack_ybundle(
-                    [yw2, ypp, yv2], [zyw2, zypp, zyv2])
+                    [yw2, ypp, yv2], [zyw2, zypp, zyv2], xsec=xsec_c)
             visct_done = False
             with jax.named_scope('correc_updatep_pallas'):
                 imp_kw = dict(impdiff=cfg.impdiff, impdiff_1d=cfg.impdiff_1d,
@@ -1752,7 +1882,76 @@ class Simulation:
             else:
                 pp0w, ppe0w = pp[0], ppe[0]
             wlo = we2[0] - dtrk * float(dzci[0]) * (pp0w - ppe0w)
-            if self._ywalled:
+            if self._ywalled and self._xwalled:
+                # x+y-walled (closed box / true cavity / developing duct):
+                # the kept planes' ghost entries evolve through the padded
+                # correc sweep with recipe'd pressure corners; the attached
+                # (refilled-at-next-fill) entries come from recipes of the
+                # evolved interiors — mirroring pad_velocity's sequential
+                # x->y->z semantics plane by plane
+                dzci0 = float(dzci[0])
+                plx = (self.cbcpre[0], self.bcp_vals[0],
+                       (cfg.dl[0], cfg.dl[0]))
+                xr = lambda a: self._rec_ghosts(a, *plx)
+                # --- wlo (kept at the z fill: everything evolves) ---
+                w_ylo = zyw2[0, 0] - dtrk * dzci0 * (ypp[0, 0] - zypp[0, 0])
+                w_yhi = zyw2[0, 1] - dtrk * dzci0 * (ypp[0, 1] - zypp[0, 1])
+                w_xlo = zxw2[0][:, 0] - dtrk * dzci0 * (xpp[0, :, 0]
+                                                        - zxpp[0, :, 0])
+                w_xhi = zxw2[0][:, 1] - dtrk * dzci0 * (xpp[0, :, 1]
+                                                        - zxpp[0, :, 1])
+                zs2 = xsec2[1]           # prediction z-corner section
+                ppc = [xr(ypp[0, r]) for r in (0, 1)]
+                pzc = [xr(zypp[0, r]) for r in (0, 1)]
+                wc = [[zs2[0, r, 4 + s]
+                       - dtrk * dzci0 * (ppc[r][s] - pzc[r][s])
+                       for s in (0, 1)] for r in (0, 1)]
+                wlo = jnp.concatenate([w_ylo[None], wlo, w_yhi[None]],
+                                      axis=0)
+                cl = jnp.concatenate([wc[0][0][None], w_xlo, wc[1][0][None]])
+                ch = jnp.concatenate([wc[0][1][None], w_xhi, wc[1][1][None]])
+                wlo = jnp.concatenate([cl[:, None], wlo, ch[:, None]],
+                                      axis=1)
+                # --- vlo_v (kept at the y fill: x entries evolve, z
+                # entries refill by recipe at the next z pass — but the
+                # evolved values coincide and keep the committed form) ---
+                vlo_i = yv2[:, 0] - dtrk * dyi * (pp[:, 0, :] - ypp[:, 0])
+                v_zlo = zyv2[0, 0] - dtrk * dyi * (ppe[0][0] - zypp[0, 0])
+                v_zhi = zyv2[2, 0] - dtrk * dyi * (ppe[2][0] - zypp[2, 0])
+                xs2 = xsec2[0]
+                pi = xr(pp[:, 0, :])
+                pg = xr(ypp[:, 0, :])
+                v_x = [xs2[:, 0, 2 + s] - dtrk * dyi * (pi[s] - pg[s])
+                       for s in (0, 1)]
+                pzi = [xr(ppe[zr][0]) for zr in (0, 2)]
+                pzg = [xr(zypp[zr, 0]) for zr in (0, 2)]
+                vc = [[zs2[zr, 0, 2 + s]
+                       - dtrk * dyi * (pzi[i][s] - pzg[i][s])
+                       for s in (0, 1)] for i, zr in enumerate((0, 2))]
+                vlo_v = jnp.concatenate([v_zlo[None], vlo_i, v_zhi[None]],
+                                        axis=0)
+                cl = jnp.concatenate([vc[0][0][None], v_x[0], vc[1][0][None]])
+                ch = jnp.concatenate([vc[0][1][None], v_x[1], vc[1][1][None]])
+                vlo_v = jnp.concatenate([cl[:, None], vlo_v, ch[:, None]],
+                                        axis=1)
+                # --- ulo (attached at the x fill: y/z ghosts are recipes
+                # of the evolved interior) ---
+                ulo_i = xu2[:, :, 0] - dtrk * dxi * (pp[:, :, 0]
+                                                     - xpp[:, :, 0])
+                uy = self._rec_ghosts(
+                    ulo_i, (self.cbcvel[0][1][0], self.cbcvel[1][1][0]),
+                    self.bcu_vals[1], (cfg.dl[1], cfg.dl[1]))
+                ulo = jnp.concatenate([uy[0][:, None], ulo_i,
+                                       uy[1][:, None]], axis=1)
+                nzg = cfg.ng[2]
+                uz = self._rec_ghosts(
+                    ulo, (self.cbcvel[0][2][0], self.cbcvel[1][2][0]),
+                    self.bcu_vals[2],
+                    (float(grid.dzc[0]), float(grid.dzc[nzg])), axis=0)
+                ulo = jnp.concatenate([uz[0][None], ulo, uz[1][None]],
+                                      axis=0)
+                vlo = (ulo, vlo_v, wlo)
+            elif self._ywalled:
                 # y-ghost entries of the w z=0 plane evolve through the
                 # padded correc sweep (they feed the next substep's corner
                 # stacks); the v lower-wall face plane likewise

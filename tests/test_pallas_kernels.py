@@ -426,6 +426,66 @@ def test_pallas_step_integration_xwalled(monkeypatch):
                                                f'{extra})')
 
 
+def test_pallas_step_integration_xywalled(monkeypatch):
+    """Kernel path on x+y-walled configs (closed-box topology): the
+    in-kernel ye-bundle wall fixes compose with the host-built xe
+    ghost-column bundles — the xe window's y-wall ghost rows come from the
+    bundle's xe corner section (rows 3*nfields+0/1/2, _PlaneAccessor
+    xe_ybase).  Cases: the TRUE lid-driven cavity (all-D walls, nonzero
+    lid — inhomogeneous corner recipes) and a developing duct
+    (inflow/outflow x + y/z walls)."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.models.cases import lid_driven_cavity
+    from cales_tpu.timeloop import Simulation
+
+    dduct = dict(ng=(128, 16, 16), l=(2.0, 1.0, 1.0), gtype=1, gr=0.0,
+                 visci=2000.0, inivel='uni', is_wallturb=False,
+                 dtype='float64', sgstype='none',
+                 cbcvel=((('D', 'N', 'N'), ('D', 'D', 'D'),
+                          ('D', 'D', 'D')),
+                         (('N', 'N', 'N'), ('D', 'D', 'D'),
+                          ('D', 'D', 'D'))),
+                 bcvel=(((1.0, 0.0, 0.0), (0.0, 0.0, 0.0),
+                         (0.0, 0.0, 0.0)),) * 2,
+                 cbcpre=(('N', 'N', 'N'), ('D', 'N', 'N')),
+                 cbcsgs=(('N', 'D', 'D'), ('N', 'D', 'D')))
+
+    def cav(up_):
+        return lid_driven_cavity(ng=(128, 16, 16), visci=1000.0,
+                                 dtype='float64', sgstype='none',
+                                 use_pallas=up_)
+
+    for mk in (cav, lambda up_: Config(**dduct, use_pallas=up_)):
+        results = []
+        for up_ in (False, True):
+            cfg = mk(up_)
+            grid = make_grid_from_config(cfg)
+            sim = Simulation(cfg, grid)
+            if up_:
+                assert sim.use_pallas_mom, sim.exec_path()
+                assert sim._xwalled and sim._ywalled
+            s = sim.initial_state(*initflow(cfg, grid))
+            for _ in range(3):
+                s, _ = sim.step(s, 5e-4)
+            results.append(s)
+        a, b = results
+        for f in ('u', 'v', 'w'):
+            np.testing.assert_allclose(np.asarray(getattr(b, f)),
+                                       np.asarray(getattr(a, f)),
+                                       atol=1e-12, err_msg=f)
+        # all-N pressure is defined up to a constant: the Pallas Thomas
+        # solve PINS the singular mode while eig projects it — compare
+        # gauge-free
+        pa, pb = np.asarray(a.p), np.asarray(b.p)
+        np.testing.assert_allclose(pb - pb.mean(), pa - pa.mean(),
+                                   atol=1e-11)
+        for m in range(3):
+            np.testing.assert_allclose(np.asarray(b.vlo[m]),
+                                       np.asarray(a.vlo[m]), atol=1e-12,
+                                       err_msg=f'vlo[{m}]')
+
+
 def test_pallas_step_integration_dsmag(monkeypatch):
     """Dynamic-Smagorinsky kernel pipeline (DS1+DS2, interpret mode) vs the
     XLA dsmag path: channel, 2 steps, near-bitwise (averaging reassociates
