@@ -218,17 +218,22 @@ class Simulation:
             cfg.scalar
             and (mesh is None
                  or (self._kernel_sharded and not self._gx_sharded))
-            and not self._ywalled
+            and not self._xwalled
             and not any(cfg.lwm[ib][d] != 0 for ib in range(2)
                         for d in range(3))
-            and all(cfg.cbcscal[ib][d] == 'P' for ib in range(2)
-                    for d in (0, 1))
+            and all(cfg.cbcscal[ib][0] == 'P' for ib in range(2))
+            # y-walled configs carry the scalar's wall ghosts in the ye
+            # bundle (any letter); with periodic-y velocity there is no
+            # bundle, so the scalar must be y-periodic too
+            and (self._ywalled
+                 or all(cfg.cbcscal[ib][1] == 'P' for ib in range(2)))
             and pk.mom_tiles(nz, ny_local, np.dtype(self.dtype).itemsize,
                              nx_local, split=self._mom_split,
                              has_scal=True) is not None)
         if cfg.scalar and not self._scal_kernel_ok:
-            _why('scalar transport (non-periodic-xy scalar BCs, mesh, '
-                 'y walls, or no VMEM tiling with the scalar window)')
+            _why('scalar transport (non-periodic-x scalar BCs, wall model, '
+                 'x walls, 2D mesh, or no VMEM tiling with the scalar '
+                 'window)')
         if not xy_periodic:
             _why('non-periodic x BCs')
         if not tiles_ok:
@@ -950,6 +955,15 @@ class Simulation:
         return bnd.yedge_scalar(s, cbcs, self.bcs_vals, self.cfg.dl,
                                 self.grid.dzc)
 
+    def _ybundle_scal(self, s):
+        """y-row bundle of the passive scalar (its own BC table) — rides the
+        momentum kernel's ye bundle on y-walled configs."""
+        cfg = self.cfg
+        cbc = tuple((cfg.cbcscal[0][d], cfg.cbcscal[1][d]) for d in range(3))
+        bv = tuple((float(cfg.bcscal[0][d]), float(cfg.bcscal[1][d]))
+                   for d in range(3))
+        return bnd.yedge_scalar(s, cbc, bv, cfg.dl, self.grid.dzc)
+
     def _compute_sgs_kernel(self, u, v, w, ue, ve, we):
         """Static Smagorinsky via the fused Pallas kernel (z-walls/no-walls
         configs; gated by use_pallas_smag).  Inputs: interiors + z-edge
@@ -1320,8 +1334,8 @@ class Simulation:
             # reference reads the same ghosts, bound.f90:117-123 reuse)
             from .ops import pallas_kernels as pk
             split = self._mom_split
-            nout = ((6 if split is None else 9)
-                    + (2 if cfg.scalar and self._scal_kernel_ok else 0))
+            hsc = cfg.scalar and self._scal_kernel_ok
+            nout = (6 if split is None else 9) + 2 * hsc
             if cfg.impdiff:
                 # the CN Helmholtz RHS planes use the beginning-of-substep
                 # BC values (same fill the XLA path computes up front)
@@ -1377,17 +1391,21 @@ class Simulation:
                     ys, zys = self._ybundle_s(visct)
                     ystk.append(ys)
                     zstk.append(zys)
+                ystk, zstk = ystk + [yp], zstk + [zyp]
+                if hsc:
+                    # scalar rows ride the bundle after p (fwins order
+                    # u, v, w, [visct], p, sca — ylane base 3*m)
+                    ysc, zysc = self._ybundle_scal(state.s)
+                    ystk, zstk = ystk + [ysc], zstk + [zysc]
                 xsec = None
                 if self._xwalled:
                     xsec = self._xye_section(
                         self._xye_entries(cstk, with_p=True),
                         vlo=state.vlo, is_correc=True)
-                ye, yze = self._pack_ybundle(ystk + [yp], zstk + [zyp],
-                                             xsec=xsec)
+                ye, yze = self._pack_ybundle(ystk, zstk, xsec=xsec)
             with jax.named_scope('momentum_rk_pallas'):
                 if self._kernel_sharded:
                     halo = self._halo_y
-                    hsc = cfg.scalar and self._scal_kernel_ok
                     nfl = (10 if hs else 8) + 2 * hsc
 
                     def mom_local(*a):

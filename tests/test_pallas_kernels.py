@@ -917,3 +917,43 @@ def test_scalar_fused_in_mom_kernel_matches_xla(monkeypatch):
             x, y = x - x.mean(), y - y.mean()
         err = np.abs(x - y).max()
         assert err < 1e-11, f"{name} fused-scalar mismatch: {err}"
+
+def test_scalar_ywalled_duct_kernel_matches_xla(monkeypatch):
+    """Passive scalar on a y-walled duct-class config (x periodic, y/z
+    Dirichlet walls): the scalar's wall ghost rows ride the momentum
+    kernel's ye bundle (rows after p, its own cbcscal/bcscal recipes) and
+    must reproduce the XLA pad path — velocity AND scalar (scal.f90 with
+    the _DUCT BC class)."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    base = dict(ng=(128, 16, 16), l=(2 * np.pi, 2.0, 2.0), gtype=1, gr=0.5,
+                visci=2000.0, inivel='duc', is_wallturb=False,
+                dtype='float64', is_forced=(True, False, False),
+                velf=(1.0, 0.0, 0.0), sgstype='smag', ptransform='mat',
+                scalar=True, pr=0.71, iniscal='uni', ssource=0.02,
+                cbcscal=(('P', 'D', 'N'), ('P', 'D', 'N')),
+                bcscal=((0.0, 1.0, 0.0), (0.0, 0.5, 0.0)),
+                cbcvel=((('P', 'P', 'P'), ('D', 'D', 'D'),
+                         ('D', 'D', 'D')),) * 2,
+                cbcpre=(('P', 'N', 'N'), ('P', 'N', 'N')),
+                cbcsgs=(('P', 'D', 'D'), ('P', 'D', 'D')))
+    results = []
+    for use_pallas in (False, True):
+        cfg = Config(**base, use_pallas=use_pallas)
+        grid = make_grid_from_config(cfg)
+        sim = Simulation(cfg, grid)
+        assert sim.use_pallas_mom == use_pallas, sim.exec_path()
+        if use_pallas:
+            assert sim._ywalled and sim._scal_kernel_ok
+        s = sim.initial_state(*initflow(cfg, grid))
+        for _ in range(3):
+            s, _ = sim.step(s, 1e-3)
+        results.append(s)
+    a, b = results
+    for name in ('u', 'v', 'w', 'p', 's', 'visct'):
+        x = np.asarray(getattr(a, name))
+        y = np.asarray(getattr(b, name))
+        err = np.abs(x - y).max()
+        assert err < 1e-11, f"{name} y-walled fused-scalar mismatch: {err}"

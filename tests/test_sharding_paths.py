@@ -445,6 +445,8 @@ def _compare_kernel_sharded(cfg, mesh_shape, nsteps=2, dt=1e-3, tol=1e-11,
     sN = sN._replace(u=jax.device_put(sN.u, sh), v=jax.device_put(sN.v, sh),
                      w=jax.device_put(sN.w, sh), p=jax.device_put(sN.p, sh),
                      visct=jax.device_put(sN.visct, sh))
+    if cfg.scalar:
+        sN = sN._replace(s=jax.device_put(sN.s, sh))
     for _ in range(nsteps):
         sN, _ = simN.step(sN, dt)
 
@@ -568,3 +570,25 @@ def test_ywalled_dsmag_kernel_sharded_matches_single(monkeypatch):
         assert simN._ywalled and simN.use_pallas_dsmag, simN.exec_path()
 
     _compare_kernel_sharded(cfg, (2, 1), assert_flags=flags)
+
+def test_scalar_ywalled_kernel_sharded_matches_single(monkeypatch):
+    """Passive scalar on a y-walled duct-class config under the 1D slab
+    decomposition: the scalar window rides the ppermute halo strips AND its
+    wall ghost rows ride the replicated ye bundle (fixes gated per shard by
+    ywf) — must reproduce the single-device kernel path."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    cfg = Config(ng=(128, 32, 16), l=(2 * np.pi, 2.0, 2.0), gtype=1,
+                 gr=0.5, visci=2000.0, inivel='duc', is_wallturb=False,
+                 dtype='float64', is_forced=(True, False, False),
+                 velf=(1.0, 0.0, 0.0), sgstype='smag', ptransform='mat',
+                 scalar=True, pr=0.71, iniscal='uni', ssource=0.02,
+                 cbcscal=(('P', 'D', 'N'), ('P', 'D', 'N')),
+                 bcscal=((0.0, 1.0, 0.0), (0.0, 0.5, 0.0)),
+                 **_duct_bcs)
+    _compare_kernel_sharded(
+        cfg, (2, 1), tol=1e-10, names=('u', 'v', 'w', 'p', 's', 'visct'),
+        assert_flags=lambda s: (s._ywalled and s._scal_kernel_ok)
+        or (_ for _ in ()).throw(AssertionError('expected y-walled scalar')),
+        check_vlo=(1, 2))
