@@ -816,9 +816,11 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
     if nx % 128 or ny % 8:
         return None
     has_scal = sca is not None
-    assert not (has_scal and (y_ext or fuse_fillps or xe is not None)), \
-        'fused scalar: x-periodic single-chip or 1D-strips paths only ' \
-        '(y walls ride the ye bundle)'
+    # the fused scalar composes with every window protocol (its window,
+    # xe lanes 2m/2m+1, ye rows 3m and halo strips are all field-generic);
+    # only the fillps fusion (channel-class opt-in) excludes it
+    assert not (has_scal and fuse_fillps), \
+        'fused scalar: not with the mom+fillps fusion'
     assert not (fold_cn and split is None)
     tiles = mom_tiles(nz, ny, dt.itemsize, nx, split=split,
                       has_scal=has_scal, fold_cn=fold_cn)

@@ -216,8 +216,7 @@ class Simulation:
         # back to the XLA path
         self._scal_kernel_ok = (
             cfg.scalar
-            and (mesh is None
-                 or (self._kernel_sharded and not self._gx_sharded))
+            and (mesh is None or self._kernel_sharded)
             and not self._xwalled
             and not any(cfg.lwm[ib][d] != 0 for ib in range(2)
                         for d in range(3))
@@ -1469,9 +1468,10 @@ class Simulation:
                             yze_l = self._yslice_gx(yze_)
                             vx = self._ystag_rw_gx(v_, ye_l[:, 5])
                             vex = self._ystag_rw_gx(ve_, yze_l[:, 5])
-                            fx = [u_, vx, w_] + ([s_] if hs else []) + [p_]
+                            fx = ([u_, vx, w_] + ([s_] if hs else []) + [p_]
+                                  + ([sca_] if hsc else []))
                             ex = ([ue_, vex, we_] + ([se_] if hs else [])
-                                  + [pe_])
+                                  + [pe_] + ([scae_] if hsc else []))
                             lo_r, hi_r = self._xe_wall_rows(ye_l, len(fx))
                             zlo, zhi = self._xe_wall_rows(yze_l, len(fx))
                             xe = self._halo_y_patched(self._xe_pack(fx),
@@ -1492,7 +1492,10 @@ class Simulation:
                             visc, dxi, dyi, cfg.bforce,
                             interpret=self._pallas_interpret, y_ext=True,
                             split=split, xe=xe, xze=xze,
-                            has_ruo=not first, has_sgs=hs, **ykw)
+                            has_ruo=not first, has_sgs=hs,
+                            sca=hl(sca_), scae=hl(scae_), rso=rso_,
+                            scal_params=(cfg.visc / cfg.pr, cfg.ssource)
+                            if hsc else (0.0, 0.0), **ykw)
                     rargs = () if first else (ru_o, rv_o, rw_o)
                     if hsc and not first:
                         rargs = rargs + (state.dsdt_old,)

@@ -592,3 +592,51 @@ def test_scalar_ywalled_kernel_sharded_matches_single(monkeypatch):
         assert_flags=lambda s: (s._ywalled and s._scal_kernel_ok)
         or (_ for _ in ()).throw(AssertionError('expected y-walled scalar')),
         check_vlo=(1, 2))
+
+def test_scalar_kernel_2d_mesh_matches_single(monkeypatch):
+    """Passive scalar on a 2D (gy, gx) pencil mesh, periodic-y channel
+    class: the scalar's window rides the xe ghost-column protocol (lanes
+    2m/2m+1 next to u..p) like every other field."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = Config(ng=(256, 32, 16), l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=0.9,
+                 visci=2000.0, inivel='log', is_wallturb=True, dtype='float64',
+                 is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
+                 sgstype='smag', ptransform='mat',
+                 scalar=True, pr=0.71, iniscal='zer', ssource=0.05,
+                 cbcscal=(('P', 'P', 'N'), ('P', 'P', 'N')),
+                 **_channel_bcs)
+
+    def flags(simN):
+        assert simN._gx_sharded and simN._scal_kernel_ok, simN.exec_path()
+
+    _compare_kernel_sharded(cfg, (2, 2), tol=1e-10,
+                            names=('u', 'v', 'w', 'p', 's'),
+                            assert_flags=flags)
+
+
+def test_scalar_ywalled_kernel_2d_mesh_matches_single(monkeypatch):
+    """Passive scalar on a y-walled duct-class config on a 2D (gy, gx)
+    mesh: the scalar's xe pack wall-ghost rows are patched from the x
+    neighbors' bundle rows exactly like the velocities' (field-generic
+    _xe_wall_rows), composing the ye and xe protocols."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = Config(ng=(256, 32, 16), l=(2 * np.pi, 2.0, 2.0), gtype=1,
+                 gr=0.5, visci=2000.0, inivel='duc', is_wallturb=False,
+                 dtype='float64', is_forced=(True, False, False),
+                 velf=(1.0, 0.0, 0.0), sgstype='smag', ptransform='mat',
+                 scalar=True, pr=0.71, iniscal='uni', ssource=0.02,
+                 cbcscal=(('P', 'D', 'N'), ('P', 'D', 'N')),
+                 bcscal=((0.0, 1.0, 0.0), (0.0, 0.5, 0.0)),
+                 **_duct_bcs)
+
+    def flags(simN):
+        assert (simN._ywalled and simN._gx_sharded
+                and simN._scal_kernel_ok), simN.exec_path()
+
+    _compare_kernel_sharded(cfg, (2, 2), tol=1e-10,
+                            names=('u', 'v', 'w', 'p', 's', 'visct'),
+                            assert_flags=flags, check_vlo=(1, 2))
