@@ -15,11 +15,13 @@ Design (validated by on-device probes, see git history):
     bound.f90:292-293/365-366), padded row nz+1].  The z halo window is
     assembled in-kernel from the two sources, so NO full-field padded copy
     is ever materialized (a zpad concat costs 2 HBM passes per field).
-  * x and y must be periodic (the headline channel/triperiodic classes) and
-    are closed in-kernel: y by three aligned wrap DMAs assembling a
-    (TZ+2, TY+16, nx) halo window — Mosaic requires 8/128-aligned DMA
-    offsets AND sizes in the last two dims; x by `pltpu.roll` on VMEM
-    planes.  Any BC letter is supported in z via the edge stacks.
+  * x and y ghosts are closed in-kernel: periodic y by three aligned wrap
+    DMAs assembling a (TZ+2, TY+16, nx) halo window — Mosaic requires
+    8/128-aligned DMA offsets AND sizes in the last two dims; walled y
+    (duct/cavity classes) via 16-row ye ghost-row bundles with in-register
+    wall-tile fixes; periodic x by `pltpu.roll` on VMEM planes; walled x
+    (inflow/outflow) via xe ghost-column bundles + edge-lane roll fixups.
+    Any BC letter is supported in z via the edge stacks.
   * The kernel body is a `fori_loop` over the TZ output z-planes with all
     math on 2D (TY, nx) planes — this keeps the Mosaic vector IR small (the
     round-1 fully-3D body took >20 min to compile; this design compiles in
@@ -36,8 +38,11 @@ Kernels:
     pressure update (updatep.f90:14-24, explicit-diffusion branch) in one
     pass.
 
-Explicit-diffusion path only; the implicit splits and non-periodic-x/y
-configurations fall back to the XLA expression path (timeloop dispatches).
+Implicit diffusion (impdiff/impdiff_1d) runs in-kernel too since round 3:
+the momentum kernel emits the explicit/implicit RHS split (and, with the CN
+fold, u_RK - 0.5*f12*rd directly); the CN Helmholtz solves ride
+ops/pallas_solve.py.  Remaining XLA fallbacks are listed by
+`Simulation.exec_path()` (timeloop dispatches; see PARITY.md).
 """
 from __future__ import annotations
 
