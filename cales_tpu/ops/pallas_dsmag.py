@@ -11,13 +11,15 @@ in two passes:
       filter (filter3d, sgs.f90:616-680) of the 6 products, of the
       (wall-extrapolated) velocity, of the center-interpolated velocity
       (interpolate, sgs.f90:850-870), and of its 6 products.  A 3-slot ring
-      buffer holds the source planes so each is computed once.  Outputs 19
-      fields: fm(6) = filter(|S|Sij), fvel(3), fc(3) = filtered centered
-      velocity, fl(6) = filter(uc_i uc_j), s0.
+      buffer holds the source planes so each is computed once.  Outputs 16
+      fields: fm(6) = filter(|S|Sij), fvel(3), lij(6) = filter(uc_i uc_j)
+      - fc_i fc_j (the Leonard term formed in-register, sgs.f90:274-327),
+      s0.  fm/lij are stored in `inter_dtype` (bf16 on the aligned f32
+      path — see its docstring for the error budget).
   DS2 (test level, fused_dsmag_level2): filtered-velocity windows (z +-1,
       ghost fill via the standard zedge stacks of pad_vel semantics) ->
-      strain rate s0f/sijf -> Mij = 2(fm - alph2 s0f sijf) (sgs.f90:198-272),
-      Lij = fl - fc_i fc_j (274-327) -> contraction -> per-row partial sums
+      strain rate s0f/sijf -> Mij = 2(fm - alph2 s0f sijf) (sgs.f90:198-272)
+      -> contraction with lij -> per-row partial sums
       for the homogeneous-direction averaging (ave1d_channel 433-538 /
       ave2d_duct 540-614 / ave0d_dit 388-431 finish outside as a tiny
       reduction), or cell-wise num/den for 'cavity'.
@@ -50,9 +52,34 @@ NWQ = 15   # ring quantities: 6 |S|Sij products + 3 centered vel + 6 c-products
 def ds_tiles(nz, ny, itemsize, nx):
     """Tile picks with the exact budgets of fused_dsmag_level1/level2 — the
     constructor gate must use this so gated shapes never fail in-wrapper."""
-    t1 = _pick_tiles_ds(nz, ny, itemsize, nx, nwin=3, nring=NWQ + 1, nio=19)
-    t2 = _pick_tiles_ds(nz, ny, itemsize, nx, nwin=3, nring=0, nio=17)
+    t1 = _pick_tiles_ds(nz, ny, itemsize, nx, nwin=3, nring=NWQ + 1, nio=16)
+    t2 = _pick_tiles_ds(nz, ny, itemsize, nx, nwin=3, nring=0, nio=14)
     return None if (t1 is None or t2 is None) else (t1, t2)
+
+
+def inter_dtype(nz, ny, dt, nx):
+    """Storage dtype of the DS1 -> DS2 intermediate fields (fm, lij).
+
+    bf16 on the f32 production path: the dynamic-model contraction is a
+    RATIO of plane-averaged Mij*Lij sums, so 2^-8 relative rounding on the
+    already-differenced Lij (formed in f32 registers in DS1 — no
+    cancellation) and on fm (no cancellation in Mij: the alph2~4 test term
+    dominates) perturbs cs^2 by ~0.5% — far inside the model's ~5%
+    friction-accuracy bar (sgs.f90:28-30) — while halving 12 of the 32
+    full-field HBM streams between the two passes.  fvel and s0 stay f32:
+    the test-level strain differentiates fvel (neighbor differences would
+    amplify rounding ~10x) and s0 scales visct directly.
+    Requires bf16-aligned output tiles (ty % 16) in BOTH passes; kill
+    switch CALES_DSMAG_F32=1 for A/B and debugging."""
+    import os
+    tiles = ds_tiles(nz, ny, np.dtype(dt).itemsize, nx)
+    if tiles is None:
+        return np.dtype(dt)
+    (_, ty1), (_, ty2) = tiles
+    if (np.dtype(dt) == np.float32 and ty1 % 16 == 0 and ty2 % 16 == 0
+            and os.environ.get('CALES_DSMAG_F32', '') != '1'):
+        return np.dtype(jnp.bfloat16)
+    return np.dtype(dt)
 
 
 def eligible(cfg, setup):
@@ -284,7 +311,8 @@ def _pick_tiles_ds(nz, ny, itemsize, nx, nwin, nring, nio):
 
 
 def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret,
-                y_ext=False, ywalls=None, has_ystrips=False, has_ywf=False):
+                y_ext=False, ywalls=None, has_ystrips=False, has_ywf=False,
+                inter_dt=None):
     """Ghost recipes (gated by `eligible`): 'wall' -> 2 q0 - q1, else
     ghost == nearest interior plane.
 
@@ -310,8 +338,8 @@ def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret,
         if has_ywf:
             ywf_s = rest.pop(0)
         (fm0, fm1, fm2, fm3, fm4, fm5, fu_o, fv_o, fw_o,
-         fc0, fc1, fc2, fl0, fl1, fl2, fl3, fl4, fl5, s0_o) = rest[0:19]
-        del rest[0:19]
+         l0, l1, l2, l3, l4, l5, s0_o) = rest[0:16]
+        del rest[0:16]
         su2, sv2, sw2 = rest[0:3]
         del rest[0:3]
         sye2 = rest.pop(0) if has_ye else None
@@ -330,8 +358,8 @@ def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret,
         su, sv, sw = wins_l[0:3]
         sye = wins_l[3] if has_ye else None
         fm_o = (fm0, fm1, fm2, fm3, fm4, fm5)
-        fc_o = (fc0, fc1, fc2)
-        fl_o = (fl0, fl1, fl2, fl3, fl4, fl5)
+        lij_o = (l0, l1, l2, l3, l4, l5)
+        idt = inter_dt
         wins = {id(su): su, id(sv): sv, id(sw): sw}
         ybase = {id(su): 0, id(sv): 3, id(sw): 6}
         y_lo_t = (j == 0) if has_ye else None
@@ -458,6 +486,7 @@ def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret,
                                 slot)
                 is_lo = jnp.logical_and(k == 0, kk == 0)
                 is_hi = jnp.logical_and(k == klast, kk == tz - 1)
+                outs = []
                 for q in range(NWQ):
                     pm = ring[sm, q]
                     pc = ring[sc2, q]
@@ -466,10 +495,20 @@ def _ds1_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, interpret,
                     ghi = 2.0 * pc - pm if wall_hi else pc
                     pm = jnp.where(is_lo, glo, pm)
                     pp = jnp.where(is_hi, ghi, pp)
-                    out = filt_src(pm, pc, pp)
-                    tgt = (fm_o[q] if q < 6 else
-                           fc_o[q - 6] if q < 9 else fl_o[q - 9])
-                    tgt[kk] = out
+                    outs.append(filt_src(pm, pc, pp))
+                for q in range(6):
+                    fm_o[q][kk] = outs[q].astype(idt)
+                # Lij = filter(uc_i uc_j) - fc_i fc_j formed here in full
+                # registers (sgs.f90:274-327): both terms are DS1 filter
+                # outputs, so emitting the difference drops the 3 fc fields
+                # from the DS1->DS2 round trip bit-identically and keeps
+                # the small Leonard term cancellation-free when the
+                # intermediates are stored in bf16 (inter_dtype)
+                fc = outs[6:9]
+                cps = (fc[0] * fc[0], fc[1] * fc[1], fc[2] * fc[2],
+                       fc[0] * fc[1], fc[0] * fc[2], fc[1] * fc[2])
+                for q in range(6):
+                    lij_o[q][kk] = (outs[9 + q] - cps[q]).astype(idt)
                 fu_o[kk] = filt_vel(su, kk, True, parallel_y=True)
                 fv_o[kk] = filt_vel(sv, kk, True, parallel_y=False)
                 fw_o[kk] = filt_vel(sw, kk, False, parallel_y=True)
@@ -484,7 +523,8 @@ def fused_dsmag_level1(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi,
                        wall_lo, wall_hi, interpret=False, y_ext=False,
                        ye=None, yze=None, ywalls=None, ystrips=None,
                        ywf=None):
-    """DS1: returns (fm[6], fvel[3], fc[3], fl[6], s0) interiors or None.
+    """DS1: returns (fm[6], fvel[3], lij[6], s0) interiors or None.
+    fm and lij are stored in `inter_dtype` (bf16 on the aligned f32 path).
 
     u, v, w: corrected-fill velocity interiors; ue, ve, we: their z-edge
     stacks (is_correc fill — no wall-face rewrite, required by the +-2
@@ -518,18 +558,23 @@ def fused_dsmag_level1(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi,
     int_spec = pl.BlockSpec((tz, ty, nx), lambda k, j: (k, j, 0))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    idt = inter_dtype(nz, ny, dt, nx)
     kern = _ds1_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
                        bool(wall_lo), bool(wall_hi), interpret, y_ext=y_ext,
                        ywalls=ywalls if has_ye else None,
-                       has_ystrips=has_ystrips, has_ywf=has_ywf)
+                       has_ystrips=has_ystrips, has_ywf=has_ywf,
+                       inter_dt=idt)
     outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[smem_spec, smem_spec]
                  + [any_spec] * (6 + 2 * has_ye + 2 * has_ystrips)
                  + [smem_spec] * has_ywf,
-        out_specs=[int_spec] * 19,
-        out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 19,
+        out_specs=[int_spec] * 16,
+        out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), idt)] * 6
+                  + [jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 3
+                  + [jax.ShapeDtypeStruct((nz, ny, nx), idt)] * 6
+                  + [jax.ShapeDtypeStruct((nz, ny, nx), dt)],
         scratch_shapes=[pltpu.VMEM((2, tz + 4, ty + 16, nx), dt)
                         for _ in range(3)]
                        + ([pltpu.VMEM((2, tz + 4, 16, nx), dt)]
@@ -540,7 +585,7 @@ def fused_dsmag_level1(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(dzci_s, dzfi_s, u, v, w, ue, ve, we, *yargs, *sargs, *wargs)
-    return outs[0:6], outs[6:9], outs[9:12], outs[12:18], outs[18]
+    return outs[0:6], outs[6:9], outs[9:15], outs[15]
 
 
 def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret, y_ext=False,
@@ -560,8 +605,8 @@ def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret, y_ext=False,
         if has_ywf:
             ywf_s = rest.pop(0)
         (fm0, fm1, fm2, fm3, fm4, fm5,
-         fc0, fc1, fc2, fl0, fl1, fl2, fl3, fl4, fl5, s0_i) = rest[0:16]
-        del rest[0:16]
+         l0, l1, l2, l3, l4, l5, s0_i) = rest[0:13]
+        del rest[0:13]
         if avg == 'cavity':
             visct_o = rest.pop(0)
             num_o = den_o = None
@@ -591,8 +636,7 @@ def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret, y_ext=False,
             y_lo_t = y_lo_t & (ywf_s[0, 0] > 0.5)
             y_hi_t = y_hi_t & (ywf_s[0, 1] > 0.5)
         fm_i = (fm0, fm1, fm2, fm3, fm4, fm5)
-        fc_i = (fc0, fc1, fc2)
-        fl_i = (fl0, fl1, fl2, fl3, fl4, fl5)
+        lij_i = (l0, l1, l2, l3, l4, l5)
 
         def body(kk, carry):
             kz = z0 + kk + 1
@@ -618,12 +662,10 @@ def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret, y_ext=False,
                     a2 = jnp.where((rt == 0) & y_lo_t, 2.52, a2)
                 if ywalls[1]:
                     a2 = jnp.where((rt == ty - 1) & y_hi_t, 2.52, a2)
-            mij = [2.0 * (fm_i[q][kk] - a2 * s0f * sijf[q])
+            cdt = s0f.dtype
+            mij = [2.0 * (fm_i[q][kk].astype(cdt) - a2 * s0f * sijf[q])
                    for q in range(6)]
-            fcs = [fc_i[0][kk], fc_i[1][kk], fc_i[2][kk]]
-            cps = (fcs[0] * fcs[0], fcs[1] * fcs[1], fcs[2] * fcs[2],
-                   fcs[0] * fcs[1], fcs[0] * fcs[2], fcs[1] * fcs[2])
-            lij = [fl_i[q][kk] - cps[q] for q in range(6)]
+            lij = [lij_i[q][kk].astype(cdt) for q in range(6)]
             num = (mij[0] * lij[0] + mij[1] * lij[1] + mij[2] * lij[2]
                    + 2.0 * (mij[3] * lij[3] + mij[4] * lij[4]
                             + mij[5] * lij[5]))
@@ -648,12 +690,13 @@ def _ds2_kernel(tz, ty, nz, ny, nx, dxi, dyi, avg, interpret, y_ext=False,
     return kernel
 
 
-def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0,
+def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, lij, s0,
                        alph2_1d, dzci, dzfi, dxi, dyi, avg,
                        interpret=False, y_ext=False,
                        ye=None, yze=None, ywalls=None, ystrips=None,
                        ywf=None):
-    """DS2: Mij/Lij contraction from the DS1 outputs.
+    """DS2: Mij/Lij contraction from the DS1 outputs (fm/lij may arrive in
+    inter_dtype bf16; the contraction runs in the compute dtype).
 
     fue..fwe: zedge stacks of the filtered-velocity BC fill (pad_vel
     semantics, is_correc=False — the wall-face rewrite rides in row 1).
@@ -707,7 +750,7 @@ def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0,
         in_specs=[smem_spec] * 3
                  + [any_spec] * (6 + 2 * has_ye + 2 * has_ystrips)
                  + [smem_spec] * has_ywf
-                 + [int_spec] * 16,
+                 + [int_spec] * 13,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((2, tz + 2, ty + 16, nx), dt)
@@ -718,4 +761,4 @@ def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(alph2_s, dzci_s, dzfi_s, fu, fv, fw, fue, fve, fwe, *yargs, *sargs,
-      *wargs, *fm, *fc, *fl, s0)
+      *wargs, *fm, *lij, s0)

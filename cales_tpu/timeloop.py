@@ -499,7 +499,9 @@ class Simulation:
         up, vp, wp, vlo = bnd.pad_velocity(
             u, v, w, self.cbcvel, bcu, bcv, bcw, self.cfg.dl, self.grid.dzc,
             self.grid.dzf, vlo=None, is_correc=False)
-        visct = self._compute_sgs(up, vp, wp)
+        # enforce the State dtype invariant: with x64 enabled (CPU test
+        # runs) the XLA sgs path promotes through the f64 grid metrics
+        visct = self._compute_sgs(up, vp, wp).astype(self.dtype)
         zq = None
         u_i, v_i, w_i = (up[1:-1, 1:-1, 1:-1], vp[1:-1, 1:-1, 1:-1],
                          wp[1:-1, 1:-1, 1:-1])
@@ -1209,13 +1211,13 @@ class Simulation:
                     cfg.dli[0], cfg.dli[1], wall_lo, wall_hi,
                     interpret=self._pallas_interpret, ystrips=ys, **ykw)
             yb1 = (ye1, yze1) if ywalled else ()
-            fm, fvel, fc, fl, s0 = shard_map(
+            fm, fvel, lij, s0 = shard_map(
                 ds1_local, mesh=self.mesh,
                 in_specs=(F,) * 6 + (S,) * len(yb1),
-                out_specs=((F,) * 6, (F,) * 3, (F,) * 3, (F,) * 6, F),
+                out_specs=((F,) * 6, (F,) * 3, (F,) * 6, F),
                 check_vma=False)(u, v, w, ue, ve, we, *yb1)
         else:
-            fm, fvel, fc, fl, s0 = pds.fused_dsmag_level1(
+            fm, fvel, lij, s0 = pds.fused_dsmag_level1(
                 u, v, w, ue, ve, we, grid.dzci, grid.dzfi,
                 cfg.dli[0], cfg.dli[1], wall_lo, wall_hi,
                 interpret=self._pallas_interpret, **ykw1)
@@ -1238,7 +1240,7 @@ class Simulation:
             alph2[-1] = 2.52
         if self._kernel_sharded:
             def ds2_local(fu_, fv_, fw_, fue_, fve_, fwe_, *rest):
-                ints, yb = rest[:16], rest[16:]
+                ints, yb = rest[:13], rest[13:]
                 ys = self._halo_strips([fu_, fv_, fw_], [fue_, fve_, fwe_])
                 ykw = {}
                 if ywalled:
@@ -1246,19 +1248,19 @@ class Simulation:
                                ywf=self._ywf_shard(fu_.dtype))
                 return pds.fused_dsmag_level2(
                     fu_, fv_, fw_, fue_, fve_, fwe_,
-                    ints[0:6], ints[6:9], ints[9:15], ints[15],
+                    ints[0:6], ints[6:12], ints[12],
                     alph2, grid.dzci, grid.dzfi, cfg.dli[0], cfg.dli[1],
                     cfg.dsmag_avg, interpret=self._pallas_interpret,
                     ystrips=ys, **ykw)
             out_specs = F if cfg.dsmag_avg == 'cavity' else (F, F)
             yb2 = (ye2, yze2) if ywalled else ()
             out = shard_map(ds2_local, mesh=self.mesh,
-                            in_specs=(F,) * 22 + (S,) * len(yb2),
+                            in_specs=(F,) * 19 + (S,) * len(yb2),
                             out_specs=out_specs, check_vma=False)(
-                fu, fv, fw, fue, fve, fwe, *fm, *fc, *fl, s0, *yb2)
+                fu, fv, fw, fue, fve, fwe, *fm, *lij, s0, *yb2)
         else:
             out = pds.fused_dsmag_level2(
-                fu, fv, fw, fue, fve, fwe, fm, fc, fl, s0, alph2,
+                fu, fv, fw, fue, fve, fwe, fm, lij, s0, alph2,
                 grid.dzci, grid.dzfi, cfg.dli[0], cfg.dli[1], cfg.dsmag_avg,
                 interpret=self._pallas_interpret, **ykw2)
         assert out is not None, 'fused_dsmag gating inconsistency'

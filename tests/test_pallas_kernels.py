@@ -517,6 +517,48 @@ def test_pallas_step_integration_dsmag(monkeypatch):
                                        err_msg=f'{name} ({avg})')
 
 
+def test_pallas_dsmag_bf16_intermediates(monkeypatch):
+    """The f32 production path stores the DS1->DS2 intermediates (fm, lij)
+    in bf16 (pallas_dsmag.inter_dtype).  Pin the error budget: visct within
+    ~0.5% rel of the f32-intermediate kernel run after 2 steps, velocity
+    within 1e-5 rel (the f64 bitwise parity is test_pallas_step_integration_
+    dsmag; CALES_DSMAG_F32=1 is the kill switch exercised here)."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+    from cales_tpu.ops import pallas_dsmag as pds
+
+    assert pds.inter_dtype(16, 16, np.float32, 128) == np.dtype(jnp.bfloat16)
+    assert pds.inter_dtype(16, 16, np.float64, 128) == np.dtype(np.float64)
+    monkeypatch.setenv('CALES_DSMAG_F32', '1')
+    assert pds.inter_dtype(16, 16, np.float32, 128) == np.dtype(np.float32)
+    monkeypatch.delenv('CALES_DSMAG_F32')
+
+    base = dict(ng=(128, 16, 16), l=(2 * np.pi, np.pi, 2.0), gtype=1,
+                gr=0.9, visci=2000.0, inivel='log', is_wallturb=True,
+                dtype='float32', is_forced=(True, False, False),
+                velf=(1.0, 0.0, 0.0), sgstype='dsmag', dsmag_avg='channel',
+                use_pallas=True)
+    results = []
+    for kill in ('', '1'):
+        monkeypatch.setenv('CALES_DSMAG_F32', kill)
+        cfg = Config(**base)
+        grid = make_grid_from_config(cfg)
+        sim = Simulation(cfg, grid)
+        assert sim.use_pallas_dsmag
+        s = sim.initial_state(*initflow(cfg, grid))
+        for _ in range(2):
+            s, _ = sim.step(s, 1e-3)
+        results.append(s)
+    bf, f32 = results
+    for name, rtol in (('u', 1e-5), ('v', 1e-5), ('w', 1e-5),
+                       ('visct', 5e-3)):
+        a = np.asarray(getattr(bf, name)).astype(np.float64)
+        b = np.asarray(getattr(f32, name)).astype(np.float64)
+        scale = max(float(np.abs(b).max()), 1e-30)
+        assert float(np.abs(a - b).max()) / scale < rtol, name
+
+
 def test_y_ext_mode_matches_wrap():
     """y_ext kernel inputs built from global periodic wraps must reproduce
     the wrap-mode outputs bitwise (the shard_map halo-strip path)."""
