@@ -128,6 +128,12 @@ def main(argv=None):
                     help="run the five BASELINE.json configs and report "
                          "ns/cell/substep + Poisson fraction per config "
                          "(writes BENCH_MATRIX.json)")
+    ap.add_argument('--only', default=None,
+                    help="with --matrix: comma-separated config names to "
+                         "run (merges results into BENCH_MATRIX.json)")
+    ap.add_argument('--no-solve-ablation', action='store_true',
+                    help="with --matrix: skip the solve-ablated run "
+                         "(faster A/B; keeps the old poisson_fraction)")
     args = ap.parse_args(argv)
     if args.nsteps < 2:
         ap.error('--nsteps must be >= 2 (a 1-step run is the overhead probe)')
@@ -207,12 +213,23 @@ def main(argv=None):
     if args.matrix:
         # the declared BASELINE.json metric: per-config ns/cell/RK3-substep
         # + Poisson-solve fraction (measured by ablating the solve)
+        mpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             'BENCH_MATRIX.json')
         results = {}
+        if args.only and os.path.exists(mpath):
+            with open(mpath) as f:
+                results = json.load(f).get('configs', {})
+        only = set(args.only.split(',')) if args.only else None
         for name, kw in _matrix_configs(ng).items():
+            if only is not None and name not in only:
+                continue
             cfg = Config(**kw)
             ns_full, path = measure(cfg)
-            ns_nosolve, _ = measure(cfg, ablate_solve=True)
-            frac = max(0.0, 1.0 - ns_nosolve / ns_full)
+            if args.no_solve_ablation:
+                frac = results.get(name, {}).get('poisson_fraction', -1.0)
+            else:
+                ns_nosolve, _ = measure(cfg, ablate_solve=True)
+                frac = max(0.0, 1.0 - ns_nosolve / ns_full)
             results[name] = {
                 'ns_per_cell_substep': round(ns_full, 4),
                 'poisson_fraction': round(frac, 3),
@@ -224,8 +241,7 @@ def main(argv=None):
             print(f'# {name}: {ns_full:.4f} ns/cell/substep, '
                   f'poisson {frac:.1%}, {path}', flush=True)
         payload = {'grid': tag, 'nsteps': nsteps, 'configs': results}
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               'BENCH_MATRIX.json'), 'w') as f:
+        with open(mpath, 'w') as f:
             json.dump(payload, f, indent=1)
         print(json.dumps(payload))
         return

@@ -16,6 +16,10 @@ def main():
     ap.add_argument('--ng', type=int, nargs=3, default=[256, 128, 128])
     ap.add_argument('--steps', type=int, default=3)
     ap.add_argument('--sgs', default='smag')
+    ap.add_argument('--flavor', default='channel',
+                    choices=['channel', 'matrix'],
+                    help="'matrix': --sgs selects a bench.py matrix config "
+                         "name instead (e.g. duct_les_dsmag)")
     ap.add_argument('--out', default='/tmp/jaxtrace')
     args = ap.parse_args()
 
@@ -25,10 +29,14 @@ def main():
     from cales_tpu.initflow import initflow
     from cales_tpu.timeloop import Simulation
 
-    cfg = Config(ng=tuple(args.ng), l=(2*np.pi, np.pi, 2.0), gtype=1, gr=1.0,
-                 visci=20000.0, inivel='log', is_wallturb=True,
-                 is_forced=(True, False, False), velf=(1., 0., 0.),
-                 sgstype=args.sgs, dtype='float32')
+    if args.flavor == 'matrix':
+        import bench
+        cfg = Config(**bench._matrix_configs(tuple(args.ng))[args.sgs])
+    else:
+        cfg = Config(ng=tuple(args.ng), l=(2*np.pi, np.pi, 2.0), gtype=1,
+                     gr=1.0, visci=20000.0, inivel='log', is_wallturb=True,
+                     is_forced=(True, False, False), velf=(1., 0., 0.),
+                     sgstype=args.sgs, dtype='float32', ptransform='mat')
     grid = make_grid_from_config(cfg)
     sim = Simulation(cfg, grid)
     state = sim.initial_state(*initflow(cfg, grid))
