@@ -762,3 +762,416 @@ def fused_dsmag_level2(fu, fv, fw, fue, fve, fwe, fm, lij, s0,
         interpret=interpret,
     )(alph2_s, dzci_s, dzfi_s, fu, fv, fw, fue, fve, fwe, *yargs, *sargs,
       *wargs, *fm, *lij, s0)
+
+
+def fused_tiles(nz, ny, itemsize, nx):
+    """Tile pick for the single-pass kernel (fused_dsmag_onepass): DS1's
+    +-2 windows and source ring plus the in-VMEM filtered-quantity rings,
+    but almost no output pipeline (s0 + visct-or-partials instead of 16
+    intermediate fields).  Windows counted at their true 2-slot size."""
+    if ny < 8 or ny % 8:
+        return None
+    for tz, ty in ((16, 64), (8, 64), (16, 32), (8, 32), (8, 16), (4, 16),
+                   (4, 8), (2, 8)):
+        if nz % tz or ny % ty or tz < 2:
+            continue
+        win = 2 * (tz + 4) * (ty + 16) * nx * itemsize
+        ringb = (NWQ + 1) * 3 * (ty + 14) * nx * itemsize
+        fringb = (3 * (ty + 2) + 12 * ty) * 3 * nx * itemsize
+        outs = tz * ty * nx * itemsize
+        if 3 * win + ringb + fringb + 2 * 2 * outs < 72 * 1024 * 1024:
+            return tz, ty
+    return None
+
+
+def _ds_onepass_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, avg,
+                       interpret, y_ext=False, ywalls=None,
+                       has_ystrips=False, has_ywf=False):
+    """The whole Germano-Lilly pipeline in ONE z-march: stage A computes
+    the NWQ source planes (DS1's ring), stage B the 15 filtered quantities
+    (fm, lij in full registers, fvel at width ty+2) into VMEM rings, and
+    stage C the test-level strain + Mij/Lij contraction -- no intermediate
+    field ever touches HBM.  The filtered-velocity BC fill (bounduvw on
+    the filtered field, sgs.f90:256-257) is synthesized in-register: the
+    eligible class (see `eligible`) makes every recipe plane-local and
+    linear -- z/y ghosts are +-1 times the first interior plane ('D' 0
+    wall / 'N' 0), the staggered wall faces are 0 -- and the test-level
+    strain never reads w at k=+1 nor v at j=+1, so the padded nz+1/ny+1
+    rows of the staggered components are never needed.  Corner semantics
+    (z recipe applied to y-fixed rows) match boundary._zedge_of_yrows."""
+    klast = nz // tz - 1
+    has_ye = ywalls is not None
+    gj = ny // ty
+    szlo = -1.0 if wall_lo else 1.0
+    szhi = -1.0 if wall_hi else 1.0
+    sylo = syhi = 1.0
+    if has_ye:
+        sylo = -1.0 if ywalls[0] else 1.0
+        syhi = -1.0 if ywalls[1] else 1.0
+
+    def kernel(alph2_s, dzci_s, dzfi_s, u, v, w, ue, ve, we, *rest):
+        rest = list(rest)
+        ye = yze = yh = yhz = ywf_s = None
+        if has_ye:
+            ye, yze = rest[0], rest[1]
+            del rest[0:2]
+        if has_ystrips:
+            yh, yhz = rest[0], rest[1]
+            del rest[0:2]
+        if has_ywf:
+            ywf_s = rest.pop(0)
+        if avg == 'cavity':
+            visct_o = rest.pop(0)
+            s0_o = num_o = den_o = None
+        else:
+            visct_o = None
+            s0_o, num_o, den_o = rest[0:3]
+            del rest[0:3]
+        su2, sv2, sw2 = rest[0:3]
+        del rest[0:3]
+        sye2 = rest.pop(0) if has_ye else None
+        ring, s0ring, fvr, fqr, sems = rest[0:5]
+        k = pl.program_id(0)
+        j = pl.program_id(1)
+        z0 = k * tz
+        specs = [(u, ue, su2), (v, ve, sv2), (w, we, sw2)]
+        if has_ystrips:
+            specs = [e + (('strips', yh, yhz, 16 * m),)
+                     for m, e in enumerate(specs)]
+        if has_ye:
+            specs.append((ye, yze, sye2, 'ally'))
+        wins_l = _pipelined_windows2(specs, sems, nz, ny, tz, ty, k, j,
+                                     interpret, y_ext=y_ext)
+        su, sv, sw = wins_l[0:3]
+        sye = wins_l[3] if has_ye else None
+        wins = {id(su): su, id(sv): sv, id(sw): sw}
+        ybase = {id(su): 0, id(sv): 3, id(sw): 6}
+        y_lo_t = (j == 0) if has_ye else None
+        y_hi_t = (j == gj - 1) if has_ye else None
+        if has_ye and has_ywf:
+            y_lo_t = y_lo_t & (ywf_s[0, 0] > 0.5)
+            y_hi_t = y_hi_t & (ywf_s[0, 1] > 0.5)
+
+        def _riota(shape):
+            return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+
+        def row(P, lg):
+            p = wins[id(P)][2 + lg]
+            if has_ye:
+                yp = sye[2 + lg]
+                b = ybase[id(P)]
+                r = _riota(p.shape)
+                p = jnp.where((r == 7) & y_lo_t, yp[b:b + 1], p)
+                p = jnp.where((r == 8 + ty) & y_hi_t, yp[b + 1:b + 2], p)
+            return p
+
+        def compute_source(r):
+            gz = z0 + r + 1
+
+            def Vs(P, k=0, j=0, i=0):
+                p = _roll_x(row(P, r + k), i, interpret)
+                return p[1 + j:ty + 15 + j]
+            metrics = {
+                'dzci_c': dzci_s[gz, 0],
+                'dzci_m': dzci_s[gz - 1, 0],
+                'dzfi_c': dzfi_s[gz, 0],
+            }
+            s0r, sij = st.strain_rate_core(Vs, metrics.__getitem__,
+                                           su, sv, sw, dxi, dyi,
+                                           with_sij=True)
+            up0 = _roll_x(row(su, r), -1, interpret)
+            uc = 0.5 * (row(su, r)[1:ty + 15] + up0[1:ty + 15])
+            vp0 = row(sv, r)
+            vc = 0.5 * (vp0[1:ty + 15] + vp0[0:ty + 14])
+            wc = 0.5 * (row(sw, r)[1:ty + 15] + row(sw, r - 1)[1:ty + 15])
+            planes = [s0r * sq for sq in sij]
+            planes += [uc, vc, wc]
+            planes += [uc * uc, vc * vc, wc * wc, uc * vc, uc * wc, vc * wc]
+            return planes, s0r
+
+        def yfix_src(zf):
+            if not has_ye:
+                return zf
+            r = _riota(zf.shape)
+            glo = 2.0 * zf[7:8] - zf[8:9] if ywalls[0] else zf[7:8]
+            zf = jnp.where((r == 6) & y_lo_t, glo, zf)
+            ghi = (2.0 * zf[ty + 6:ty + 7] - zf[ty + 5:ty + 6]
+                   if ywalls[1] else zf[ty + 6:ty + 7])
+            return jnp.where((r == ty + 7) & y_hi_t, ghi, zf)
+
+        def filt_src(pm, pc, pp):
+            zf = yfix_src(0.25 * (pm + 2.0 * pc + pp))
+            q = 0.25 * (_roll_x(zf, -1, interpret) + 2.0 * zf
+                        + _roll_x(zf, 1, interpret))
+            q = 0.25 * (q[:-2] + 2.0 * q[1:-1] + q[2:])
+            return q[6:6 + ty]
+
+        def vel_row(P, lg, parallel, parallel_y=False):
+            p = row(P, lg)
+            if parallel and wall_lo:
+                p = jnp.where(jnp.logical_and(k == 0, lg == -1),
+                              2.0 * row(P, 0) - row(P, 1), p)
+            if parallel and wall_hi:
+                p = jnp.where(jnp.logical_and(k == klast, lg == tz),
+                              2.0 * row(P, tz - 1) - row(P, tz - 2), p)
+            if has_ye and parallel_y:
+                r = _riota(p.shape)
+                if ywalls[0]:
+                    p = jnp.where((r == 7) & y_lo_t,
+                                  2.0 * p[8:9] - p[9:10], p)
+                if ywalls[1]:
+                    p = jnp.where((r == 8 + ty) & y_hi_t,
+                                  2.0 * p[7 + ty:8 + ty] - p[6 + ty:7 + ty],
+                                  p)
+            return p
+
+        def filt_vel_ext(P, kk, parallel, parallel_y=False):
+            """filter3d of the velocity window -> (ty+2, nx) at row kk:
+            rows 0..ty+1 <-> global interior y = y0-1 .. y0+ty (one extra
+            row per side for the test-level strain's y stencil)."""
+            zf = 0.25 * (vel_row(P, kk - 1, parallel, parallel_y)
+                         + 2.0 * vel_row(P, kk, parallel, parallel_y)
+                         + vel_row(P, kk + 1, parallel, parallel_y))
+            q = 0.25 * (_roll_x(zf, -1, interpret) + 2.0 * zf
+                        + _roll_x(zf, 1, interpret))
+            q = 0.25 * (q[:-2] + 2.0 * q[1:-1] + q[2:])   # width ty+14
+            return q[6:8 + ty]
+
+        def slot3(r):
+            return jax.lax.rem(r + 3, 3)
+
+        def body(t, carry):
+            # stage A: source planes at r = t-1 (DS1's scheme verbatim)
+            @pl.when(t < tz + 2)
+            def _():
+                r = t - 1
+                r_c = jnp.clip(z0 + r, 0, nz - 1) - z0
+                planes, s0r = compute_source(r_c)
+                sl = jax.lax.rem(t, 3)
+                for q in range(NWQ):
+                    ring[sl, q] = planes[q]
+                s0ring[sl] = s0r
+
+            # stage B1: filtered velocity at r_v = t-2 (clipped at the
+            # domain edges -- the edge rows are replaced by the in-register
+            # BC recipes at stage C and never read otherwise)
+            @pl.when(t >= 1)
+            def _():
+                rv = t - 2
+                rv_c = jnp.clip(z0 + rv, 0, nz - 1) - z0
+                sl = slot3(rv)
+                fvr[sl, 0] = filt_vel_ext(su, rv_c, True, parallel_y=True)
+                fvr[sl, 1] = filt_vel_ext(sv, rv_c, True, parallel_y=False)
+                fvr[sl, 2] = filt_vel_ext(sw, rv_c, False, parallel_y=True)
+
+            # stage B2: fm / lij at r_b = t-2 (DS1's emission, into VMEM)
+            @pl.when(jnp.logical_and(t >= 2, t < tz + 2))
+            def _():
+                rb = t - 2
+                sm, sc2, sp2 = (jax.lax.rem(t - 2, 3), jax.lax.rem(t - 1, 3),
+                                jax.lax.rem(t, 3))
+                is_lo = jnp.logical_and(k == 0, rb == 0)
+                is_hi = jnp.logical_and(k == klast, rb == tz - 1)
+                outs = []
+                for q in range(NWQ):
+                    pm = ring[sm, q]
+                    pc = ring[sc2, q]
+                    pp = ring[sp2, q]
+                    glo = 2.0 * pc - pp if wall_lo else pc
+                    ghi = 2.0 * pc - pm if wall_hi else pc
+                    pm = jnp.where(is_lo, glo, pm)
+                    pp = jnp.where(is_hi, ghi, pp)
+                    outs.append(filt_src(pm, pc, pp))
+                sl = slot3(rb)
+                for q in range(6):
+                    fqr[sl, q] = outs[q]
+                fc = outs[6:9]
+                cps = (fc[0] * fc[0], fc[1] * fc[1], fc[2] * fc[2],
+                       fc[0] * fc[1], fc[0] * fc[2], fc[1] * fc[2])
+                for q in range(6):
+                    fqr[sl, 6 + q] = outs[9 + q] - cps[q]
+
+            # stage C: test-level strain + contraction at kk = t-3
+            @pl.when(t >= 3)
+            def _():
+                kk = t - 3
+                kz = z0 + kk + 1
+                is_lo = jnp.logical_and(k == 0, kk == 0)
+                is_hi = jnp.logical_and(k == klast, kk == tz - 1)
+                fcache = {}
+
+                def fbase(ci, dk):
+                    key = ('y', ci, dk)
+                    if key in fcache:
+                        return fcache[key]
+                    p = fvr[slot3(kk + dk), ci]
+                    if has_ye:
+                        r = _riota(p.shape)
+                        if ci == 1:
+                            # v: y-face 'D' 0 -- wall face (padded y 0) and
+                            # the padded-ny rewrite are both 0
+                            if ywalls[0]:
+                                p = jnp.where((r == 0) & y_lo_t, 0.0, p)
+                            if ywalls[1]:
+                                p = jnp.where((r == ty) & y_hi_t, 0.0, p)
+                        else:
+                            p = jnp.where((r == 0) & y_lo_t,
+                                          sylo * p[1:2], p)
+                            p = jnp.where((r == ty + 1) & y_hi_t,
+                                          syhi * p[ty:ty + 1], p)
+                    fcache[key] = p
+                    return p
+
+                def fzfix(ci, dk):
+                    key = ('z', ci, dk)
+                    if key in fcache:
+                        return fcache[key]
+                    p = fbase(ci, dk)
+                    if ci == 2:
+                        # w: 'D' 0 on both faces -- padded row 0 is the
+                        # lower wall face, padded row nz the set_bc rewrite
+                        if dk == -1:
+                            p = jnp.where(is_lo, 0.0, p)
+                        if dk == 0:
+                            p = jnp.where(is_hi, 0.0, p)
+                    else:
+                        if dk == -1:
+                            p = jnp.where(is_lo, szlo * fbase(ci, 0), p)
+                        if dk == 1:
+                            p = jnp.where(is_hi, szhi * fbase(ci, 0), p)
+                    fcache[key] = p
+                    return p
+
+                def fplane(ci, dk, di):
+                    key = ('r', ci, dk, di)
+                    if key not in fcache:
+                        fcache[key] = _roll_x(fzfix(ci, dk), di, interpret)
+                    return fcache[key]
+
+                def Vf(ci, k=0, j=0, i=0):
+                    return fplane(ci, k, i)[1 + j:1 + j + ty]
+
+                metrics = {
+                    'dzci_c': dzci_s[kz, 0],
+                    'dzci_m': dzci_s[kz - 1, 0],
+                    'dzfi_c': dzfi_s[kz, 0],
+                }
+                s0f, sijf = st.strain_rate_core(Vf, metrics.__getitem__,
+                                                0, 1, 2, dxi, dyi,
+                                                with_sij=True)
+                a2 = alph2_s[kz, 0]
+                if has_ye and (ywalls[0] or ywalls[1]):
+                    rt = jax.lax.broadcasted_iota(jnp.int32, (ty, nx), 0)
+                    if ywalls[0]:
+                        a2 = jnp.where((rt == 0) & y_lo_t, 2.52, a2)
+                    if ywalls[1]:
+                        a2 = jnp.where((rt == ty - 1) & y_hi_t, 2.52, a2)
+                sl = slot3(kk)
+                mij = [2.0 * (fqr[sl, q] - a2 * s0f * sijf[q])
+                       for q in range(6)]
+                lij = [fqr[sl, 6 + q] for q in range(6)]
+                num = (mij[0] * lij[0] + mij[1] * lij[1] + mij[2] * lij[2]
+                       + 2.0 * (mij[3] * lij[3] + mij[4] * lij[4]
+                                + mij[5] * lij[5]))
+                den = (mij[0] * mij[0] + mij[1] * mij[1] + mij[2] * mij[2]
+                       + 2.0 * (mij[3] * mij[3] + mij[4] * mij[4]
+                                + mij[5] * mij[5]))
+                s0row = s0ring[jax.lax.rem(kk + 1, 3)][7:7 + ty]
+                if avg == 'cavity':
+                    visct_o[kk] = jnp.maximum(s0row * num / den, 0.0)
+                elif avg == 'duct':
+                    s0_o[kk] = s0row
+                    num_o[kk] = jnp.sum(num, axis=-1, keepdims=True)
+                    den_o[kk] = jnp.sum(den, axis=-1, keepdims=True)
+                else:
+                    s0_o[kk] = s0row
+                    num_o[kk] = jnp.broadcast_to(jnp.sum(num).reshape(1, 1),
+                                                 (8, 128))
+                    den_o[kk] = jnp.broadcast_to(jnp.sum(den).reshape(1, 1),
+                                                 (8, 128))
+            return carry
+
+        jax.lax.fori_loop(0, tz + 3, body, 0)
+    return kernel
+
+
+def fused_dsmag_onepass(u, v, w, ue, ve, we, alph2_1d, dzci, dzfi, dxi, dyi,
+                        wall_lo, wall_hi, avg, interpret=False, y_ext=False,
+                        ye=None, yze=None, ywalls=None, ystrips=None,
+                        ywf=None):
+    """Single-pass dynamic Smagorinsky: reads the corrected-fill velocity
+    interiors (+ z-edge stacks / y bundles), returns visct (avg='cavity')
+    or (s0, num_part, den_part) with the partial-sum shapes of
+    fused_dsmag_level2 -- the caller finishes the homogeneous averaging
+    and forms visct = max(s0 * ratio, 0).  No DS1->DS2 intermediates touch
+    HBM (the two-pass pipeline streams ~25 words/cell; this reads 3 and
+    writes 1).  Returns None if the shape doesn't fit `fused_tiles`."""
+    nz, ny, nx = u.shape
+    if y_ext:
+        ny -= 16
+    dt = u.dtype
+    if nx % 128 or ny % 8:
+        return None
+    tiles = fused_tiles(nz, ny, dt.itemsize, nx)
+    if tiles is None:
+        return None
+    tz, ty = tiles
+    if nz % tz or nz < tz:
+        return None
+    alph2_s = jnp.zeros((nz + 2, 1), dt).at[1:nz + 1, 0].set(
+        jnp.asarray(alph2_1d, dt))
+    dzci_s = jnp.asarray(dzci, dt).reshape(-1, 1)
+    dzfi_s = jnp.asarray(dzfi, dt).reshape(-1, 1)
+    has_ye = ye is not None
+    has_ystrips = ystrips is not None
+    has_ywf = ywf is not None
+    yargs = (ye, yze) if has_ye else ()
+    sargs = tuple(ystrips) if has_ystrips else ()
+    wargs = ((jnp.stack([jnp.asarray(ywf[0], dt),
+                         jnp.asarray(ywf[1], dt)]).reshape(1, 2),)
+             if has_ywf else ())
+    grid = (nz // tz, ny // ty)
+    int_spec = pl.BlockSpec((tz, ty, nx), lambda k, j: (k, j, 0))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kern = _ds_onepass_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
+                              bool(wall_lo), bool(wall_hi), avg, interpret,
+                              y_ext=y_ext, ywalls=ywalls if has_ye else None,
+                              has_ystrips=has_ystrips, has_ywf=has_ywf)
+    if avg == 'cavity':
+        out_specs = [int_spec]
+        out_shape = [jax.ShapeDtypeStruct((nz, ny, nx), dt)]
+    elif avg == 'duct':
+        out_specs = [int_spec] + [pl.BlockSpec((tz, ty, 1),
+                                               lambda k, j: (k, j, 0))] * 2
+        out_shape = [jax.ShapeDtypeStruct((nz, ny, nx), dt)] \
+            + [jax.ShapeDtypeStruct((nz, ny, 1), dt)] * 2
+    else:
+        gy = ny // ty
+        out_specs = [int_spec] + [pl.BlockSpec((tz, 8, 128),
+                                               lambda k, j: (k, j, 0))] * 2
+        out_shape = [jax.ShapeDtypeStruct((nz, ny, nx), dt)] \
+            + [jax.ShapeDtypeStruct((nz, gy * 8, 128), dt)] * 2
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[smem_spec] * 3
+                 + [any_spec] * (6 + 2 * has_ye + 2 * has_ystrips)
+                 + [smem_spec] * has_ywf,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((2, tz + 4, ty + 16, nx), dt)
+                        for _ in range(3)]
+                       + ([pltpu.VMEM((2, tz + 4, 16, nx), dt)]
+                          if has_ye else [])
+                       + [pltpu.VMEM((3, NWQ, ty + 14, nx), dt),
+                          pltpu.VMEM((3, ty + 14, nx), dt),
+                          pltpu.VMEM((3, 3, ty + 2, nx), dt),
+                          pltpu.VMEM((3, 12, ty, nx), dt),
+                          pltpu.SemaphoreType.DMA((2, 3 + has_ye, 9))],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(alph2_s, dzci_s, dzfi_s, u, v, w, ue, ve, we, *yargs, *sargs, *wargs)
+    if avg == 'cavity':
+        return outs[0]
+    return outs[0], outs[1], outs[2]

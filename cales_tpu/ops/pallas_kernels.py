@@ -1450,7 +1450,8 @@ def fused_correc_updatep_smag(u, v, w, pp, p, ue, ve, we, ppe, dtrk,
 
 def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
                    impdiff=False, impdiff_1d=False, has_xe=False,
-                   ywalls=(False, False), has_ystrips=False, has_ywf=False, xye=False):
+                   ywalls=(False, False), has_ystrips=False, has_ywf=False,
+                   xye=False, has_xopi=False):
     has_ye = any(ywalls)
     gj = ny // ty
 
@@ -1466,6 +1467,7 @@ def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
         if has_ystrips:
             yh, yhz = rest[0], rest[1]
             del rest[0:2]
+        xopi = rest.pop(0) if has_xopi else None
         (u_i, v_i, p_i, u_o, v_o, w_o, p_o, sw2, spp2) = rest[0:9]
         del rest[0:9]
         sxe2 = sye2 = None
@@ -1473,6 +1475,7 @@ def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
             sxe2 = rest.pop(0)
         if has_ye:
             sye2 = rest.pop(0)
+        ppph = rest.pop(0) if has_xopi else None
         sems = rest[-1]
         k = pl.program_id(0)
         j = pl.program_id(1)
@@ -1490,6 +1493,12 @@ def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
         sw, spp = wins[0:2]
         sxe = wins[2] if has_xe else None
         sye = wins[2 + has_xe] if has_ye else None
+        if has_xopi:
+            # inverse x transform of the solver output on the idle MXU
+            # (the solve's last stage) — see _correc_smag_kernel
+            for r in range(tz + 2):
+                ppph[r] = _dot_xop(spp[r], xopi[:, :])
+            spp = ppph
         y_lo = (j == 0) if ywalls[0] else None
         y_hi = (j == gj - 1) if ywalls[1] else None
         if has_ywf:
@@ -1544,7 +1553,8 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
                          alpha=0.0, impdiff=False, impdiff_1d=False,
                          dzfi=None, xe=None, xze=None, ye=None, yze=None,
                          ywalls=(False, False), fu=0.0, fv=0.0,
-                         ystrips=None, alias_p=False, ywf=None, xye=False):
+                         ystrips=None, alias_p=False, ywf=None, xye=False,
+                         xopi=None):
     """Velocity correction + pressure update in one pass (correc.f90:14-68,
     updatep.f90:14-24 explicit-diffusion branch).
 
@@ -1557,12 +1567,18 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
     by the caller (timeloop).  y_ext: w, pp, we, ppe carry the 8-row y
     halos; u, v, p stay interior-sized (read as output-aligned tiles).
     impdiff/impdiff_1d + alpha (traced scalar) + dzfi: apply the implicit-
-    diffusion pressure correction p += alpha*L(pp) (updatep.f90:26-50)."""
+    diffusion pressure correction p += alpha*L(pp) (updatep.f90:26-50).
+    xopi: (nx, nx) inverse x-transform operator — pp (and ppe) arrive
+    x-spectral from the solve's skip_bwd_x path and the window is
+    inverse-transformed in-register on the idle MXU (the x-transform
+    fusion for the no-smag correc classes: sgs none / impdiff / periodic
+    z).  Single-chip, periodic x/y only (no xe/ye/strips)."""
     nz, ny, nx = u.shape
     dt = u.dtype
     if nx % 128 or ny % 8:
         return None
-    tiles = pick_tiles(nz, ny, dt.itemsize, nx, nwin=4, nio=7)
+    tiles = pick_tiles(nz, ny, dt.itemsize, nx, nwin=4 + (xopi is not None),
+                       nio=7)
     if tiles is None:
         return None
     tz, ty = tiles
@@ -1578,32 +1594,39 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
     has_xe = xe is not None
     has_ye = ye is not None
     has_ystrips = ystrips is not None
+    has_xopi = xopi is not None
+    assert not (has_xopi and (has_xe or has_ye or has_ystrips or y_ext)), \
+        'x-transform fusion: single-chip periodic-x/y correc only'
     xargs = (xe, xze) if has_xe else ()
     yargs = (ye, yze) if has_ye else ()
     sargs = tuple(ystrips) if has_ystrips else ()
+    oargs = (jnp.asarray(xopi, dt),) if has_xopi else ()
     nwin = 2 + has_xe + has_ye
     grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
     kern = _correc_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
                           interpret, y_ext=y_ext, impdiff=impdiff,
                           impdiff_1d=impdiff_1d, has_xe=has_xe,
                           ywalls=ywalls if has_ye else (False, False),
-                          has_ystrips=has_ystrips, has_ywf=has_ywf, xye=xye and has_xe and has_ye)
+                          has_ystrips=has_ystrips, has_ywf=has_ywf,
+                          xye=xye and has_xe and has_ye, has_xopi=has_xopi)
     # in-place correction: the u/v prediction inputs (and p with alias_p,
     # substeps where the donor is an intermediate) are read pointwise
     # through the same output-aligned int_spec blocks as the u/v/p outputs
     # and are dead after the call — see fused_mom_rk's alias note
     aliases = {}
     if not _no_alias_io():
-        uidx = 3 + 4 + 2 * (has_xe + has_ye + has_ystrips)
+        uidx = 3 + 4 + 2 * (has_xe + has_ye + has_ystrips) + has_xopi
         aliases = {uidx: 0, uidx + 1: 1}
         if alias_p:
             aliases[uidx + 2] = 3
+    mat_spec = pl.BlockSpec((nx, nx), lambda k, j: (0, 0))
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[smem_spec, smem_spec, smem_spec]
                  + [any_spec] * (4 + 2 * has_xe + 2 * has_ye
                                  + 2 * has_ystrips)
+                 + [mat_spec] * has_xopi
                  + [int_spec] * 3,
         out_specs=[int_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((nz, ny, nx), dt)] * 4,
@@ -1614,7 +1637,10 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
                           if has_xe else [])
                        + ([pltpu.VMEM((2, tz + 2, ye.shape[1], nx), dt)]
                           if has_ye else [])
+                       + ([pltpu.VMEM((tz + 2, ty + 16, nx), dt)]
+                          if has_xopi else [])
                        + [pltpu.SemaphoreType.DMA((2, nwin, 9))],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(sc, dzci_s, dzfi_s, w, pp, we, ppe, *xargs, *yargs, *sargs, u, v, p)
+    )(sc, dzci_s, dzfi_s, w, pp, we, ppe, *xargs, *yargs, *sargs, *oargs,
+      u, v, p)

@@ -349,8 +349,16 @@ class Simulation:
         rhsb_zero = all(
             isinstance(pl_, (int, float, np.floating, np.ndarray))
             and np.all(np.asarray(pl_) == 0.0) for pl_ in self.rhsb_p.values())
-        self._fuse_xop = (
+        # the fusion rides either the correc+smag kernel or (round 4) the
+        # plain fused_correc_updatep kernel (sgs none / impdiff / periodic
+        # z: triperiodic + impdiff channel classes), single-chip periodic
+        # x/y only — walls would need the ye/xe pp bundle rows transformed
+        xop_correc_ok = (
             self._fuse_correc_smag
+            or (self.use_pallas_mom and mesh is None
+                and not self._ywalled and not self._xwalled))
+        self._fuse_xop = (
+            xop_correc_ok
             and self.solver_p.trx.kind == 'mat'
             and self.solver_p.trx.nsolve == nx and rhsb_zero
             and all(float(cfg.bcpre[ib][d]) == 0.0
@@ -406,6 +414,18 @@ class Simulation:
                 and pds.eligible(cfg, self.sgs_setup)
                 and pds.ds_tiles(nz, ny_local, np.dtype(self.dtype).itemsize,
                                  nx_local) is not None)
+            # single-pass Germano-Lilly kernel (no DS1->DS2 intermediates
+            # in HBM; pallas_dsmag.fused_dsmag_onepass) -- the default when
+            # the shape fits; CALES_DSMAG_TWOPASS=1 falls back to the
+            # 2-pass pipeline (A/B + debugging)
+            self._dsmag_onepass = (
+                self.use_pallas_dsmag
+                and pds.fused_tiles(nz, ny_local,
+                                    np.dtype(self.dtype).itemsize,
+                                    nx_local) is not None
+                and _os.environ.get('CALES_DSMAG_TWOPASS', '') != '1')
+        else:
+            self._dsmag_onepass = False
         # z-only CN Helmholtz solves as single aliased Pallas Thomas passes
         # (ops/pallas_solve.apply_thomas_helmholtz_z): one in-place
         # read+write per velocity component instead of two (nz, nz) eigen
@@ -449,7 +469,8 @@ class Simulation:
         if self.use_pallas_mom:
             kind = ('kernel-sharded' if self._kernel_sharded
                     else 'kernel-single')
-            sgs = ('dsmag-kernel' if self.use_pallas_dsmag
+            sgs = ('dsmag-kernel-1pass' if self._dsmag_onepass
+                   else 'dsmag-kernel' if self.use_pallas_dsmag
                    else 'smag-kernel' if self.use_pallas_smag
                    else 'none-elided' if self.cfg.sgstype == 'none'
                    else f'{self.cfg.sgstype}-xla')
@@ -1192,6 +1213,9 @@ class Simulation:
             ykw1 = dict(ye=ye1, yze=yze1,
                         ywalls=(setup.wall_flags[(0, 1)],
                                 setup.wall_flags[(1, 1)]))
+        if self._dsmag_onepass:
+            return self._compute_dsmag_onepass(u, v, w, ue, ve, we, ykw1,
+                                               wall_lo, wall_hi)
         if self._kernel_sharded:
             from jax import shard_map
             from jax.sharding import PartitionSpec as Pspec
@@ -1277,6 +1301,67 @@ class Simulation:
                 ratio = (num1 / den1)[:, None, None]
             else:  # 'dit': dzf-weighted global mean (ave0d_dit, sgs.f90:388-431)
                 wz = jnp.asarray(grid.dzf[1:nz + 1] / cfg.l[2], dtype=u.dtype)
+                ratio = jnp.sum(num1 * wz) / jnp.sum(den1 * wz)
+        return jnp.maximum(s0 * ratio, 0.0)
+
+    def _compute_dsmag_onepass(self, u, v, w, ue, ve, we, ykw1,
+                               wall_lo, wall_hi):
+        """Single-pass dynamic Smagorinsky (pallas_dsmag.fused_dsmag_onepass):
+        the filtered-velocity BC fill, its y bundles, and every DS1->DS2
+        intermediate are synthesized in-register, so the host side is just
+        the homogeneous averaging reduction (ave0d/1d/2d, sgs.f90:388-614)
+        + visct = max(s0 * ratio, 0)."""
+        from .ops import pallas_dsmag as pds
+        cfg, grid = self.cfg, self.grid
+        nz = cfg.ng[2]
+        alph2 = np.full(nz, 4.0)
+        if wall_lo:
+            alph2[0] = 2.52
+        if wall_hi:
+            alph2[-1] = 2.52
+        if self._kernel_sharded:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as Pspec
+            F = Pspec(None, 'gy', 'gx')   # dsmag runs only at gx == 1
+            S = Pspec()                   # replicated (global y bundles)
+            ywalled = self._ywalled
+
+            def ds_local(u_, v_, w_, ue_, ve_, we_, *yb):
+                ys = self._halo_strips([u_, v_, w_], [ue_, ve_, we_])
+                ykw = {}
+                if ywalled:
+                    ykw = dict(ye=yb[0], yze=yb[1], ywalls=ykw1['ywalls'],
+                               ywf=self._ywf_shard(u_.dtype))
+                return pds.fused_dsmag_onepass(
+                    u_, v_, w_, ue_, ve_, we_, alph2, grid.dzci, grid.dzfi,
+                    cfg.dli[0], cfg.dli[1], wall_lo, wall_hi,
+                    cfg.dsmag_avg, interpret=self._pallas_interpret,
+                    ystrips=ys, **ykw)
+            yb1 = (ykw1['ye'], ykw1['yze']) if ywalled else ()
+            out_specs = F if cfg.dsmag_avg == 'cavity' else (F, F, F)
+            out = shard_map(ds_local, mesh=self.mesh,
+                            in_specs=(F,) * 6 + (S,) * len(yb1),
+                            out_specs=out_specs, check_vma=False)(
+                u, v, w, ue, ve, we, *yb1)
+        else:
+            out = pds.fused_dsmag_onepass(
+                u, v, w, ue, ve, we, alph2, grid.dzci, grid.dzfi,
+                cfg.dli[0], cfg.dli[1], wall_lo, wall_hi, cfg.dsmag_avg,
+                interpret=self._pallas_interpret, **ykw1)
+        assert out is not None, 'fused_dsmag_onepass gating inconsistency'
+        if cfg.dsmag_avg == 'cavity':
+            return out
+        s0, nump, denp = out
+        if cfg.dsmag_avg == 'duct':
+            ratio = (nump[..., 0] / denp[..., 0])[:, :, None]
+        else:
+            num1 = jnp.sum(nump[:, ::8, 0], axis=1)
+            den1 = jnp.sum(denp[:, ::8, 0], axis=1)
+            if cfg.dsmag_avg == 'channel':
+                ratio = (num1 / den1)[:, None, None]
+            else:  # 'dit': dzf-weighted global mean (ave0d_dit)
+                wz = jnp.asarray(grid.dzf[1:nz + 1] / cfg.l[2],
+                                 dtype=u.dtype)
                 ratio = jnp.sum(num1 * wz) / jnp.sum(den1 * wz)
         return jnp.maximum(s0 * ratio, 0.0)
 
@@ -1897,6 +1982,7 @@ class Simulation:
                         interpret=self._pallas_interpret, alpha=alpha,
                         ye=ycor, yze=yzcor, ywalls=(True, True),
                         fu=fu_d, fv=fv_d, alias_p=not first,
+                        xopi=self._xopiT if xf else None,
                         **xkw_c, **imp_kw)
             # lower-wall w face plane: the padded-row-0 entry of the correc
             # ghost-range sweep (correc.f90:45-67), a plane-sized update

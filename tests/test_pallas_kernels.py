@@ -487,10 +487,13 @@ def test_pallas_step_integration_xywalled(monkeypatch):
 
 
 def test_pallas_step_integration_dsmag(monkeypatch):
-    """Dynamic-Smagorinsky kernel pipeline (DS1+DS2, interpret mode) vs the
-    XLA dsmag path: channel, 2 steps, near-bitwise (averaging reassociates
-    -> 1e-11 tolerance)."""
+    """Dynamic-Smagorinsky TWO-PASS kernel pipeline (DS1+DS2, interpret
+    mode) vs the XLA dsmag path: channel, 2 steps, near-bitwise (averaging
+    reassociates -> 1e-11 tolerance).  TWOPASS forced: the two-pass
+    pipeline stays reachable (sharded shards too small for the one-pass
+    rings) and must keep its own parity."""
     monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    monkeypatch.setenv('CALES_DSMAG_TWOPASS', '1')
     from cales_tpu.initflow import initflow
     from cales_tpu.timeloop import Simulation
 
@@ -522,8 +525,10 @@ def test_pallas_dsmag_bf16_intermediates(monkeypatch):
     in bf16 (pallas_dsmag.inter_dtype).  Pin the error budget: visct within
     ~0.5% rel of the f32-intermediate kernel run after 2 steps, velocity
     within 1e-5 rel (the f64 bitwise parity is test_pallas_step_integration_
-    dsmag; CALES_DSMAG_F32=1 is the kill switch exercised here)."""
+    dsmag; CALES_DSMAG_F32=1 is the kill switch exercised here).  TWOPASS
+    forced — the one-pass kernel keeps no HBM intermediates at all."""
     monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    monkeypatch.setenv('CALES_DSMAG_TWOPASS', '1')
     from cales_tpu.initflow import initflow
     from cales_tpu.timeloop import Simulation
     from cales_tpu.ops import pallas_dsmag as pds
@@ -797,6 +802,7 @@ def test_pallas_dsmag_ywalls_duct_cavity(monkeypatch):
             sim = Simulation(cfg, grid)
             if use_pallas:
                 assert sim.use_pallas_dsmag, sim.exec_path()
+                assert sim._dsmag_onepass, sim.exec_path()
             s = sim.initial_state(*initflow(cfg, grid))
             for _ in range(2):
                 s, _ = sim.step(s, 5e-4)
@@ -808,6 +814,96 @@ def test_pallas_dsmag_ywalls_duct_cavity(monkeypatch):
             err = np.abs(x - y).max()
             assert err < 1e-11, \
                 f"{name} ({base['dsmag_avg']}) dsmag mismatch: {err}"
+
+
+def test_pallas_dsmag_onepass_channel_dit(monkeypatch):
+    """Single-pass Germano-Lilly kernel (pallas_dsmag.fused_dsmag_onepass:
+    source planes, the 15 test-filtered quantities, and the Mij/Lij
+    contraction in one z-march, no DS1->DS2 HBM intermediates) vs the
+    two-pass pipeline: channel and 'dit' (global) averaging, 2 steps."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    P3 = (('P', 'P', 'P'),) * 3
+    cases = [
+        dict(ng=(128, 16, 16), l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=0.9,
+             visci=2000.0, inivel='log', is_wallturb=True, dtype='float64',
+             is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
+             sgstype='dsmag', dsmag_avg='channel', use_pallas=True),
+        dict(ng=(128, 16, 16), l=(2 * np.pi,) * 3, gtype=0, gr=0.0,
+             visci=1600.0, inivel='tgv', dtype='float64', use_pallas=True,
+             sgstype='dsmag', dsmag_avg='dit',
+             cbcvel=(P3, P3), cbcpre=(P3[0],) * 2, cbcsgs=(P3[0],) * 2),
+    ]
+    for base in cases:
+        results = []
+        for two in ('1', ''):
+            monkeypatch.setenv('CALES_DSMAG_TWOPASS', two)
+            cfg = Config(**base)
+            grid = make_grid_from_config(cfg)
+            sim = Simulation(cfg, grid)
+            assert sim._dsmag_onepass == (two == ''), sim.exec_path()
+            s = sim.initial_state(*initflow(cfg, grid))
+            for _ in range(2):
+                s, _ = sim.step(s, 1e-3)
+            results.append(s)
+        a, b = results
+        for name in ('u', 'v', 'w', 'p', 'visct'):
+            x = np.asarray(getattr(a, name))
+            y = np.asarray(getattr(b, name))
+            if name == 'p' and base['dsmag_avg'] == 'dit':
+                x, y = x - x.mean(), y - y.mean()
+            err = np.abs(x - y).max()
+            assert err < 1e-11, \
+                f"{name} ({base['dsmag_avg']}) onepass mismatch: {err}"
+
+
+def test_pallas_xop_plain_correc(monkeypatch):
+    """x-transform fusion on the PLAIN fused_correc_updatep kernel (sgs
+    none / impdiff / periodic z — the triperiodic and impdiff channel
+    classes, round 4): full-step parity vs the XLA expression path with
+    the fusion asserted ON."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    P3 = (('P', 'P', 'P'),) * 3
+    chanv = ((('P', 'P', 'P'), ('P', 'P', 'P'), ('D', 'D', 'D')),) * 2
+    chanp = (('P', 'P', 'N'),) * 2
+    cases = [
+        dict(ng=(128, 16, 16), l=(2 * np.pi,) * 3, gtype=0, gr=0.0,
+             visci=1600.0, inivel='tgv', dtype='float64', sgstype='none',
+             ptransform='mat',
+             cbcvel=(P3, P3), cbcpre=(P3[0],) * 2, cbcsgs=(P3[0],) * 2),
+        dict(ng=(128, 16, 16), l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=0.9,
+             visci=5640.0, inivel='poi', dtype='float64', sgstype='none',
+             impdiff=True, impdiff_1d=True, ptransform='mat',
+             is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
+             cbcvel=chanv, cbcpre=chanp, cbcsgs=chanp),
+    ]
+    for base in cases:
+        results = []
+        for use_pallas in (False, True):
+            cfg = Config(**base, use_pallas=use_pallas)
+            grid = make_grid_from_config(cfg)
+            sim = Simulation(cfg, grid)
+            if use_pallas:
+                assert sim._fuse_xop, sim.exec_path()
+                assert not sim._fuse_correc_smag
+            s = sim.initial_state(*initflow(cfg, grid))
+            for _ in range(2):
+                s, _ = sim.step(s, 1e-3)
+            results.append(s)
+        a, b = results
+        periodic_z = base['gtype'] == 0
+        for name in ('u', 'v', 'w', 'p'):
+            x = np.asarray(getattr(a, name))
+            y = np.asarray(getattr(b, name))
+            if name == 'p' and periodic_z:
+                x, y = x - x.mean(), y - y.mean()
+            err = np.abs(x - y).max()
+            assert err < 1e-11, f"{name} plain-xop mismatch: {err}"
 
 
 def test_pallas_xop_fusion_matches_xla(monkeypatch):
