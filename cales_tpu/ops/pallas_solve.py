@@ -228,15 +228,23 @@ def apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
                            interpret, n_solve=n_solve)
 
 
-def apply_thomas_helmholtz_z(arr, a, b, c, interpret=False, shift=None):
+def apply_thomas_helmholtz_z(arr, a, b, c, interpret=False, shift=None,
+                             n_solve=None, bc_lo=None, bc_hi=None):
     """In-place tridiag(a, b, c) solve along z with NO diagonal shift —
     the z-only Crank–Nicolson Helmholtz solve (I + alpha*Lz) of the
     _IMPDIFF_1D path (solver_gaussel_z, solver.f90:182-233), with the
     caller passing the pre-scaled (a*alpha, b*alpha+1, c*alpha) rows.
     One aliased read+write pass per velocity component instead of the two
-    (nz, nz) eigen matmul passes of solve_z_only's eig branch."""
+    (nz, nz) eigen matmul passes of solve_z_only's eig branch.
+
+    n_solve: rows solved; rows n_solve..nz-1 pass through in-kernel (the
+    face-staggered Dirichlet tail — saves the full-field slice+concat the
+    host-side tail costs).  bc_lo/bc_hi: (ny, nx) RHS boundary planes
+    (updt_rhs_b, bound.f90:562-617) added to rows 0 / n_solve-1
+    in-register — saves the host-side dynamic-update-slice adds."""
     return _apply_thomas_z(arr, a, b, c, None, None, False, 0.0, interpret,
-                           shift=shift)
+                           shift=shift, n_solve=n_solve,
+                           bc_lo=bc_lo, bc_hi=bc_hi)
 
 
 def apply_thomas_periodic_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
@@ -345,7 +353,8 @@ def apply_thomas_periodic_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
 
 
 def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
-                    interpret=False, n_solve=None, shift=None):
+                    interpret=False, n_solve=None, shift=None,
+                    bc_lo=None, bc_hi=None):
     """In-place tridiag(a, b + lamy[j] + lamx, c) solve along z — the
     direct O(nz) replacement for the z-eig stage's two (nz, nz) bf16x3
     matmuls, for non-periodic z.
@@ -391,10 +400,18 @@ def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
     shift_args = ((jnp.full((1, 1), 1.0, dt) * shift,) if has_shift else ())
     shift_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
                    if has_shift else [])
+    has_bc = bc_lo is not None
+    assert has_bc == (bc_hi is not None)
+    bc_args = ((jnp.asarray(bc_lo, dt), jnp.asarray(bc_hi, dt))
+               if has_bc else ())
+    bc_specs = ([pl.BlockSpec((ty, nx), lambda j: (j, 0))] * 2
+                if has_bc else [])
 
     def kernel(a_ref, b_ref, c_ref, *refs):
         refs = list(refs)
         sh_ref = refs.pop(0) if has_shift else None
+        blo_ref = refs.pop(0) if has_bc else None
+        bhi_ref = refs.pop(0) if has_bc else None
         if has_lam:
             ly_ref, lx_ref, d_ref, o_ref, w_ref = refs
             j = pl.program_id(0)
@@ -412,7 +429,10 @@ def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
             zfac0 = jnp.where(jnp.abs(lam) <= tol, 0.0, zfac0)
         d_0 = c_ref[0] * zfac0
         w_ref[0] = d_0
-        p_0 = (d_ref[0] + sh) * zfac0 if has_shift else d_ref[0] * zfac0
+        rhs_0 = d_ref[0] + sh if has_shift else d_ref[0]
+        if has_bc:
+            rhs_0 = rhs_0 + blo_ref[...]
+        p_0 = rhs_0 * zfac0
         o_ref[0] = p_0
 
         def fwd(z, carry):
@@ -421,6 +441,9 @@ def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
             zfac = 1.0 / (bz + lam - az * d_prev)
             d_k = cz * zfac
             rhs_z = d_ref[z] + sh if has_shift else d_ref[z]
+            if has_bc:
+                rhs_z = rhs_z + jnp.where(z == ns - 1, 1.0, 0.0) \
+                    * bhi_ref[...]
             p_k = (rhs_z - az * p_prev) * zfac
             w_ref[z] = d_k
             o_ref[z] = p_k
@@ -448,11 +471,12 @@ def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
-                 + shift_specs + lam_specs + [blk],
+                 + shift_specs + bc_specs + lam_specs + [blk],
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
         scratch_shapes=[pltpu.VMEM((nz, ty, nx), dt)],
-        input_output_aliases={3 + has_shift + len(lam_specs): 0},
+        input_output_aliases={3 + has_shift + 2 * has_bc
+                              + len(lam_specs): 0},
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(a_s, b_s, c_s, *shift_args, *lam_args, arr)
+    )(a_s, b_s, c_s, *shift_args, *bc_args, *lam_args, arr)

@@ -502,7 +502,7 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None,
 
 
 def solve_z_only(sv: DirectSolver, p, alpha, pallas=False,
-                 pallas_interpret=False, shift=None):
+                 pallas_interpret=False, shift=None, bc_planes=None):
     """z-implicit-only Helmholtz solve (I + alpha*Lz) p = rhs with no x/y
     transforms (solver_gaussel_z, solver.f90:182-233; the _IMPDIFF_1D path).
 
@@ -514,24 +514,34 @@ def solve_z_only(sv: DirectSolver, p, alpha, pallas=False,
     shift: traced constant added to the RHS inside the pass — the folded
     bulk-forcing add (reference order: u += f THEN solve, rk.f90:197-222 +
     main.f90:423-431; adding f to the RHS is identical and saves the
-    full-field read+write the separate add would cost)."""
+    full-field read+write the separate add would cost).
+
+    bc_planes: optional ((ny, nx) lo, hi) z-face RHS boundary planes
+    (updt_rhs_b) added to rows 0 / (nz - qz - 1) — in-register on the
+    Pallas path (saving the host-side dynamic-update-slice adds), as
+    .at[].add on the fallback paths."""
     nz = p.shape[0]
     qz = sv.qz
-    zbody = p[: nz - qz]
     if pallas and sv.bcz != 'PP':
         from .ops import pallas_solve as ps
-        if ps.thomas_z_tiles(nz - qz, p.shape[1], p.shape[2],
+        if ps.thomas_z_tiles(nz, p.shape[1], p.shape[2],
                              p.dtype.itemsize) and p.shape[2] % 128 == 0:
             n = nz - qz
             a = sv.a[:n] * alpha
             b = sv.b[:n] * alpha + 1.0
             c = sv.c[:n] * alpha
-            zsol = ps.apply_thomas_helmholtz_z(
-                zbody, a, b, c, interpret=pallas_interpret, shift=shift)
-            if not qz:
-                return zsol
-            tail = p[n:] if shift is None else p[n:] + shift
-            return jnp.concatenate([zsol, tail], axis=0)
+            bkw = {}
+            if bc_planes is not None:
+                bkw = dict(bc_lo=bc_planes[0], bc_hi=bc_planes[1])
+            # the face-staggered Dirichlet tail (qz) passes through (and
+            # takes the shift) IN-KERNEL: no host-side slice+concat passes
+            return ps.apply_thomas_helmholtz_z(
+                p, a, b, c, interpret=pallas_interpret, shift=shift,
+                n_solve=n if qz else None, **bkw)
+    if bc_planes is not None:
+        p = p.at[0].add(jnp.asarray(bc_planes[0], p.dtype))
+        p = p.at[nz - qz - 1].add(jnp.asarray(bc_planes[1], p.dtype))
+    zbody = p[: nz - qz]
     if shift is not None:
         zbody = zbody + shift
         p = p if qz == 0 else jnp.concatenate(

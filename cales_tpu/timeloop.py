@@ -330,7 +330,12 @@ class Simulation:
         # corrector call already folds fu/fv
         self._defer_forcing = (
             self.use_pallas_mom and self._mom_split is None
-            and mesh is None and not self.has_wm
+            and mesh is None
+            # wall-modeled configs defer too (round 4): the wm's hwm-row
+            # sampling gets the traced constant added pre-pad
+            # (_dynamic_bcs fadd=...), and the post-correction wm planes
+            # already recompute from corrected-with-fu rows
+            and (not self.has_wm or getattr(self, '_wm_fast', False))
             and not cfg.scalar and not cfg.is_forced[2]
             and not self._xwalled    # cancellation needs periodic x
             and (cfg.is_forced[0] or cfg.is_forced[1])
@@ -532,14 +537,19 @@ class Simulation:
         return st0._replace(u=u_i, v=v_i, w=w_i, vlo=vlo, visct=visct, zq=zq)
 
     # ------------------------------------------------------------------
-    def _dynamic_bcs(self, u, v, w):
+    def _dynamic_bcs(self, u, v, w, fadd=None):
         """Velocity BC planes; wall-modeled faces get fresh Neumann values
-        from the log-law (bounduvw is_updt_wm path, bound.f90:120-123)."""
+        from the log-law (bounduvw is_updt_wm path, bound.f90:120-123).
+
+        fadd: (fu, fv) deferred bulk-forcing constants — the wm must see
+        the post-forcing velocity (reference order: forcing then bound,
+        rk.f90:197-222 + main.f90:493-501), so the sampled hwm rows get
+        the traced constants added BEFORE their ghost fill."""
         bcu, bcv, bcw = self.bcu_vals, self.bcv_vals, self.bcw_vals
         if not self.has_wm:
             return bcu, bcv, bcw
         if getattr(self, '_wm_fast', False):
-            return self._wm_bcs_fast(u, v, w)
+            return self._wm_bcs_fast(u, v, w, fadd=fadd)
         up, vp, wp, _ = bnd.pad_velocity(
             u, v, w, self.cbcvel, bcu, bcv, bcw, self.cfg.dl, self.grid.dzc,
             self.grid.dzf, vlo=None, is_correc=False)
@@ -547,15 +557,11 @@ class Simulation:
             self.cfg, self.grid, up, vp, wp, bcu, bcv, bcw,
             self.bcu_vals, self.bcv_vals, self.bcw_vals, self.index_wm)
 
-    def _wm_row_pad(self, q, ivel, k):
-        """x/y ghost fill of the single interior z-row k — the only rows
-        the z-wall wall model reads.  Scalar-x/y-BC configs only (gated by
-        _wm_z_fast): the full-field pad_velocity here cost ~6 field passes
-        per substep on the kernel path for 4 consumed rows."""
-        return self._row_pad_xy(q[k], ivel)
-
     def _row_pad_xy(self, plane, ivel):
-        """x/y ghost fill of one (ny, nx) z-row (scalar x/y BCs)."""
+        """x/y ghost fill of one (ny, nx) z-row — the only rows the z-wall
+        wall model reads (scalar x/y BCs, gated by _wm_fast: the
+        full-field pad_velocity here cost ~6 field passes per substep on
+        the kernel path for 4 consumed rows)."""
         face_key = ('x', 'y', 'z')[ivel]
         bcs = (self.bcu_vals, self.bcv_vals, self.bcw_vals)[ivel]
         dl = self.cfg.dl
@@ -592,14 +598,18 @@ class Simulation:
                 s = bnd._set_centered(s, axis, lts, bcs[idir], dr_par)
         return s[:, 0, :]
 
-    def _wm_bcs_fast(self, u, v, w):
+    def _wm_bcs_fast(self, u, v, w, fadd=None):
         """y/z-wall wall-model BC update from sliced rows instead of a
         full-field pad (identical numbers: the x->y fill of a z-row only
-        reads that row, and likewise the x->z fill of a y-row)."""
+        reads that row, and likewise the x->z fill of a y-row).  fadd:
+        deferred bulk-forcing (fu, fv) added to the sampled interior rows
+        before the ghost fill (so value-carrying D/N ghost recipes see the
+        post-forcing velocity exactly)."""
         from .ops.boundary import bc_plane_shapes, ensure_plane
         cfg = self.cfg
         shapes = bc_plane_shapes(cfg.ng)
         dtype = u.dtype
+        fu_a, fv_a = (0.0, 0.0) if fadd is None else fadd
         bcu_z = list(self.bcu_vals[2])
         bcv_z = list(self.bcv_vals[2])
         for ib in range(2):
@@ -607,10 +617,10 @@ class Simulation:
                 continue
             k2 = self.index_wm[2][ib]
             k1 = k2 - 1 if ib == 0 else k2 + 1
-            U1 = self._wm_row_pad(u, 0, k1 - 1)
-            U2 = self._wm_row_pad(u, 0, k2 - 1)
-            V1 = self._wm_row_pad(v, 1, k1 - 1)
-            V2 = self._wm_row_pad(v, 1, k2 - 1)
+            U1 = self._row_pad_xy(u[k1 - 1] + fu_a, 0)
+            U2 = self._row_pad_xy(u[k2 - 1] + fu_a, 0)
+            V1 = self._row_pad_xy(v[k1 - 1] + fv_a, 1)
+            V2 = self._row_pad_xy(v[k2 - 1] + fv_a, 1)
             umag = ensure_plane(self.bcu_vals[2][ib], shapes['z'], dtype)
             vmag = ensure_plane(self.bcv_vals[2][ib], shapes['z'], dtype)
             bcu_z[ib], bcv_z[ib] = wm.z_wall_wm_planes(
@@ -623,8 +633,8 @@ class Simulation:
                 continue
             j2 = self.index_wm[1][ib]
             j1 = j2 - 1 if ib == 0 else j2 + 1
-            U1 = self._row_pad_xz(u[:, j1 - 1], 0)
-            U2 = self._row_pad_xz(u[:, j2 - 1], 0)
+            U1 = self._row_pad_xz(u[:, j1 - 1] + fu_a, 0)
+            U2 = self._row_pad_xz(u[:, j2 - 1] + fu_a, 0)
             W1 = self._row_pad_xz(w[:, j1 - 1], 2)
             W2 = self._row_pad_xz(w[:, j2 - 1], 2)
             umag = ensure_plane(self.bcu_vals[1][ib], shapes['y'], dtype)
@@ -1748,7 +1758,10 @@ class Simulation:
                 if cfg.impdiff_1d:
                     planes = {k: (v_ if k[0] == 'z' else jnp.zeros_like(v_))
                               for k, v_ in planes.items()}
-                fld = poisson.add_rhs_bound(cfg, cf, cbc, fld, planes)
+                cn_kernel_bc = (cfg.impdiff_1d
+                                and not self.use_pallas_cn_sharded)
+                if not cn_kernel_bc:
+                    fld = poisson.add_rhs_bound(cfg, cf, cbc, fld, planes)
                 if cfg.impdiff_1d:
                     shift = (f[ivel]
                              if self._cn_shift_forcing and cfg.is_forced[ivel]
@@ -1758,12 +1771,17 @@ class Simulation:
                             self.solver_vel[ivel], fld, alpha, self.mesh,
                             pallas_interpret=self._pallas_interpret)
                     else:
+                        # the z-face planes ride the Thomas pass (rows 0 /
+                        # n_solve-1 in-register); x/y planes are zeroed in
+                        # the _IMPDIFF_1D split above, so add_rhs_bound is
+                        # fully absorbed
                         fld = poisson.solve_z_only(
                             self.solver_vel[ivel], fld, alpha,
                             pallas=self.use_pallas_cn
                             and self.mesh is None,
                             pallas_interpret=self._pallas_interpret,
-                            shift=shift)
+                            shift=shift,
+                            bc_planes=(planes[('z', 0)], planes[('z', 1)]))
                 else:
                     fld = poisson.solve(
                         self.solver_vel[ivel], fld, alpha=alpha,
@@ -1786,8 +1804,11 @@ class Simulation:
             # is_updt_wm=.false. path (bound.f90:117-123).
             from .ops import pallas_kernels as pk
             # prediction-velocity BC fill (main.f90:493-494) as edge stacks;
-            # the w wall-face rewrite of set_bc travels in row 1 of we2
-            bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
+            # the w wall-face rewrite of set_bc travels in row 1 of we2.
+            # With deferred forcing the wm must sample u+f (reference
+            # order: forcing before the fill)
+            bcu, bcv, bcw = self._dynamic_bcs(
+                u, v, w, fadd=(f[0], f[1]) if defer_f else None)
             xkw_f = {}
             if self._xwalled:
                 # prediction-fill x bundles; u's wall-face rewrite (set_bc
