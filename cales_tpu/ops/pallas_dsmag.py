@@ -771,8 +771,11 @@ def fused_tiles(nz, ny, itemsize, nx):
     intermediate fields).  Windows counted at their true 2-slot size."""
     if ny < 8 or ny % 8:
         return None
-    for tz, ty in ((16, 64), (8, 64), (16, 32), (8, 32), (8, 16), (4, 16),
-                   (4, 8), (2, 8)):
+    # larger tz first: the kernel is VPU-bound and each (k, j) tile pays
+    # a (tz+2)/tz warmup-row overhead in stages A/B (measured: the whole
+    # pipeline runs ~8 ms/substep at 512x256x256 f32, ~9x its HBM floor)
+    for tz, ty in ((32, 64), (16, 64), (8, 64), (16, 32), (8, 32), (8, 16),
+                   (4, 16), (4, 8), (2, 8)):
         if nz % tz or ny % ty or tz < 2:
             continue
         win = 2 * (tz + 4) * (ty + 16) * nx * itemsize
