@@ -789,7 +789,7 @@ def fused_tiles(nz, ny, itemsize, nx):
 
 def _ds_onepass_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, avg,
                        interpret, y_ext=False, ywalls=None,
-                       has_ystrips=False, has_ywf=False):
+                       has_ystrips=False, has_ywf=False, x_interior=None):
     """The whole Germano-Lilly pipeline in ONE z-march: stage A computes
     the NWQ source planes (DS1's ring), stage B the 15 filtered quantities
     (fm, lij in full registers, fvel at width ty+2) into VMEM rings, and
@@ -1080,6 +1080,15 @@ def _ds_onepass_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, avg,
                        + 2.0 * (mij[3] * mij[3] + mij[4] * mij[4]
                                 + mij[5] * mij[5]))
                 s0row = s0ring[jax.lax.rem(kk + 1, 3)][7:7 + ty]
+                if x_interior is not None and avg != 'cavity':
+                    # x-extended (gx-sharded) inputs: the averaging sums
+                    # count interior lanes only (the 64-lane halo pads and
+                    # their roll-wraparound garbage are excluded)
+                    xlo, xn = x_interior
+                    li = jax.lax.broadcasted_iota(jnp.int32, num.shape, 1)
+                    xmask = (li >= xlo) & (li < xlo + xn)
+                    num = jnp.where(xmask, num, 0.0)
+                    den = jnp.where(xmask, den, 0.0)
                 if avg == 'cavity':
                     visct_o[kk] = jnp.maximum(s0row * num / den, 0.0)
                 elif avg == 'duct':
@@ -1101,14 +1110,20 @@ def _ds_onepass_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, avg,
 def fused_dsmag_onepass(u, v, w, ue, ve, we, alph2_1d, dzci, dzfi, dxi, dyi,
                         wall_lo, wall_hi, avg, interpret=False, y_ext=False,
                         ye=None, yze=None, ywalls=None, ystrips=None,
-                        ywf=None):
+                        ywf=None, x_interior=None):
     """Single-pass dynamic Smagorinsky: reads the corrected-fill velocity
     interiors (+ z-edge stacks / y bundles), returns visct (avg='cavity')
     or (s0, num_part, den_part) with the partial-sum shapes of
     fused_dsmag_level2 -- the caller finishes the homogeneous averaging
     and forms visct = max(s0 * ratio, 0).  No DS1->DS2 intermediates touch
     HBM (the two-pass pipeline streams ~25 words/cell; this reads 3 and
-    writes 1).  Returns None if the shape doesn't fit `fused_tiles`."""
+    writes 1).  Returns None if the shape doesn't fit `fused_tiles`.
+
+    x_interior=(lo, n): inputs are x-halo-EXTENDED (gx-sharded meshes,
+    64 lanes/side so the filter chain's 3-deep x dependencies resolve
+    locally; in-kernel rolls wrap around the pad harmlessly) and the
+    averaging sums count lanes [lo, lo+n) only; outputs keep the extended
+    width (the caller slices the interior)."""
     nz, ny, nx = u.shape
     if y_ext:
         ny -= 16
@@ -1140,7 +1155,8 @@ def fused_dsmag_onepass(u, v, w, ue, ve, we, alph2_1d, dzci, dzfi, dxi, dyi,
     kern = _ds_onepass_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
                               bool(wall_lo), bool(wall_hi), avg, interpret,
                               y_ext=y_ext, ywalls=ywalls if has_ye else None,
-                              has_ystrips=has_ystrips, has_ywf=has_ywf)
+                              has_ystrips=has_ystrips, has_ywf=has_ywf,
+                              x_interior=x_interior)
     if avg == 'cavity':
         out_specs = [int_spec]
         out_shape = [jax.ShapeDtypeStruct((nz, ny, nx), dt)]

@@ -406,13 +406,12 @@ class Simulation:
                 np.dtype(self.dtype).itemsize, self.mesh)
             and _os.environ.get('CALES_NO_PALLAS_SOLVE', '') != '1')
         self.use_pallas_dsmag = False
+        self._dsmag_onepass = False
+        self._dsmag_xext = False
         if (self.use_pallas_mom and cfg.sgstype == 'dsmag'
                 and not self._gx_sharded):
             # pds.eligible checks the y/z face recipes (wall-extrapolation
             # or homogeneous-N), covering the duct/cavity class too
-            # gx > 1 excluded: the dsmag pipeline's in-kernel test filter
-            # needs 2-deep x ghosts for intermediate products (sgs.f90
-            # filter stencils), not carried by the 1-column xe bundle
             from .ops import pallas_dsmag as pds
             self.use_pallas_dsmag = (
                 not self._xwalled      # filters need 2-deep x ghosts
@@ -429,8 +428,26 @@ class Simulation:
                                     np.dtype(self.dtype).itemsize,
                                     nx_local) is not None
                 and _os.environ.get('CALES_DSMAG_TWOPASS', '') != '1')
-        else:
-            self._dsmag_onepass = False
+        elif (self.use_pallas_mom and cfg.sgstype == 'dsmag'
+              and self._gx_sharded and not self._ywalled
+              and not self._xwalled):
+            # 2D (gy, gx) pencil meshes (round 4, channel class): the
+            # one-pass kernel runs on MATERIALIZED 64-lane x-halo
+            # extensions (the filter chain needs 3-deep x ghosts — deeper
+            # than the 1-column xe roll-fixup bundle; 64/side keeps the
+            # lane tiling aligned and the in-kernel rolls' wraparound
+            # contaminates only the pad).  The averaging sums mask to the
+            # interior lanes (x_interior).
+            from .ops import pallas_dsmag as pds
+            ok = (pds.eligible(cfg, self.sgs_setup)
+                  and nx_local >= 64
+                  and pds.fused_tiles(nz, ny_local,
+                                      np.dtype(self.dtype).itemsize,
+                                      nx_local + 128) is not None
+                  and _os.environ.get('CALES_DSMAG_TWOPASS', '') != '1')
+            self.use_pallas_dsmag = ok
+            self._dsmag_onepass = ok
+            self._dsmag_xext = ok
         # z-only CN Helmholtz solves as single aliased Pallas Thomas passes
         # (ops/pallas_solve.apply_thomas_helmholtz_z): one in-place
         # read+write per velocity component instead of two (nz, nz) eigen
@@ -685,6 +702,20 @@ class Simulation:
         lo = jax.lax.ppermute(a[:, -8:], 'gy', fwd)
         hi = jax.lax.ppermute(a[:, :8], 'gy', bwd)
         return jnp.concatenate([lo, a, hi], axis=1)
+
+    def _halo_x(self, a, width=64):
+        """Exchange `width`-lane x halos with the cyclic gx neighbors and
+        return the (..., nx_local + 2*width) extended array — the
+        materialized x analogue of _halo_y for kernels whose x stencil
+        chain is deeper than the 1-column xe roll-fixup bundle (the dsmag
+        filter chain needs 3-deep ghosts).  width=64 keeps the extension
+        128-lane aligned."""
+        gx = self._gx()
+        fwd = [(i, (i + 1) % gx) for i in range(gx)]
+        bwd = [(i, (i - 1) % gx) for i in range(gx)]
+        lo = jax.lax.ppermute(a[..., -width:], 'gx', fwd)
+        hi = jax.lax.ppermute(a[..., :width], 'gx', bwd)
+        return jnp.concatenate([lo, a, hi], axis=-1)
 
     def _halo_strips(self, arrays, edges):
         """Packed 8-row y-halo strips for the per-shard kernels (1D
@@ -1329,10 +1360,55 @@ class Simulation:
             alph2[0] = 2.52
         if wall_hi:
             alph2[-1] = 2.52
+        if self._kernel_sharded and getattr(self, '_dsmag_xext', False):
+            # 2D (gy, gx) pencil mesh, channel class: the one-pass kernel
+            # runs on materialized 64-lane x-halo extensions (the filter
+            # chain needs 3-deep x ghosts) with the averaging sums masked
+            # to the interior lanes; num/den reduce via psum so every
+            # shard sees the global ratio
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as Pspec
+            F = Pspec(None, 'gy', 'gx')
+            R = Pspec()
+            avg = cfg.dsmag_avg
+
+            def ds_local(u_, v_, w_, ue_, ve_, we_):
+                nxl = u_.shape[-1]
+                ext = [self._halo_x(a) for a in
+                       (u_, v_, w_, ue_, ve_, we_)]
+                ys = self._halo_strips(ext[0:3], ext[3:6])
+                out = pds.fused_dsmag_onepass(
+                    *ext, alph2, grid.dzci, grid.dzfi,
+                    cfg.dli[0], cfg.dli[1], wall_lo, wall_hi,
+                    avg, interpret=self._pallas_interpret,
+                    ystrips=ys, x_interior=(64, nxl))
+                assert out is not None, 'dsmag xext gating inconsistency'
+                if avg == 'cavity':
+                    return out[..., 64:64 + nxl]
+                s0e, nump_, denp_ = out
+                num1 = jax.lax.psum(jnp.sum(nump_[:, ::8, 0], axis=1),
+                                    ('gy', 'gx'))
+                den1 = jax.lax.psum(jnp.sum(denp_[:, ::8, 0], axis=1),
+                                    ('gy', 'gx'))
+                return s0e[..., 64:64 + nxl], num1, den1
+            out_specs = F if avg == 'cavity' else (F, R, R)
+            out = shard_map(ds_local, mesh=self.mesh, in_specs=(F,) * 6,
+                            out_specs=out_specs, check_vma=False)(
+                u, v, w, ue, ve, we)
+            if avg == 'cavity':
+                return out
+            s0, num1, den1 = out
+            if avg == 'channel':
+                ratio = (num1 / den1)[:, None, None]
+            else:  # 'dit' is not xext-eligible (periodic z); guard anyway
+                wz = jnp.asarray(grid.dzf[1:nz + 1] / cfg.l[2],
+                                 dtype=u.dtype)
+                ratio = jnp.sum(num1 * wz) / jnp.sum(den1 * wz)
+            return jnp.maximum(s0 * ratio, 0.0)
         if self._kernel_sharded:
             from jax import shard_map
             from jax.sharding import PartitionSpec as Pspec
-            F = Pspec(None, 'gy', 'gx')   # dsmag runs only at gx == 1
+            F = Pspec(None, 'gy', 'gx')   # gx == 1 on this branch
             S = Pspec()                   # replicated (global y bundles)
             ywalled = self._ywalled
 

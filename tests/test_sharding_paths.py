@@ -327,6 +327,55 @@ def test_kernel_path_2d_mesh_matches_single(monkeypatch):
         assert err < 1e-11, f"{name} 2D-mesh kernel mismatch: {err}"
 
 
+def test_dsmag_kernel_path_2d_mesh_matches_single(monkeypatch):
+    """Dynamic Smagorinsky on a 2D (gy, gx) pencil mesh via the x-extended
+    one-pass kernel (the filter chain needs 3-deep x ghosts, deeper than
+    the 1-column xe roll-fixup bundle: the inputs carry materialized
+    64-lane ppermute'd x halos and the averaging sums mask to the interior
+    lanes + psum) must reproduce the single-device one-pass kernel path.
+    This closes the last dsmag decomposition hole (sgs.f90:153-380 runs
+    under any pencil decomposition, initmpi.f90:56-73)."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = Config(ng=(256, 32, 16), l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=0.9,
+                 visci=2000.0, inivel='log', is_wallturb=True, dtype='float64',
+                 is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
+                 sgstype='dsmag', dsmag_avg='channel', ptransform='mat',
+                 **_channel_bcs)
+    grid = make_grid_from_config(cfg)
+    u, v, w, p = initflow(cfg, grid)
+    dt = 1e-3
+
+    sim1 = Simulation(cfg, grid)
+    assert sim1._dsmag_onepass, sim1.exec_path()
+    s1 = sim1.initial_state(u, v, w, p)
+    for _ in range(2):
+        s1, _ = sim1.step(s1, dt)
+
+    mesh = make_mesh((2, 2))
+    simN = Simulation(cfg, grid, mesh=mesh)
+    assert simN._kernel_sharded and simN._gx_sharded, simN.exec_path()
+    assert simN._dsmag_onepass and simN._dsmag_xext, simN.exec_path()
+    sN = simN.initial_state(u, v, w, p)
+    sh = field_sharding(mesh)
+    sN = sN._replace(u=jax.device_put(sN.u, sh), v=jax.device_put(sN.v, sh),
+                     w=jax.device_put(sN.w, sh), p=jax.device_put(sN.p, sh),
+                     visct=jax.device_put(sN.visct, sh))
+    for _ in range(2):
+        sN, _ = simN.step(sN, dt)
+
+    for name in ('u', 'v', 'w', 'p', 'visct'):
+        a = np.asarray(getattr(s1, name))
+        b = np.asarray(getattr(sN, name))
+        if name == 'p':
+            # the single-chip Thomas solve PINS the singular all-N mode,
+            # the mesh-path eig solve PROJECTS it: gauge-free comparison
+            a, b = a - a.mean(), b - b.mean()
+        err = np.abs(a - b).max()
+        assert err < 1e-11, f"{name} dsmag 2D-mesh mismatch: {err}"
+
+
 def test_kernel_path_sharded_dns_no_sgs(monkeypatch):
     """sgstype 'none' on the kernel path (has_sgs=False: the zero visct
     field's HBM stream, windows and eddy terms are elided) under BOTH
