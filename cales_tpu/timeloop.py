@@ -1476,306 +1476,535 @@ class Simulation:
                                   self.bcs_vals, None, pad_filtered)
 
     # ------------------------------------------------------------------
-    def _substep(self, state: State, f1, f2, first=False):
-        """first=True: this is RK substep 1, whose f2 coefficient is exactly
-        zero (RK_COEFF[0][1]) — the previous-RHS fields are never read, which
-        drops three full-field HBM streams from the momentum pass."""
-        cfg = self.cfg
-        grid = self.grid
+    def _advance_wall_planes(self, state, pp, ppe, we2, dtrk, xf,
+                             yv2=None, zyv2=None, zyw2=None, ypp=None,
+                             zypp=None, xu2=None, zxu2=None, zxw2=None,
+                             xpp=None, zxpp=None, xsec2=None):
+        """Advance the retained wall-face / wall-ghost planes (vlo)
+        through the padded correc sweep (correc.f90:45-67): the kept
+        planes' entries evolve with the plane-sized pressure-gradient
+        expressions, the attached entries are recipes of the evolved
+        interiors — mirroring pad_velocity's sequential x->y->z
+        semantics.  Keyword planes are the prediction/correc bundle
+        rows collected by _substep (wb dict); only the config class's
+        own entries are passed (x-walled / y-walled / both / neither).
+        xf: pp/ppe are x-spectral (the x-transform fusion) — the two
+        consumed rows are inverted here (tiny matmuls)."""
+        cfg, grid = self.cfg, self.grid
+        dxi, dyi = cfg.dli[0], cfg.dli[1]
+        dzci = grid.dzci
+        # lower-wall w face plane: the padded-row-0 entry of the correc
+        # ghost-range sweep (correc.f90:45-67), a plane-sized update
+        if xf:
+            pp0w, ppe0w = self._xinv_plane(pp[0]), self._xinv_plane(ppe[0])
+        else:
+            pp0w, ppe0w = pp[0], ppe[0]
+        wlo = we2[0] - dtrk * float(dzci[0]) * (pp0w - ppe0w)
+        if self._ywalled and self._xwalled:
+            # x+y-walled (closed box / true cavity / developing duct):
+            # the kept planes' ghost entries evolve through the padded
+            # correc sweep with recipe'd pressure corners; the attached
+            # (refilled-at-next-fill) entries come from recipes of the
+            # evolved interiors — mirroring pad_velocity's sequential
+            # x->y->z semantics plane by plane
+            dzci0 = float(dzci[0])
+            plx = (self.cbcpre[0], self.bcp_vals[0],
+                   (cfg.dl[0], cfg.dl[0]))
+            xr = lambda a: self._rec_ghosts(a, *plx)
+            # --- wlo (kept at the z fill: everything evolves) ---
+            w_ylo = zyw2[0, 0] - dtrk * dzci0 * (ypp[0, 0] - zypp[0, 0])
+            w_yhi = zyw2[0, 1] - dtrk * dzci0 * (ypp[0, 1] - zypp[0, 1])
+            w_xlo = zxw2[0][:, 0] - dtrk * dzci0 * (xpp[0, :, 0]
+                                                    - zxpp[0, :, 0])
+            w_xhi = zxw2[0][:, 1] - dtrk * dzci0 * (xpp[0, :, 1]
+                                                    - zxpp[0, :, 1])
+            zs2 = xsec2[1]           # prediction z-corner section
+            ppc = [xr(ypp[0, r]) for r in (0, 1)]
+            pzc = [xr(zypp[0, r]) for r in (0, 1)]
+            wc = [[zs2[0, r, 4 + s]
+                   - dtrk * dzci0 * (ppc[r][s] - pzc[r][s])
+                   for s in (0, 1)] for r in (0, 1)]
+            wlo = jnp.concatenate([w_ylo[None], wlo, w_yhi[None]],
+                                  axis=0)
+            cl = jnp.concatenate([wc[0][0][None], w_xlo, wc[1][0][None]])
+            ch = jnp.concatenate([wc[0][1][None], w_xhi, wc[1][1][None]])
+            wlo = jnp.concatenate([cl[:, None], wlo, ch[:, None]],
+                                  axis=1)
+            # --- vlo_v (kept at the y fill: x entries evolve, z
+            # entries refill by recipe at the next z pass — but the
+            # evolved values coincide and keep the committed form) ---
+            vlo_i = yv2[:, 0] - dtrk * dyi * (pp[:, 0, :] - ypp[:, 0])
+            v_zlo = zyv2[0, 0] - dtrk * dyi * (ppe[0][0] - zypp[0, 0])
+            v_zhi = zyv2[2, 0] - dtrk * dyi * (ppe[2][0] - zypp[2, 0])
+            xs2 = xsec2[0]
+            pi = xr(pp[:, 0, :])
+            pg = xr(ypp[:, 0, :])
+            v_x = [xs2[:, 0, 2 + s] - dtrk * dyi * (pi[s] - pg[s])
+                   for s in (0, 1)]
+            pzi = [xr(ppe[zr][0]) for zr in (0, 2)]
+            pzg = [xr(zypp[zr, 0]) for zr in (0, 2)]
+            vc = [[zs2[zr, 0, 2 + s]
+                   - dtrk * dyi * (pzi[i][s] - pzg[i][s])
+                   for s in (0, 1)] for i, zr in enumerate((0, 2))]
+            vlo_v = jnp.concatenate([v_zlo[None], vlo_i, v_zhi[None]],
+                                    axis=0)
+            cl = jnp.concatenate([vc[0][0][None], v_x[0], vc[1][0][None]])
+            ch = jnp.concatenate([vc[0][1][None], v_x[1], vc[1][1][None]])
+            vlo_v = jnp.concatenate([cl[:, None], vlo_v, ch[:, None]],
+                                    axis=1)
+            # --- ulo (attached at the x fill: y/z ghosts are recipes
+            # of the evolved interior) ---
+            ulo_i = xu2[:, :, 0] - dtrk * dxi * (pp[:, :, 0]
+                                                 - xpp[:, :, 0])
+            uy = self._rec_ghosts(
+                ulo_i, (self.cbcvel[0][1][0], self.cbcvel[1][1][0]),
+                self.bcu_vals[1], (cfg.dl[1], cfg.dl[1]))
+            ulo = jnp.concatenate([uy[0][:, None], ulo_i,
+                                   uy[1][:, None]], axis=1)
+            nzg = cfg.ng[2]
+            uz = self._rec_ghosts(
+                ulo, (self.cbcvel[0][2][0], self.cbcvel[1][2][0]),
+                self.bcu_vals[2],
+                (float(grid.dzc[0]), float(grid.dzc[nzg])), axis=0)
+            ulo = jnp.concatenate([uz[0][None], ulo, uz[1][None]],
+                                  axis=0)
+            vlo = (ulo, vlo_v, wlo)
+        elif self._ywalled:
+            # y-ghost entries of the w z=0 plane evolve through the
+            # padded correc sweep (they feed the next substep's corner
+            # stacks); the v lower-wall face plane likewise
+            dzci0 = float(dzci[0])
+            w_ylo = zyw2[0, 0] - dtrk * dzci0 * (ypp[0, 0] - zypp[0, 0])
+            w_yhi = zyw2[0, 1] - dtrk * dzci0 * (ypp[0, 1] - zypp[0, 1])
+            wlo = jnp.concatenate([w_ylo[None], wlo, w_yhi[None]], axis=0)
+            wlo = jnp.concatenate([wlo[:, -1:], wlo, wlo[:, :1]], axis=1)
+            # v wall-face plane: v(y=0) = v_pred(y=0) - dt dyi (pp(1)-pp(0))
+            vlo_i = yv2[:, 0] - dtrk * dyi * (pp[:, 0, :] - ypp[:, 0])
+            v_zlo = zyv2[0, 0] - dtrk * dyi * (ppe[0][0] - zypp[0, 0])
+            v_zhi = zyv2[2, 0] - dtrk * dyi * (ppe[2][0] - zypp[2, 0])
+            vlo_v = jnp.concatenate([v_zlo[None], vlo_i, v_zhi[None]],
+                                    axis=0)
+            vlo_v = jnp.concatenate([vlo_v[:, -1:], vlo_v, vlo_v[:, :1]],
+                                    axis=1)
+            vlo = (state.vlo[0], vlo_v, wlo)
+        elif self._xwalled:
+            # x-ghost entries of the w z=0 plane through the corner
+            # stacks; the u wall-face plane (padded x 0) evolves
+            # through the padded correc sweep (correc.f90:45-67)
+            dzci0 = float(dzci[0])
+            w_xlo = zxw2[0][:, 0] - dtrk * dzci0 * (xpp[0, :, 0]
+                                                    - zxpp[0, :, 0])
+            w_xhi = zxw2[0][:, 1] - dtrk * dzci0 * (xpp[0, :, 1]
+                                                    - zxpp[0, :, 1])
+            wlo = jnp.concatenate([w_xlo[:, None], wlo, w_xhi[:, None]],
+                                  axis=1)
+            wlo = jnp.concatenate([wlo[-1:], wlo, wlo[:1]], axis=0)
+            ulo_i = xu2[:, :, 0] - dtrk * dxi * (pp[:, :, 0]
+                                                 - xpp[:, :, 0])
+            u_zlo = zxu2[0][:, 0] - dtrk * dxi * (ppe[0][:, 0]
+                                                  - zxpp[0, :, 0])
+            u_zhi = zxu2[2][:, 0] - dtrk * dxi * (ppe[2][:, 0]
+                                                  - zxpp[2, :, 0])
+            ulo = jnp.concatenate([u_zlo[None], ulo_i, u_zhi[None]],
+                                  axis=0)
+            ulo = jnp.concatenate([ulo[:, -1:], ulo, ulo[:, :1]], axis=1)
+            vlo = (ulo, state.vlo[1], wlo)
+        else:
+            # the x/y planes are unused under periodic x/y
+            # (pad_velocity's 'P' branch never reads vlo)
+            wlo = jnp.concatenate([wlo[-1:], wlo, wlo[:1]], axis=0)
+            wlo = jnp.concatenate([wlo[:, -1:], wlo, wlo[:, :1]], axis=1)
+            vlo = (state.vlo[0], state.vlo[1], wlo)
+        return vlo
+
+    def _mom_kernel_inputs(self, state, u, v, w, p, visct, hs, hsc,
+                           bc_imp=None):
+        """Assemble the momentum kernel's ghost inputs for this config
+        class: z-edge stacks (reused from the previous substep's
+        post-correc fill via state.zq), plus the xe ghost-column bundles
+        (x-walled) and the packed ye row bundles (y-walled, with the
+        optional visct/scalar rows and the x+y corner section).  bc_imp:
+        beginning-of-substep BC planes already computed by the impdiff
+        path (reused for the wm ybcs).  Returns (ue, ve, we, pe, se,
+        ye, yze, xeb, xzeb)."""
+        cfg, grid = self.cfg, self.grid
+        if bc_imp is not None:
+            bcu, bcv, bcw = bc_imp
+        if state.zq is not None:
+            ue, ve, we = state.zq
+        else:
+            bcu0, bcv0, bcw0 = self._dynamic_bcs(u, v, w)
+            ue, ve, we = self._zedge_vel(u, v, w, bcu0, bcv0, bcw0,
+                                         vlo=state.vlo, is_correc=True)
+        pe = self._zedge_p(p)
+        # sgstype 'none': visct == 0 — its HBM stream, edge stacks and
+        # eddy terms are elided from the kernel (has_sgs=False)
+        hs = cfg.sgstype != 'none'
+        se = self._zedge_s(visct) if hs else None
+        ye = yze = None
+        xeb = xzeb = None
+        if self._xwalled:
+            # x-ghost-column bundles of the same (post-correc) fill —
+            # the xe protocol with host-BUILT columns (no ppermute)
+            (xcu, xcv, xcw), zxc = self._xbundle_vel(
+                u, v, w, vlo=state.vlo, is_correc=True)
+            xcp, zxcp = bnd.xedge_scalar(p, self.cbcpre, self.bcp_vals,
+                                         cfg.dl, grid.dzc)
+            cstk, zcstk = [xcu, xcv, xcw], list(zxc)
+            if hs:
+                cbcs_s = tuple((cfg.cbcsgs[0][d], cfg.cbcsgs[1][d])
+                               for d in range(3))
+                xcs, zxcs = bnd.xedge_scalar(visct, cbcs_s,
+                                             self.bcs_vals, cfg.dl,
+                                             grid.dzc)
+                cstk.append(xcs)
+                zcstk.append(zxcs)
+            cstk.append(xcp)
+            zcstk.append(zxcp)
+            xeb = self._xe_pack_cols(cstk)
+            xzeb = self._xe_pack_cols(zcstk)
+        if self._ywalled:
+            # y-wall ghost-row bundles of the same (post-correc) fill;
+            # with a y/z wall model the bundles carry the wm-updated
+            # Neumann planes (recomputed here — a pure function of
+            # (u, v, w), identical to the values the previous substep's
+            # zq stacks were built with)
+            ybcs = None
+            if self.has_wm:
+                ybcs = ((bcu, bcv, bcw) if cfg.impdiff
+                        else self._dynamic_bcs(u, v, w))
+            (yu, yv, yw), zy = self._ybundle_vel(
+                u, v, w, vlo=state.vlo, is_correc=True, bcs=ybcs)
+            yp, zyp = self._ybundle_p(p)
+            ystk, zstk = [yu, yv, yw], list(zy)
+            if hs:
+                ys, zys = self._ybundle_s(visct)
+                ystk.append(ys)
+                zstk.append(zys)
+            ystk, zstk = ystk + [yp], zstk + [zyp]
+            if hsc:
+                # scalar rows ride the bundle after p (fwins order
+                # u, v, w, [visct], p, sca — ylane base 3*m)
+                ysc, zysc = self._ybundle_scal(state.s)
+                ystk, zstk = ystk + [ysc], zstk + [zysc]
+            xsec = None
+            if self._xwalled:
+                xsec = self._xye_section(
+                    self._xye_entries(cstk, with_p=True),
+                    vlo=state.vlo, is_correc=True)
+            ye, yze = self._pack_ybundle(ystk, zstk, xsec=xsec)
+        return ue, ve, we, pe, se, ye, yze, xeb, xzeb
+
+    def _mom_kernel_sharded(self, state, u, v, w, p, visct,
+                            ue, ve, we, se, pe, ye, yze, ru_o, rv_o, rw_o,
+                            f1, f2, split, hs, hsc, first, nout):
+        """Dispatch the fused momentum+RK kernel under shard_map for this
+        mesh class: 1D (gy) slab meshes take packed 8-row ppermute halo
+        STRIPS; 2D (gx>1) pencil meshes take (ny_local+16)-extended arrays
+        + packed ppermute'd x ghost-column bundles (xe protocol), with the
+        y-walled variants passing the replicated global ye bundles,
+        per-shard wall flags, and the xe wall-row patches."""
+        from .ops import pallas_kernels as pk
+        cfg, grid = self.cfg, self.grid
         dxi, dyi = cfg.dli[0], cfg.dli[1]
         dzci, dzfi = grid.dzci, grid.dzfi
-        f12 = f1 + f2
-        dtrk = f12
         visc = cfg.visc
+        halo = self._halo_y
+        nfl = (10 if hs else 8) + 2 * hsc
 
-        u, v, w, p, visct = state.u, state.v, state.w, state.p, state.visct
-        ru_o, rv_o, rw_o = state.rhs_old
-        if self.hints is not None:
-            u, v, w, p, visct = map(self.hints.field, (u, v, w, p, visct))
-            if cfg.scalar:
-                state = state._replace(s=self.hints.field(state.s))
-        u, v, w, p, visct = map(self._lc, (u, v, w, p, visct))
+        def mom_local(*a):
+            if hs:
+                (u_, v_, w_, s_, p_,
+                 ue_, ve_, we_, se_, pe_) = a[0:10]
+                na = 10
+            else:
+                u_, v_, w_, p_, ue_, ve_, we_, pe_ = a[0:8]
+                s_ = se_ = None
+                na = 8
+            sca_ = scae_ = None
+            if hsc:
+                sca_, scae_ = a[na:na + 2]
+            rest = a[nfl:]
+            ye_ = yze_ = ywf_ = None
+            if self._ywalled:
+                # GLOBAL y-edge bundle, replicated: only the
+                # wall shards' rows are read (gated by ywf)
+                r123 = rest[:-4]
+                ye_, yze_, f1_, f2_ = rest[-4:]
+                ywf_ = self._ywf_shard(u_.dtype)
+            else:
+                r123, (f1_, f2_) = rest[:-2], rest[-2:]
+            rso_ = None
+            if r123 and hsc:
+                r123, rso_ = r123[:-1], r123[-1]
+            flds = ([u_, v_, w_] + ([s_] if hs else []) + [p_]
+                    + ([sca_] if hsc else []))
+            efls = ([ue_, ve_, we_] + ([se_] if hs else [])
+                    + [pe_] + ([scae_] if hsc else []))
+            if not self._gx_sharded:
+                # 1D decomposition: 8-row halo STRIPS, no
+                # extended-array materialization
+                ys = self._halo_strips(flds, efls)
+                return pk.fused_mom_rk(
+                    u_, v_, w_, s_, p_, ue_, ve_, we_, se_, pe_,
+                    *(r123 or (None,) * 3), dzci, dzfi, f1_, f2_,
+                    visc, dxi, dyi, cfg.bforce,
+                    interpret=self._pallas_interpret,
+                    split=split, ystrips=ys,
+                    ye=ye_, yze=yze_,
+                    ywalls=(True, True) if self._ywalled
+                    else (False, False), ywf=ywf_,
+                    has_ruo=not first, has_sgs=hs,
+                    sca=sca_, scae=scae_, rso=rso_,
+                    scal_params=(cfg.visc / cfg.pr, cfg.ssource)
+                    if hsc else (0.0, 0.0))
+            # 2D (gx>1) mesh: extended arrays + packed x
+            # ghost-column bundles.  y-walled configs ride the
+            # SAME in-kernel ye-bundle fixes as the 1D path —
+            # only the xe packs need host-side patching: their
+            # wall-ghost rows (7 / 8+ny) come from the x
+            # neighbors' bundle rows, and v's wall-face slot is
+            # rewritten before packing so edge lanes see what
+            # the in-kernel ystag fix presents locally.
+            hl = lambda q: None if q is None else halo(q)
+            ykw = {}
+            if self._ywalled:
+                ye_l = self._yslice_gx(ye_)
+                yze_l = self._yslice_gx(yze_)
+                vx = self._ystag_rw_gx(v_, ye_l[:, 5])
+                vex = self._ystag_rw_gx(ve_, yze_l[:, 5])
+                fx = ([u_, vx, w_] + ([s_] if hs else []) + [p_]
+                      + ([sca_] if hsc else []))
+                ex = ([ue_, vex, we_] + ([se_] if hs else [])
+                      + [pe_] + ([scae_] if hsc else []))
+                lo_r, hi_r = self._xe_wall_rows(ye_l, len(fx))
+                zlo, zhi = self._xe_wall_rows(yze_l, len(fx))
+                xe = self._halo_y_patched(self._xe_pack(fx),
+                                          lo_r, hi_r)
+                xze = self._halo_y_patched(self._xe_pack(ex),
+                                           zlo, zhi)
+                ykw = dict(ye=ye_l, yze=yze_l,
+                           ywalls=(True, True),
+                           ywf=self._ywf_shard(u_.dtype))
+            else:
+                xe = halo(self._xe_pack(flds))
+                xze = halo(self._xe_pack(efls))
+            return pk.fused_mom_rk(
+                halo(u_), halo(v_), halo(w_), hl(s_), halo(p_),
+                halo(ue_), halo(ve_), halo(we_), hl(se_),
+                halo(pe_), *(r123 or (None,) * 3),
+                dzci, dzfi, f1_, f2_,
+                visc, dxi, dyi, cfg.bforce,
+                interpret=self._pallas_interpret, y_ext=True,
+                split=split, xe=xe, xze=xze,
+                has_ruo=not first, has_sgs=hs,
+                sca=hl(sca_), scae=hl(scae_), rso=rso_,
+                scal_params=(cfg.visc / cfg.pr, cfg.ssource)
+                if hsc else (0.0, 0.0), **ykw)
+        rargs = () if first else (ru_o, rv_o, rw_o)
+        if hsc and not first:
+            rargs = rargs + (state.dsdt_old,)
+        fargs = ((u, v, w, visct, p, ue, ve, we, se, pe) if hs
+                 else (u, v, w, p, ue, ve, we, pe))
+        if hsc:
+            fargs = fargs + (state.s, self._zedge_scal(state.s))
+        sargs = (ye, yze, f1, f2) if self._ywalled else (f1, f2)
+        return self._smap(mom_local, nfl + len(rargs),
+                          len(sargs), nout)(
+            *fargs, *rargs, *sargs)
 
+    def _fillps_sharded(self, u, v, w, ue2, ve2, we2, ye2, yze2, dtrk):
+        """fused_fillps under shard_map: 1D slab meshes take halo strips;
+        2D (gx>1) meshes take extended arrays + xe bundles with y-wall
+        row patches (same protocol recipe as _mom_kernel_sharded)."""
+        from .ops import pallas_kernels as pk
+        cfg, grid = self.cfg, self.grid
+        dxi, dyi = cfg.dli[0], cfg.dli[1]
+        dzfi = grid.dzfi
+        halo = self._halo_y
+
+        def fillps_local(u_, v_, w_, ue_, ve_, we_, *extra):
+            if self._ywalled:
+                ye_, yze_, dti_ = extra
+                ywf_ = self._ywf_shard(u_.dtype)
+            else:
+                (dti_,) = extra
+                ye_ = yze_ = ywf_ = None
+            if not self._gx_sharded:
+                ys = self._halo_strips([u_, v_, w_],
+                                       [ue_, ve_, we_])
+                return pk.fused_fillps(
+                    u_, v_, w_, ue_, ve_, we_, dzfi, dti_,
+                    dxi, dyi, interpret=self._pallas_interpret,
+                    ystrips=ys, ye=ye_, yze=yze_,
+                    ywalls=(True, True) if self._ywalled
+                    else (False, False), ywf=ywf_)
+            ykw = {}
+            if self._ywalled:
+                ye_l = self._yslice_gx(ye_)
+                yze_l = self._yslice_gx(yze_)
+                vx = self._ystag_rw_gx(v_, ye_l[:, 5])
+                vex = self._ystag_rw_gx(ve_, yze_l[:, 5])
+                lo_r, hi_r = self._xe_wall_rows(ye_l, 3)
+                zlo, zhi = self._xe_wall_rows(yze_l, 3)
+                xe = self._halo_y_patched(
+                    self._xe_pack([u_, vx, w_]), lo_r, hi_r)
+                xze = self._halo_y_patched(
+                    self._xe_pack([ue_, vex, we_]), zlo, zhi)
+                ykw = dict(ye=ye_l, yze=yze_l,
+                           ywalls=(True, True),
+                           ywf=self._ywf_shard(u_.dtype))
+            else:
+                xe = halo(self._xe_pack([u_, v_, w_]))
+                xze = halo(self._xe_pack([ue_, ve_, we_]))
+            return pk.fused_fillps(
+                halo(u_), halo(v_), halo(w_), halo(ue_),
+                halo(ve_), halo(we_), dzfi, dti_, dxi, dyi,
+                interpret=self._pallas_interpret, y_ext=True,
+                xe=xe, xze=xze, **ykw)
+        fsargs = ((ye2, yze2, 1.0 / dtrk) if self._ywalled
+                  else (1.0 / dtrk,))
+        return self._smap(fillps_local, 6, len(fsargs), 1)(
+            u, v, w, ue2, ve2, we2, *fsargs)
+
+    def _correc_sharded(self, u, v, w, pp, p, we2, ppe, ycor, yzcor,
+                        dtrk, alpha, imp_kw, first):
+        """fused_correc_updatep under shard_map (same mesh-class protocol
+        recipe as _fillps_sharded); returns (u, v, w, p)."""
+        from .ops import pallas_kernels as pk
+        cfg, grid = self.cfg, self.grid
+        dxi, dyi = cfg.dli[0], cfg.dli[1]
+        dzci = grid.dzci
+        halo = self._halo_y
+
+        def correc_local(u_, v_, w_, pp_, p_, we_, ppe_, *ex):
+            if self._ywalled:
+                ycor_, yzcor_, dt_, al_ = ex
+                ywf_ = self._ywf_shard(u_.dtype)
+            else:
+                dt_, al_ = ex
+                ycor_ = yzcor_ = ywf_ = None
+            if not self._gx_sharded:
+                ys = self._halo_strips([w_, pp_], [we_, ppe_])
+                return pk.fused_correc_updatep(
+                    u_, v_, w_, pp_, p_, we_, ppe_, dt_,
+                    dxi, dyi, dzci,
+                    interpret=self._pallas_interpret,
+                    alpha=al_, ystrips=ys,
+                    ye=ycor_, yze=yzcor_,
+                    ywalls=(True, True) if self._ywalled
+                    else (False, False), ywf=ywf_,
+                    alias_p=not first, **imp_kw)
+            ykw = {}
+            if self._ywalled:
+                ycor_l = self._yslice_gx(ycor_)
+                yzcor_l = self._yslice_gx(yzcor_)
+                lo_r, hi_r = self._xe_wall_rows(ycor_l, 2)
+                zlo, zhi = self._xe_wall_rows(yzcor_l, 2)
+                xe = self._halo_y_patched(
+                    self._xe_pack([w_, pp_]), lo_r, hi_r)
+                xze = self._halo_y_patched(
+                    self._xe_pack([we_, ppe_]), zlo, zhi)
+                ykw = dict(ye=ycor_l, yze=yzcor_l,
+                           ywalls=(True, True),
+                           ywf=self._ywf_shard(u_.dtype))
+            else:
+                xe = halo(self._xe_pack([w_, pp_]))
+                xze = halo(self._xe_pack([we_, ppe_]))
+            return pk.fused_correc_updatep(
+                u_, v_, halo(w_), halo(pp_), p_, halo(we_),
+                halo(ppe_), dt_, dxi, dyi, dzci,
+                interpret=self._pallas_interpret, y_ext=True,
+                alpha=al_, xe=xe, xze=xze,
+                alias_p=not first, **imp_kw)
+        csargs = ((ycor, yzcor, dtrk, alpha) if self._ywalled
+                  else (dtrk, alpha))
+        return self._smap(correc_local, 7,
+                                len(csargs), 4)(
+            u, v, w, pp, p, we2, ppe, *csargs)
+
+    def _mom_rhs_xla(self, state, u, v, w, p, visct, f1, f2, f12, first,
+                     ru_o, rv_o, rw_o):
+        """XLA expression-path momentum RHS + RK update (+ scalar advance):
+        the padded-field fallback for configs outside the kernel gates
+        (mom.f90 + rk.f90 semantics, shared formula cores with the
+        kernels via ops/stencil).  Returns (u, v, w, rhs_old,
+        (rud, rvd, rwd), scal_state, (bcu, bcv, bcw)) -- the
+        beginning-of-substep BC planes feed the CN Helmholtz RHS."""
+        cfg, grid = self.cfg, self.grid
+        dxi, dyi = cfg.dli[0], cfg.dli[1]
+        dzci, dzfi = grid.dzci, grid.dzfi
+        visc = cfg.visc
         scal_state = None
         rud = rvd = rwd = None
-        rhs_fused = None
-        mom_sums = []
-        if self.use_pallas_mom:
-            # fused momentum+RK Pallas path: the z-edge cache from the
-            # previous substep's post-correc fill is the kernel input (the
-            # reference reads the same ghosts, bound.f90:117-123 reuse)
-            from .ops import pallas_kernels as pk
-            split = self._mom_split
-            hsc = cfg.scalar and self._scal_kernel_ok
-            nout = (6 if split is None else 9) + 2 * hsc
-            if cfg.impdiff:
-                # the CN Helmholtz RHS planes use the beginning-of-substep
-                # BC values (same fill the XLA path computes up front)
-                bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
-            if state.zq is not None:
-                ue, ve, we = state.zq
-            else:
-                bcu0, bcv0, bcw0 = self._dynamic_bcs(u, v, w)
-                ue, ve, we = self._zedge_vel(u, v, w, bcu0, bcv0, bcw0,
-                                             vlo=state.vlo, is_correc=True)
-            pe = self._zedge_p(p)
-            # sgstype 'none': visct == 0 — its HBM stream, edge stacks and
-            # eddy terms are elided from the kernel (has_sgs=False)
-            hs = cfg.sgstype != 'none'
-            se = self._zedge_s(visct) if hs else None
-            ye = yze = None
-            xeb = xzeb = None
-            if self._xwalled:
-                # x-ghost-column bundles of the same (post-correc) fill —
-                # the xe protocol with host-BUILT columns (no ppermute)
-                (xcu, xcv, xcw), zxc = self._xbundle_vel(
-                    u, v, w, vlo=state.vlo, is_correc=True)
-                xcp, zxcp = bnd.xedge_scalar(p, self.cbcpre, self.bcp_vals,
-                                             cfg.dl, grid.dzc)
-                cstk, zcstk = [xcu, xcv, xcw], list(zxc)
-                if hs:
-                    cbcs_s = tuple((cfg.cbcsgs[0][d], cfg.cbcsgs[1][d])
-                                   for d in range(3))
-                    xcs, zxcs = bnd.xedge_scalar(visct, cbcs_s,
-                                                 self.bcs_vals, cfg.dl,
-                                                 grid.dzc)
-                    cstk.append(xcs)
-                    zcstk.append(zxcs)
-                cstk.append(xcp)
-                zcstk.append(zxcp)
-                xeb = self._xe_pack_cols(cstk)
-                xzeb = self._xe_pack_cols(zcstk)
-            if self._ywalled:
-                # y-wall ghost-row bundles of the same (post-correc) fill;
-                # with a y/z wall model the bundles carry the wm-updated
-                # Neumann planes (recomputed here — a pure function of
-                # (u, v, w), identical to the values the previous substep's
-                # zq stacks were built with)
-                ybcs = None
-                if self.has_wm:
-                    ybcs = ((bcu, bcv, bcw) if cfg.impdiff
-                            else self._dynamic_bcs(u, v, w))
-                (yu, yv, yw), zy = self._ybundle_vel(
-                    u, v, w, vlo=state.vlo, is_correc=True, bcs=ybcs)
-                yp, zyp = self._ybundle_p(p)
-                ystk, zstk = [yu, yv, yw], list(zy)
-                if hs:
-                    ys, zys = self._ybundle_s(visct)
-                    ystk.append(ys)
-                    zstk.append(zys)
-                ystk, zstk = ystk + [yp], zstk + [zyp]
-                if hsc:
-                    # scalar rows ride the bundle after p (fwins order
-                    # u, v, w, [visct], p, sca — ylane base 3*m)
-                    ysc, zysc = self._ybundle_scal(state.s)
-                    ystk, zstk = ystk + [ysc], zstk + [zysc]
-                xsec = None
-                if self._xwalled:
-                    xsec = self._xye_section(
-                        self._xye_entries(cstk, with_p=True),
-                        vlo=state.vlo, is_correc=True)
-                ye, yze = self._pack_ybundle(ystk, zstk, xsec=xsec)
-            with jax.named_scope('momentum_rk_pallas'):
-                if self._kernel_sharded:
-                    halo = self._halo_y
-                    nfl = (10 if hs else 8) + 2 * hsc
+        # ghosts of the current state (same fill the previous substep left)
+        bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
+        up, vp, wp, _ = self._pad_vel(u, v, w, bcu, bcv, bcw,
+                                      vlo=state.vlo, is_correc=True)
+        ppad = self._pad_p(p)
+        hs = cfg.sgstype != 'none'
+        sp = self._pad_s(visct) if hs else None
 
-                    def mom_local(*a):
-                        if hs:
-                            (u_, v_, w_, s_, p_,
-                             ue_, ve_, we_, se_, pe_) = a[0:10]
-                            na = 10
-                        else:
-                            u_, v_, w_, p_, ue_, ve_, we_, pe_ = a[0:8]
-                            s_ = se_ = None
-                            na = 8
-                        sca_ = scae_ = None
-                        if hsc:
-                            sca_, scae_ = a[na:na + 2]
-                        rest = a[nfl:]
-                        ye_ = yze_ = ywf_ = None
-                        if self._ywalled:
-                            # GLOBAL y-edge bundle, replicated: only the
-                            # wall shards' rows are read (gated by ywf)
-                            r123 = rest[:-4]
-                            ye_, yze_, f1_, f2_ = rest[-4:]
-                            ywf_ = self._ywf_shard(u_.dtype)
-                        else:
-                            r123, (f1_, f2_) = rest[:-2], rest[-2:]
-                        rso_ = None
-                        if r123 and hsc:
-                            r123, rso_ = r123[:-1], r123[-1]
-                        flds = ([u_, v_, w_] + ([s_] if hs else []) + [p_]
-                                + ([sca_] if hsc else []))
-                        efls = ([ue_, ve_, we_] + ([se_] if hs else [])
-                                + [pe_] + ([scae_] if hsc else []))
-                        if not self._gx_sharded:
-                            # 1D decomposition: 8-row halo STRIPS, no
-                            # extended-array materialization
-                            ys = self._halo_strips(flds, efls)
-                            return pk.fused_mom_rk(
-                                u_, v_, w_, s_, p_, ue_, ve_, we_, se_, pe_,
-                                *(r123 or (None,) * 3), dzci, dzfi, f1_, f2_,
-                                visc, dxi, dyi, cfg.bforce,
-                                interpret=self._pallas_interpret,
-                                split=split, ystrips=ys,
-                                ye=ye_, yze=yze_,
-                                ywalls=(True, True) if self._ywalled
-                                else (False, False), ywf=ywf_,
-                                has_ruo=not first, has_sgs=hs,
-                                sca=sca_, scae=scae_, rso=rso_,
-                                scal_params=(cfg.visc / cfg.pr, cfg.ssource)
-                                if hsc else (0.0, 0.0))
-                        # 2D (gx>1) mesh: extended arrays + packed x
-                        # ghost-column bundles.  y-walled configs ride the
-                        # SAME in-kernel ye-bundle fixes as the 1D path —
-                        # only the xe packs need host-side patching: their
-                        # wall-ghost rows (7 / 8+ny) come from the x
-                        # neighbors' bundle rows, and v's wall-face slot is
-                        # rewritten before packing so edge lanes see what
-                        # the in-kernel ystag fix presents locally.
-                        hl = lambda q: None if q is None else halo(q)
-                        ykw = {}
-                        if self._ywalled:
-                            ye_l = self._yslice_gx(ye_)
-                            yze_l = self._yslice_gx(yze_)
-                            vx = self._ystag_rw_gx(v_, ye_l[:, 5])
-                            vex = self._ystag_rw_gx(ve_, yze_l[:, 5])
-                            fx = ([u_, vx, w_] + ([s_] if hs else []) + [p_]
-                                  + ([sca_] if hsc else []))
-                            ex = ([ue_, vex, we_] + ([se_] if hs else [])
-                                  + [pe_] + ([scae_] if hsc else []))
-                            lo_r, hi_r = self._xe_wall_rows(ye_l, len(fx))
-                            zlo, zhi = self._xe_wall_rows(yze_l, len(fx))
-                            xe = self._halo_y_patched(self._xe_pack(fx),
-                                                      lo_r, hi_r)
-                            xze = self._halo_y_patched(self._xe_pack(ex),
-                                                       zlo, zhi)
-                            ykw = dict(ye=ye_l, yze=yze_l,
-                                       ywalls=(True, True),
-                                       ywf=self._ywf_shard(u_.dtype))
-                        else:
-                            xe = halo(self._xe_pack(flds))
-                            xze = halo(self._xe_pack(efls))
-                        return pk.fused_mom_rk(
-                            halo(u_), halo(v_), halo(w_), hl(s_), halo(p_),
-                            halo(ue_), halo(ve_), halo(we_), hl(se_),
-                            halo(pe_), *(r123 or (None,) * 3),
-                            dzci, dzfi, f1_, f2_,
-                            visc, dxi, dyi, cfg.bforce,
-                            interpret=self._pallas_interpret, y_ext=True,
-                            split=split, xe=xe, xze=xze,
-                            has_ruo=not first, has_sgs=hs,
-                            sca=hl(sca_), scae=hl(scae_), rso=rso_,
-                            scal_params=(cfg.visc / cfg.pr, cfg.ssource)
-                            if hsc else (0.0, 0.0), **ykw)
-                    rargs = () if first else (ru_o, rv_o, rw_o)
-                    if hsc and not first:
-                        rargs = rargs + (state.dsdt_old,)
-                    fargs = ((u, v, w, visct, p, ue, ve, we, se, pe) if hs
-                             else (u, v, w, p, ue, ve, we, pe))
-                    if hsc:
-                        fargs = fargs + (state.s, self._zedge_scal(state.s))
-                    sargs = (ye, yze, f1, f2) if self._ywalled else (f1, f2)
-                    outs = self._smap(mom_local, nfl + len(rargs),
-                                      len(sargs), nout)(
-                        *fargs, *rargs, *sargs)
-                else:
-                    fuse_fp = self._fuse_mom_fillps
-                    scal_kw = {}
-                    if cfg.scalar and self._scal_kernel_ok:
-                        scal_kw = dict(
-                            sca=state.s, scae=self._zedge_scal(state.s),
-                            rso=None if first else state.dsdt_old,
-                            scal_params=(cfg.visc / cfg.pr, cfg.ssource))
-                    outs = pk.fused_mom_rk(
-                        u, v, w, visct if hs else None, p, ue, ve, we, se, pe,
-                        ru_o, rv_o, rw_o, dzci, dzfi, f1, f2, visc,
-                        dxi, dyi, cfg.bforce,
-                        interpret=self._pallas_interpret, split=split,
-                        ye=ye, yze=yze, ywalls=(True, True),
-                        xe=xeb, xze=xzeb,
-                        fuse_fillps=fuse_fp,
-                        wrec=self._zrec_w if fuse_fp else None,
-                        sum_flags=self._sum_flags,
-                        xop=self._xopT if (self._fuse_xop and fuse_fp)
-                        else None, has_ruo=not first, has_sgs=hs,
-                        fold_cn=self._cn_fold,
-                        xye=self._xwalled and self._ywalled, **scal_kw)
-            u, v, w, ru, rv, rw = outs[0:6]
-            tail = list(outs[6:])
-            if split is not None and not self._cn_fold:
-                rud, rvd, rwd = tail[0:3]
-                del tail[0:3]
-            if cfg.scalar and self._scal_kernel_ok:
-                s_new, dsdt = tail[0:2]
-                del tail[0:2]
-                if cfg.is_sforced:
-                    s_new = s_new + (cfg.scalf
-                                     - st.bulk_mean(s_new, self.gvr_f))
-                scal_state = (s_new, dsdt)
-            if self._fuse_mom_fillps and tail:
-                rhs_fused = tail.pop(0)
-            mom_sums = tail
-            rhs_old = (ru, rv, rw)
+        # momentum RHS + explicit/implicit split (rk.f90:74-75,
+        # mom.f90:277-303); sgstype 'none' elides the (identically
+        # zero) eddy-stress terms and the visct ghost fill
+        with jax.named_scope('momentum_rhs'):
+            (eu, exyu, ezu), (ev, exyv, ezv), (ew, exyw, ezw) = \
+                st.momentum_rhs(up, vp, wp, sp, visc, dxi, dyi,
+                                dzci, dzfi, with_sgs=hs)
+        if not cfg.impdiff:
+            ru, rv, rw = eu + exyu + ezu, ev + exyv + ezv, ew + exyw + ezw
+            rud = rvd = rwd = None
+        elif cfg.impdiff_1d:
+            ru, rv, rw = eu + exyu, ev + exyv, ew + exyw
+            rud, rvd, rwd = ezu, ezv, ezw
         else:
-            # ghosts of the current state (same fill the previous substep left)
-            bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
-            up, vp, wp, _ = self._pad_vel(u, v, w, bcu, bcv, bcw,
-                                          vlo=state.vlo, is_correc=True)
-            ppad = self._pad_p(p)
-            hs = cfg.sgstype != 'none'
-            sp = self._pad_s(visct) if hs else None
+            ru, rv, rw = eu, ev, ew
+            rud, rvd, rwd = exyu + ezu, exyv + ezv, exyw + ezw
 
-            # momentum RHS + explicit/implicit split (rk.f90:74-75,
-            # mom.f90:277-303); sgstype 'none' elides the (identically
-            # zero) eddy-stress terms and the visct ghost fill
-            with jax.named_scope('momentum_rhs'):
-                (eu, exyu, ezu), (ev, exyv, ezv), (ew, exyw, ezw) = \
-                    st.momentum_rhs(up, vp, wp, sp, visc, dxi, dyi,
-                                    dzci, dzfi, with_sgs=hs)
-            if not cfg.impdiff:
-                ru, rv, rw = eu + exyu + ezu, ev + exyv + ezv, ew + exyw + ezw
-                rud = rvd = rwd = None
-            elif cfg.impdiff_1d:
-                ru, rv, rw = eu + exyu, ev + exyv, ew + exyw
-                rud, rvd, rwd = ezu, ezv, ezw
-            else:
-                ru, rv, rw = eu, ev, ew
-                rud, rvd, rwd = exyu + ezu, exyv + ezv, exyw + ezw
-
-            # passive scalar advance with the beginning-of-substep velocity
-            # (rk_scal, rk.f90:123-195)
-            if cfg.scalar:
-                spad = self._pad_scal(state.s)
-                dsdt = scalmod.scalar_rhs(up, vp, wp, spad, cfg.visc / cfg.pr,
-                                          dxi, dyi, dzci, dzfi)
-                s_new = state.s + f1 * dsdt + f12 * cfg.ssource
-                if not first:
-                    s_new = s_new + f2 * state.dsdt_old
-                if cfg.is_sforced:
-                    s_new = s_new + (cfg.scalf - st.bulk_mean(s_new, self.gvr_f))
-                scal_state = (s_new, dsdt)
-
-            # RK update with pressure gradient + body force (rk.f90:77-94)
-            dzci_c = jnp.asarray(dzci[1:u.shape[0] + 1])[:, None, None]
-            gpx = dxi * (ppad[1:-1, 1:-1, 2:] - ppad[1:-1, 1:-1, 1:-1])
-            gpy = dyi * (ppad[1:-1, 2:, 1:-1] - ppad[1:-1, 1:-1, 1:-1])
-            gpz = dzci_c * (ppad[2:, 1:-1, 1:-1] - ppad[1:-1, 1:-1, 1:-1])
-            u = u + f1 * ru + f12 * (cfg.bforce[0] - gpx)
-            v = v + f1 * rv + f12 * (cfg.bforce[1] - gpy)
-            w = w + f1 * rw + f12 * (cfg.bforce[2] - gpz)
+        # passive scalar advance with the beginning-of-substep velocity
+        # (rk_scal, rk.f90:123-195)
+        if cfg.scalar:
+            spad = self._pad_scal(state.s)
+            dsdt = scalmod.scalar_rhs(up, vp, wp, spad, cfg.visc / cfg.pr,
+                                      dxi, dyi, dzci, dzfi)
+            s_new = state.s + f1 * dsdt + f12 * cfg.ssource
             if not first:
-                u = u + f2 * ru_o
-                v = v + f2 * rv_o
-                w = w + f2 * rw_o
-            if cfg.impdiff:
-                u = u + f12 * rud
-                v = v + f12 * rvd
-                w = w + f12 * rwd
-            rhs_old = (ru, rv, rw)
+                s_new = s_new + f2 * state.dsdt_old
+            if cfg.is_sforced:
+                s_new = s_new + (cfg.scalf - st.bulk_mean(s_new, self.gvr_f))
+            scal_state = (s_new, dsdt)
 
-        # bulk-velocity forcing controller (rk.f90:197-222 + mom.f90:311-335)
+        # RK update with pressure gradient + body force (rk.f90:77-94)
+        dzci_c = jnp.asarray(dzci[1:u.shape[0] + 1])[:, None, None]
+        gpx = dxi * (ppad[1:-1, 1:-1, 2:] - ppad[1:-1, 1:-1, 1:-1])
+        gpy = dyi * (ppad[1:-1, 2:, 1:-1] - ppad[1:-1, 1:-1, 1:-1])
+        gpz = dzci_c * (ppad[2:, 1:-1, 1:-1] - ppad[1:-1, 1:-1, 1:-1])
+        u = u + f1 * ru + f12 * (cfg.bforce[0] - gpx)
+        v = v + f1 * rv + f12 * (cfg.bforce[1] - gpy)
+        w = w + f1 * rw + f12 * (cfg.bforce[2] - gpz)
+        if not first:
+            u = u + f2 * ru_o
+            v = v + f2 * rv_o
+            w = w + f2 * rw_o
+        if cfg.impdiff:
+            u = u + f12 * rud
+            v = v + f12 * rvd
+            w = w + f12 * rwd
+        return (u, v, w, (ru, rv, rw), (rud, rvd, rwd), scal_state,
+                (bcu, bcv, bcw))
+
+
+    def _bulk_forcing(self, state, u, v, w, mom_sums):
+        """Bulk-velocity forcing controller (rk.f90:197-222 +
+        mom.f90:311-335).  On the kernel path the means come from the
+        momentum kernel's partial plane sums and the constants are
+        DEFERRED: folded into the projection kernel (explicit path --
+        the forcing cancels in the divergence along periodic
+        directions), into the CN Helmholtz RHS shift (impdiff_1d
+        fold), or added plainly (full-3D fold).  Returns
+        (u, v, w, f, defer_f)."""
+        cfg = self.cfg
         f = [jnp.zeros((), u.dtype)] * 3
         defer_f = (self.use_pallas_mom
                    and getattr(self, '_defer_forcing', False)
@@ -1814,9 +2043,16 @@ class Simulation:
             if cfg.is_forced[2]:
                 f[2] = cfg.velf[2] - st.bulk_mean(w, self.gvr_c)
                 w = w + f[2]
-        dpdl = jnp.stack(f)
+        return u, v, w, f, defer_f
 
-        alpha = -0.5 * visc * dtrk
+    def _cn_stage(self, u, v, w, bcu, bcv, bcw, rud, rvd, rwd,
+                  f, f12, alpha):
+        """Crank-Nicolson Helmholtz solves (main.f90:423-491): the
+        implicit-diffusion viscous solves per velocity component --
+        z-only aliased Thomas passes with in-kernel boundary planes
+        and forcing shift (impdiff_1d) or the full-3D per-component
+        alpha-scaled pipelines.  No-op when impdiff is off."""
+        cfg, grid = self.cfg, self.grid
         if cfg.impdiff:
             # Crank–Nicolson Helmholtz solves (main.f90:423-491); with the
             # kernel CN fold the 0.5*f12*rd subtraction already happened
@@ -1871,6 +2107,142 @@ class Simulation:
                     v = fld
                 else:
                     w = fld
+        return u, v, w
+
+    def _projection_xla(self, u, v, w, p, dtrk, alpha):
+        """XLA expression-path projection (fillps -> solve -> correc
+        -> updatep on padded fields, main.f90:493-503) for configs
+        outside the kernel gates.  Returns (u, v, w, p, vlo,
+        up, vp, wp) -- the post-correction padded fields feed the
+        SGS stage."""
+        cfg, grid = self.cfg, self.grid
+        dxi, dyi = cfg.dli[0], cfg.dli[1]
+        dzci, dzfi = grid.dzci, grid.dzfi
+        # prediction-velocity BC fill (main.f90:493-494)
+        bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
+        up, vp, wp, vlo = self._pad_vel(u, v, w, bcu, bcv, bcw,
+                                        is_correc=False)
+
+        # projection (main.f90:495-499)
+        with jax.named_scope('poisson'):
+            rhs = st.fillps(up, vp, wp, 1.0 / dtrk, dxi, dyi, dzfi)
+            rhs = poisson.add_rhs_bound(cfg, ('c', 'c', 'c'), self.cbcpre,
+                                        rhs, self.rhsb_p)
+            pp = (jnp.zeros_like(rhs) if self.ablate_solve else
+                  poisson.solve(self.solver_p, rhs, hints=self.hints))
+        pppad = self._pad_p(pp)
+        u, v, w, vlo = st.correc(up, vp, wp, pppad, dtrk, dxi, dyi, dzci)
+
+        # post-correction BC fill, keeping corrected wall-normal values
+        # (main.f90:500-501, is_correc=.true.)
+        bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
+        up, vp, wp, vlo = self._pad_vel(u, v, w, bcu, bcv, bcw,
+                                        vlo=vlo, is_correc=True)
+
+        # pressure update (main.f90:502-503)
+        p = st.updatep(pppad, p, alpha, cfg.impdiff, cfg.impdiff_1d,
+                       dxi, dyi, dzci, dzfi)
+        return u, v, w, p, vlo, up, vp, wp
+
+    def _substep(self, state: State, f1, f2, first=False):
+        """first=True: this is RK substep 1, whose f2 coefficient is exactly
+        zero (RK_COEFF[0][1]) — the previous-RHS fields are never read, which
+        drops three full-field HBM streams from the momentum pass."""
+        cfg = self.cfg
+        grid = self.grid
+        dxi, dyi = cfg.dli[0], cfg.dli[1]
+        dzci, dzfi = grid.dzci, grid.dzfi
+        f12 = f1 + f2
+        dtrk = f12
+        visc = cfg.visc
+
+        u, v, w, p, visct = state.u, state.v, state.w, state.p, state.visct
+        ru_o, rv_o, rw_o = state.rhs_old
+        if self.hints is not None:
+            u, v, w, p, visct = map(self.hints.field, (u, v, w, p, visct))
+            if cfg.scalar:
+                state = state._replace(s=self.hints.field(state.s))
+        u, v, w, p, visct = map(self._lc, (u, v, w, p, visct))
+
+        scal_state = None
+        rud = rvd = rwd = None
+        rhs_fused = None
+        mom_sums = []
+        if self.use_pallas_mom:
+            # fused momentum+RK Pallas path: the z-edge cache from the
+            # previous substep's post-correc fill is the kernel input (the
+            # reference reads the same ghosts, bound.f90:117-123 reuse)
+            from .ops import pallas_kernels as pk
+            split = self._mom_split
+            hs = cfg.sgstype != 'none'   # visct streams elided when 'none'
+            hsc = cfg.scalar and self._scal_kernel_ok
+            nout = (6 if split is None else 9) + 2 * hsc
+            bcu = bcv = bcw = None
+            if cfg.impdiff:
+                # the CN Helmholtz RHS planes use the beginning-of-substep
+                # BC values (same fill the XLA path computes up front)
+                bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
+            ue, ve, we, pe, se, ye, yze, xeb, xzeb = \
+                self._mom_kernel_inputs(
+                    state, u, v, w, p, visct, hs, hsc,
+                    bc_imp=(bcu, bcv, bcw) if cfg.impdiff else None)
+            with jax.named_scope('momentum_rk_pallas'):
+                if self._kernel_sharded:
+                    outs = self._mom_kernel_sharded(
+                        state, u, v, w, p, visct, ue, ve, we, se, pe,
+                        ye, yze, ru_o, rv_o, rw_o, f1, f2, split, hs, hsc,
+                        first, nout)
+                else:
+                    fuse_fp = self._fuse_mom_fillps
+                    scal_kw = {}
+                    if cfg.scalar and self._scal_kernel_ok:
+                        scal_kw = dict(
+                            sca=state.s, scae=self._zedge_scal(state.s),
+                            rso=None if first else state.dsdt_old,
+                            scal_params=(cfg.visc / cfg.pr, cfg.ssource))
+                    outs = pk.fused_mom_rk(
+                        u, v, w, visct if hs else None, p, ue, ve, we, se, pe,
+                        ru_o, rv_o, rw_o, dzci, dzfi, f1, f2, visc,
+                        dxi, dyi, cfg.bforce,
+                        interpret=self._pallas_interpret, split=split,
+                        ye=ye, yze=yze, ywalls=(True, True),
+                        xe=xeb, xze=xzeb,
+                        fuse_fillps=fuse_fp,
+                        wrec=self._zrec_w if fuse_fp else None,
+                        sum_flags=self._sum_flags,
+                        xop=self._xopT if (self._fuse_xop and fuse_fp)
+                        else None, has_ruo=not first, has_sgs=hs,
+                        fold_cn=self._cn_fold,
+                        xye=self._xwalled and self._ywalled, **scal_kw)
+            u, v, w, ru, rv, rw = outs[0:6]
+            tail = list(outs[6:])
+            if split is not None and not self._cn_fold:
+                rud, rvd, rwd = tail[0:3]
+                del tail[0:3]
+            if cfg.scalar and self._scal_kernel_ok:
+                s_new, dsdt = tail[0:2]
+                del tail[0:2]
+                if cfg.is_sforced:
+                    s_new = s_new + (cfg.scalf
+                                     - st.bulk_mean(s_new, self.gvr_f))
+                scal_state = (s_new, dsdt)
+            if self._fuse_mom_fillps and tail:
+                rhs_fused = tail.pop(0)
+            mom_sums = tail
+            rhs_old = (ru, rv, rw)
+        else:
+            (u, v, w, rhs_old, (rud, rvd, rwd), scal_state,
+             (bcu, bcv, bcw)) = self._mom_rhs_xla(
+                state, u, v, w, p, visct, f1, f2, f12, first,
+                ru_o, rv_o, rw_o)
+
+        u, v, w, f, defer_f = self._bulk_forcing(state, u, v, w,
+                                                 mom_sums)
+        dpdl = jnp.stack(f)
+
+        alpha = -0.5 * visc * dtrk
+        u, v, w = self._cn_stage(u, v, w, bcu, bcv, bcw,
+                                 rud, rvd, rwd, f, f12, alpha)
 
         zq_new = None
         if self.use_pallas_mom:
@@ -1886,6 +2258,7 @@ class Simulation:
             bcu, bcv, bcw = self._dynamic_bcs(
                 u, v, w, fadd=(f[0], f[1]) if defer_f else None)
             xkw_f = {}
+            wb = {}   # wall-plane bundle rows for _advance_wall_planes
             if self._xwalled:
                 # prediction-fill x bundles; u's wall-face rewrite (set_bc
                 # on the x-staggered component) is patched into the
@@ -1894,6 +2267,7 @@ class Simulation:
                 (xu2, xv2, xw2), (zxu2, zxv2, zxw2) = self._xbundle_vel(
                     u, v, w, is_correc=False, bcs=(bcu, bcv, bcw))
                 u = self._patch_last_xcol(u, xu2[..., 2])
+                wb.update(xu2=xu2, zxu2=zxu2, zxw2=zxw2)
             ue2, ve2, we2 = self._zedge_vel(u, v, w, bcu, bcv, bcw,
                                             is_correc=False)
             if self._xwalled:
@@ -1916,55 +2290,13 @@ class Simulation:
                 ye2, yze2 = self._pack_ybundle([yu2, yv2, yw2],
                                                [zyu2, zyv2, zyw2],
                                                xsec=xsec2)
+                wb.update(yv2=yv2, zyv2=zyv2, zyw2=zyw2, xsec2=xsec2)
             with jax.named_scope('poisson'):
                 if rhs_fused is not None:
                     rhs = rhs_fused
                 elif self._kernel_sharded:
-                    halo = self._halo_y
-
-                    def fillps_local(u_, v_, w_, ue_, ve_, we_, *extra):
-                        if self._ywalled:
-                            ye_, yze_, dti_ = extra
-                            ywf_ = self._ywf_shard(u_.dtype)
-                        else:
-                            (dti_,) = extra
-                            ye_ = yze_ = ywf_ = None
-                        if not self._gx_sharded:
-                            ys = self._halo_strips([u_, v_, w_],
-                                                   [ue_, ve_, we_])
-                            return pk.fused_fillps(
-                                u_, v_, w_, ue_, ve_, we_, dzfi, dti_,
-                                dxi, dyi, interpret=self._pallas_interpret,
-                                ystrips=ys, ye=ye_, yze=yze_,
-                                ywalls=(True, True) if self._ywalled
-                                else (False, False), ywf=ywf_)
-                        ykw = {}
-                        if self._ywalled:
-                            ye_l = self._yslice_gx(ye_)
-                            yze_l = self._yslice_gx(yze_)
-                            vx = self._ystag_rw_gx(v_, ye_l[:, 5])
-                            vex = self._ystag_rw_gx(ve_, yze_l[:, 5])
-                            lo_r, hi_r = self._xe_wall_rows(ye_l, 3)
-                            zlo, zhi = self._xe_wall_rows(yze_l, 3)
-                            xe = self._halo_y_patched(
-                                self._xe_pack([u_, vx, w_]), lo_r, hi_r)
-                            xze = self._halo_y_patched(
-                                self._xe_pack([ue_, vex, we_]), zlo, zhi)
-                            ykw = dict(ye=ye_l, yze=yze_l,
-                                       ywalls=(True, True),
-                                       ywf=self._ywf_shard(u_.dtype))
-                        else:
-                            xe = halo(self._xe_pack([u_, v_, w_]))
-                            xze = halo(self._xe_pack([ue_, ve_, we_]))
-                        return pk.fused_fillps(
-                            halo(u_), halo(v_), halo(w_), halo(ue_),
-                            halo(ve_), halo(we_), dzfi, dti_, dxi, dyi,
-                            interpret=self._pallas_interpret, y_ext=True,
-                            xe=xe, xze=xze, **ykw)
-                    fsargs = ((ye2, yze2, 1.0 / dtrk) if self._ywalled
-                              else (1.0 / dtrk,))
-                    rhs = self._smap(fillps_local, 6, len(fsargs), 1)(
-                        u, v, w, ue2, ve2, we2, *fsargs)
+                    rhs = self._fillps_sharded(u, v, w, ue2, ve2, we2,
+                                               ye2, yze2, dtrk)
                 else:
                     rhs = pk.fused_fillps(u, v, w, ue2, ve2, we2, dzfi,
                                           1.0 / dtrk, dxi, dyi,
@@ -2003,6 +2335,7 @@ class Simulation:
                 xkw_c = dict(xe=self._xe_pack_cols([xw2, xpp]),
                              xze=self._xe_pack_cols([zxw2, zxpp]),
                              xye=self._ywalled)
+                wb.update(xpp=xpp, zxpp=zxpp)
             if self._ywalled:
                 ypp, zypp = self._ybundle_p(pp)
                 xsec_c = None
@@ -2012,6 +2345,7 @@ class Simulation:
                         is_correc=False)
                 ycor, yzcor = self._pack_ybundle(
                     [yw2, ypp, yv2], [zyw2, zypp, zyv2], xsec=xsec_c)
+                wb.update(ypp=ypp, zypp=zypp)
             visct_done = False
             with jax.named_scope('correc_updatep_pallas'):
                 imp_kw = dict(impdiff=cfg.impdiff, impdiff_1d=cfg.impdiff_1d,
@@ -2026,53 +2360,9 @@ class Simulation:
                         fu=fu_d, fv=fv_d, xspectral=xf, alias_p=not first)
                     visct_done = True
                 elif self._kernel_sharded:
-                    halo = self._halo_y
-
-                    def correc_local(u_, v_, w_, pp_, p_, we_, ppe_, *ex):
-                        if self._ywalled:
-                            ycor_, yzcor_, dt_, al_ = ex
-                            ywf_ = self._ywf_shard(u_.dtype)
-                        else:
-                            dt_, al_ = ex
-                            ycor_ = yzcor_ = ywf_ = None
-                        if not self._gx_sharded:
-                            ys = self._halo_strips([w_, pp_], [we_, ppe_])
-                            return pk.fused_correc_updatep(
-                                u_, v_, w_, pp_, p_, we_, ppe_, dt_,
-                                dxi, dyi, dzci,
-                                interpret=self._pallas_interpret,
-                                alpha=al_, ystrips=ys,
-                                ye=ycor_, yze=yzcor_,
-                                ywalls=(True, True) if self._ywalled
-                                else (False, False), ywf=ywf_,
-                                alias_p=not first, **imp_kw)
-                        ykw = {}
-                        if self._ywalled:
-                            ycor_l = self._yslice_gx(ycor_)
-                            yzcor_l = self._yslice_gx(yzcor_)
-                            lo_r, hi_r = self._xe_wall_rows(ycor_l, 2)
-                            zlo, zhi = self._xe_wall_rows(yzcor_l, 2)
-                            xe = self._halo_y_patched(
-                                self._xe_pack([w_, pp_]), lo_r, hi_r)
-                            xze = self._halo_y_patched(
-                                self._xe_pack([we_, ppe_]), zlo, zhi)
-                            ykw = dict(ye=ycor_l, yze=yzcor_l,
-                                       ywalls=(True, True),
-                                       ywf=self._ywf_shard(u_.dtype))
-                        else:
-                            xe = halo(self._xe_pack([w_, pp_]))
-                            xze = halo(self._xe_pack([we_, ppe_]))
-                        return pk.fused_correc_updatep(
-                            u_, v_, halo(w_), halo(pp_), p_, halo(we_),
-                            halo(ppe_), dt_, dxi, dyi, dzci,
-                            interpret=self._pallas_interpret, y_ext=True,
-                            alpha=al_, xe=xe, xze=xze,
-                            alias_p=not first, **imp_kw)
-                    csargs = ((ycor, yzcor, dtrk, alpha) if self._ywalled
-                              else (dtrk, alpha))
-                    u, v, w, p = self._smap(correc_local, 7,
-                                            len(csargs), 4)(
-                        u, v, w, pp, p, we2, ppe, *csargs)
+                    u, v, w, p = self._correc_sharded(
+                        u, v, w, pp, p, we2, ppe, ycor, yzcor, dtrk, alpha,
+                        imp_kw, first)
                 else:
                     u, v, w, p = pk.fused_correc_updatep(
                         u, v, w, pp, p, we2, ppe, dtrk, dxi, dyi, dzci,
@@ -2081,128 +2371,8 @@ class Simulation:
                         fu=fu_d, fv=fv_d, alias_p=not first,
                         xopi=self._xopiT if xf else None,
                         **xkw_c, **imp_kw)
-            # lower-wall w face plane: the padded-row-0 entry of the correc
-            # ghost-range sweep (correc.f90:45-67), a plane-sized update
-            if xf:
-                pp0w, ppe0w = self._xinv_plane(pp[0]), self._xinv_plane(ppe[0])
-            else:
-                pp0w, ppe0w = pp[0], ppe[0]
-            wlo = we2[0] - dtrk * float(dzci[0]) * (pp0w - ppe0w)
-            if self._ywalled and self._xwalled:
-                # x+y-walled (closed box / true cavity / developing duct):
-                # the kept planes' ghost entries evolve through the padded
-                # correc sweep with recipe'd pressure corners; the attached
-                # (refilled-at-next-fill) entries come from recipes of the
-                # evolved interiors — mirroring pad_velocity's sequential
-                # x->y->z semantics plane by plane
-                dzci0 = float(dzci[0])
-                plx = (self.cbcpre[0], self.bcp_vals[0],
-                       (cfg.dl[0], cfg.dl[0]))
-                xr = lambda a: self._rec_ghosts(a, *plx)
-                # --- wlo (kept at the z fill: everything evolves) ---
-                w_ylo = zyw2[0, 0] - dtrk * dzci0 * (ypp[0, 0] - zypp[0, 0])
-                w_yhi = zyw2[0, 1] - dtrk * dzci0 * (ypp[0, 1] - zypp[0, 1])
-                w_xlo = zxw2[0][:, 0] - dtrk * dzci0 * (xpp[0, :, 0]
-                                                        - zxpp[0, :, 0])
-                w_xhi = zxw2[0][:, 1] - dtrk * dzci0 * (xpp[0, :, 1]
-                                                        - zxpp[0, :, 1])
-                zs2 = xsec2[1]           # prediction z-corner section
-                ppc = [xr(ypp[0, r]) for r in (0, 1)]
-                pzc = [xr(zypp[0, r]) for r in (0, 1)]
-                wc = [[zs2[0, r, 4 + s]
-                       - dtrk * dzci0 * (ppc[r][s] - pzc[r][s])
-                       for s in (0, 1)] for r in (0, 1)]
-                wlo = jnp.concatenate([w_ylo[None], wlo, w_yhi[None]],
-                                      axis=0)
-                cl = jnp.concatenate([wc[0][0][None], w_xlo, wc[1][0][None]])
-                ch = jnp.concatenate([wc[0][1][None], w_xhi, wc[1][1][None]])
-                wlo = jnp.concatenate([cl[:, None], wlo, ch[:, None]],
-                                      axis=1)
-                # --- vlo_v (kept at the y fill: x entries evolve, z
-                # entries refill by recipe at the next z pass — but the
-                # evolved values coincide and keep the committed form) ---
-                vlo_i = yv2[:, 0] - dtrk * dyi * (pp[:, 0, :] - ypp[:, 0])
-                v_zlo = zyv2[0, 0] - dtrk * dyi * (ppe[0][0] - zypp[0, 0])
-                v_zhi = zyv2[2, 0] - dtrk * dyi * (ppe[2][0] - zypp[2, 0])
-                xs2 = xsec2[0]
-                pi = xr(pp[:, 0, :])
-                pg = xr(ypp[:, 0, :])
-                v_x = [xs2[:, 0, 2 + s] - dtrk * dyi * (pi[s] - pg[s])
-                       for s in (0, 1)]
-                pzi = [xr(ppe[zr][0]) for zr in (0, 2)]
-                pzg = [xr(zypp[zr, 0]) for zr in (0, 2)]
-                vc = [[zs2[zr, 0, 2 + s]
-                       - dtrk * dyi * (pzi[i][s] - pzg[i][s])
-                       for s in (0, 1)] for i, zr in enumerate((0, 2))]
-                vlo_v = jnp.concatenate([v_zlo[None], vlo_i, v_zhi[None]],
-                                        axis=0)
-                cl = jnp.concatenate([vc[0][0][None], v_x[0], vc[1][0][None]])
-                ch = jnp.concatenate([vc[0][1][None], v_x[1], vc[1][1][None]])
-                vlo_v = jnp.concatenate([cl[:, None], vlo_v, ch[:, None]],
-                                        axis=1)
-                # --- ulo (attached at the x fill: y/z ghosts are recipes
-                # of the evolved interior) ---
-                ulo_i = xu2[:, :, 0] - dtrk * dxi * (pp[:, :, 0]
-                                                     - xpp[:, :, 0])
-                uy = self._rec_ghosts(
-                    ulo_i, (self.cbcvel[0][1][0], self.cbcvel[1][1][0]),
-                    self.bcu_vals[1], (cfg.dl[1], cfg.dl[1]))
-                ulo = jnp.concatenate([uy[0][:, None], ulo_i,
-                                       uy[1][:, None]], axis=1)
-                nzg = cfg.ng[2]
-                uz = self._rec_ghosts(
-                    ulo, (self.cbcvel[0][2][0], self.cbcvel[1][2][0]),
-                    self.bcu_vals[2],
-                    (float(grid.dzc[0]), float(grid.dzc[nzg])), axis=0)
-                ulo = jnp.concatenate([uz[0][None], ulo, uz[1][None]],
-                                      axis=0)
-                vlo = (ulo, vlo_v, wlo)
-            elif self._ywalled:
-                # y-ghost entries of the w z=0 plane evolve through the
-                # padded correc sweep (they feed the next substep's corner
-                # stacks); the v lower-wall face plane likewise
-                dzci0 = float(dzci[0])
-                w_ylo = zyw2[0, 0] - dtrk * dzci0 * (ypp[0, 0] - zypp[0, 0])
-                w_yhi = zyw2[0, 1] - dtrk * dzci0 * (ypp[0, 1] - zypp[0, 1])
-                wlo = jnp.concatenate([w_ylo[None], wlo, w_yhi[None]], axis=0)
-                wlo = jnp.concatenate([wlo[:, -1:], wlo, wlo[:, :1]], axis=1)
-                # v wall-face plane: v(y=0) = v_pred(y=0) - dt dyi (pp(1)-pp(0))
-                vlo_i = yv2[:, 0] - dtrk * dyi * (pp[:, 0, :] - ypp[:, 0])
-                v_zlo = zyv2[0, 0] - dtrk * dyi * (ppe[0][0] - zypp[0, 0])
-                v_zhi = zyv2[2, 0] - dtrk * dyi * (ppe[2][0] - zypp[2, 0])
-                vlo_v = jnp.concatenate([v_zlo[None], vlo_i, v_zhi[None]],
-                                        axis=0)
-                vlo_v = jnp.concatenate([vlo_v[:, -1:], vlo_v, vlo_v[:, :1]],
-                                        axis=1)
-                vlo = (state.vlo[0], vlo_v, wlo)
-            elif self._xwalled:
-                # x-ghost entries of the w z=0 plane through the corner
-                # stacks; the u wall-face plane (padded x 0) evolves
-                # through the padded correc sweep (correc.f90:45-67)
-                dzci0 = float(dzci[0])
-                w_xlo = zxw2[0][:, 0] - dtrk * dzci0 * (xpp[0, :, 0]
-                                                        - zxpp[0, :, 0])
-                w_xhi = zxw2[0][:, 1] - dtrk * dzci0 * (xpp[0, :, 1]
-                                                        - zxpp[0, :, 1])
-                wlo = jnp.concatenate([w_xlo[:, None], wlo, w_xhi[:, None]],
-                                      axis=1)
-                wlo = jnp.concatenate([wlo[-1:], wlo, wlo[:1]], axis=0)
-                ulo_i = xu2[:, :, 0] - dtrk * dxi * (pp[:, :, 0]
-                                                     - xpp[:, :, 0])
-                u_zlo = zxu2[0][:, 0] - dtrk * dxi * (ppe[0][:, 0]
-                                                      - zxpp[0, :, 0])
-                u_zhi = zxu2[2][:, 0] - dtrk * dxi * (ppe[2][:, 0]
-                                                      - zxpp[2, :, 0])
-                ulo = jnp.concatenate([u_zlo[None], ulo_i, u_zhi[None]],
-                                      axis=0)
-                ulo = jnp.concatenate([ulo[:, -1:], ulo, ulo[:, :1]], axis=1)
-                vlo = (ulo, state.vlo[1], wlo)
-            else:
-                # the x/y planes are unused under periodic x/y
-                # (pad_velocity's 'P' branch never reads vlo)
-                wlo = jnp.concatenate([wlo[-1:], wlo, wlo[:1]], axis=0)
-                wlo = jnp.concatenate([wlo[:, -1:], wlo, wlo[:, :1]], axis=1)
-                vlo = (state.vlo[0], state.vlo[1], wlo)
+            vlo = self._advance_wall_planes(state, pp, ppe, we2, dtrk, xf,
+                                            **wb)
             # post-correction fill (main.f90:500-501, is_correc=.true.,
             # is_updt_wm=.true.: the reference recomputes the wall-model
             # Neumann planes from the corrected velocity here too)
@@ -2210,30 +2380,8 @@ class Simulation:
             zq_new = self._zedge_vel(u, v, w, bcu, bcv, bcw,
                                      vlo=vlo, is_correc=True)
         else:
-            # prediction-velocity BC fill (main.f90:493-494)
-            bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
-            up, vp, wp, vlo = self._pad_vel(u, v, w, bcu, bcv, bcw,
-                                            is_correc=False)
-
-            # projection (main.f90:495-499)
-            with jax.named_scope('poisson'):
-                rhs = st.fillps(up, vp, wp, 1.0 / dtrk, dxi, dyi, dzfi)
-                rhs = poisson.add_rhs_bound(cfg, ('c', 'c', 'c'), self.cbcpre,
-                                            rhs, self.rhsb_p)
-                pp = (jnp.zeros_like(rhs) if self.ablate_solve else
-                      poisson.solve(self.solver_p, rhs, hints=self.hints))
-            pppad = self._pad_p(pp)
-            u, v, w, vlo = st.correc(up, vp, wp, pppad, dtrk, dxi, dyi, dzci)
-
-            # post-correction BC fill, keeping corrected wall-normal values
-            # (main.f90:500-501, is_correc=.true.)
-            bcu, bcv, bcw = self._dynamic_bcs(u, v, w)
-            up, vp, wp, vlo = self._pad_vel(u, v, w, bcu, bcv, bcw,
-                                            vlo=vlo, is_correc=True)
-
-            # pressure update (main.f90:502-503)
-            p = st.updatep(pppad, p, alpha, cfg.impdiff, cfg.impdiff_1d,
-                           dxi, dyi, dzci, dzfi)
+            u, v, w, p, vlo, up, vp, wp = self._projection_xla(
+                u, v, w, p, dtrk, alpha)
 
         # SGS eddy viscosity (main.f90:504-506)
         with jax.named_scope('sgs'):
