@@ -789,7 +789,9 @@ def fused_tiles(nz, ny, itemsize, nx):
 
 def _ds_onepass_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, avg,
                        interpret, y_ext=False, ywalls=None,
-                       has_ystrips=False, has_ywf=False, x_interior=None):
+                       has_ystrips=False, has_ywf=False, x_interior=None,
+                       zvals=(0.0, 0.0, 0.0, 0.0),
+                       yvals=(0.0, 0.0, 0.0, 0.0)):
     """The whole Germano-Lilly pipeline in ONE z-march: stage A computes
     the NWQ source planes (DS1's ring), stage B the 15 filtered quantities
     (fm, lij in full registers, fvel at width ty+2) into VMEM rings, and
@@ -811,6 +813,21 @@ def _ds_onepass_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, avg,
     if has_ye:
         sylo = -1.0 if ywalls[0] else 1.0
         syhi = -1.0 if ywalls[1] else 1.0
+    # value offsets of the filtered-velocity ghost recipes ('D' b: ghost
+    # = 2b - q, e.g. a moving lid): zvals = (u_lo, u_hi, v_lo, v_hi) at
+    # the z faces, yvals = (u_lo, u_hi, w_lo, w_hi) at the y faces;
+    # nonzero only on wall faces (static scalar BCs, baked as constants)
+    zoff_lo = {0: 2.0 * zvals[0] if wall_lo else 0.0,
+               1: 2.0 * zvals[2] if wall_lo else 0.0}
+    zoff_hi = {0: 2.0 * zvals[1] if wall_hi else 0.0,
+               1: 2.0 * zvals[3] if wall_hi else 0.0}
+    yoff_lo = {0: 0.0, 2: 0.0}
+    yoff_hi = {0: 0.0, 2: 0.0}
+    if has_ye:
+        yoff_lo = {0: 2.0 * yvals[0] if ywalls[0] else 0.0,
+                   2: 2.0 * yvals[2] if ywalls[0] else 0.0}
+        yoff_hi = {0: 2.0 * yvals[1] if ywalls[1] else 0.0,
+                   2: 2.0 * yvals[3] if ywalls[1] else 0.0}
 
     def kernel(alph2_s, dzci_s, dzfi_s, u, v, w, ue, ve, we, *rest):
         rest = list(rest)
@@ -1019,9 +1036,10 @@ def _ds_onepass_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, avg,
                                 p = jnp.where((r == ty) & y_hi_t, 0.0, p)
                         else:
                             p = jnp.where((r == 0) & y_lo_t,
-                                          sylo * p[1:2], p)
+                                          sylo * p[1:2] + yoff_lo[ci], p)
                             p = jnp.where((r == ty + 1) & y_hi_t,
-                                          syhi * p[ty:ty + 1], p)
+                                          syhi * p[ty:ty + 1]
+                                          + yoff_hi[ci], p)
                     fcache[key] = p
                     return p
 
@@ -1039,9 +1057,11 @@ def _ds_onepass_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, avg,
                             p = jnp.where(is_hi, 0.0, p)
                     else:
                         if dk == -1:
-                            p = jnp.where(is_lo, szlo * fbase(ci, 0), p)
+                            p = jnp.where(is_lo, szlo * fbase(ci, 0)
+                                          + zoff_lo[ci], p)
                         if dk == 1:
-                            p = jnp.where(is_hi, szhi * fbase(ci, 0), p)
+                            p = jnp.where(is_hi, szhi * fbase(ci, 0)
+                                          + zoff_hi[ci], p)
                     fcache[key] = p
                     return p
 
@@ -1110,7 +1130,9 @@ def _ds_onepass_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, avg,
 def fused_dsmag_onepass(u, v, w, ue, ve, we, alph2_1d, dzci, dzfi, dxi, dyi,
                         wall_lo, wall_hi, avg, interpret=False, y_ext=False,
                         ye=None, yze=None, ywalls=None, ystrips=None,
-                        ywf=None, x_interior=None):
+                        ywf=None, x_interior=None,
+                        zvals=(0.0, 0.0, 0.0, 0.0),
+                        yvals=(0.0, 0.0, 0.0, 0.0)):
     """Single-pass dynamic Smagorinsky: reads the corrected-fill velocity
     interiors (+ z-edge stacks / y bundles), returns visct (avg='cavity')
     or (s0, num_part, den_part) with the partial-sum shapes of
@@ -1156,7 +1178,9 @@ def fused_dsmag_onepass(u, v, w, ue, ve, we, alph2_1d, dzci, dzfi, dxi, dyi,
                               bool(wall_lo), bool(wall_hi), avg, interpret,
                               y_ext=y_ext, ywalls=ywalls if has_ye else None,
                               has_ystrips=has_ystrips, has_ywf=has_ywf,
-                              x_interior=x_interior)
+                              x_interior=x_interior,
+                              zvals=tuple(float(q) for q in zvals),
+                              yvals=tuple(float(q) for q in yvals))
     if avg == 'cavity':
         out_specs = [int_spec]
         out_shape = [jax.ShapeDtypeStruct((nz, ny, nx), dt)]

@@ -424,6 +424,7 @@ class Simulation:
             # 2-pass pipeline (A/B + debugging)
             self._dsmag_onepass = (
                 self.use_pallas_dsmag
+                and self._dsmag_onepass_vals_ok()
                 and pds.fused_tiles(nz, ny_local,
                                     np.dtype(self.dtype).itemsize,
                                     nx_local) is not None
@@ -440,6 +441,7 @@ class Simulation:
             # interior lanes (x_interior).
             from .ops import pallas_dsmag as pds
             ok = (pds.eligible(cfg, self.sgs_setup)
+                  and self._dsmag_onepass_vals_ok()
                   and nx_local >= 64
                   and pds.fused_tiles(nz, ny_local,
                                       np.dtype(self.dtype).itemsize,
@@ -1234,6 +1236,27 @@ class Simulation:
         assert out is not None, 'fused_correc_smag gating inconsistency'
         return out
 
+    def _dsmag_onepass_vals_ok(self):
+        """One-pass dsmag synthesizes the filtered-velocity BC fill
+        in-register from STATIC SCALAR recipes: wall-parallel 'D' values
+        (moving lids) are baked in as 2b - q offsets, but the wall-NORMAL
+        face values must be zero (no transpiration) and every value must
+        be a plain scalar — otherwise the two-pass pipeline (host-built
+        value-carrying fvel edge stacks) handles it."""
+        cfg = self.cfg
+        for ib in range(2):
+            checks = [(2, 2)]
+            if self._ywalled:
+                checks.append((1, 1))
+            for d, iv in checks:
+                if float(cfg.bcvel[ib][d][iv]) != 0.0:
+                    return False
+            for d, ivs in ((2, (0, 1)), (1, (0, 2))):
+                for iv in ivs:
+                    if not np.isscalar(cfg.bcvel[ib][d][iv]):
+                        return False
+        return True
+
     def _compute_dsmag_kernel(self, u, v, w, ue, ve, we, vlo=None):
         """Dynamic Smagorinsky via the two-pass Pallas pipeline
         (ops/pallas_dsmag.py); inputs are the corrected-fill interiors +
@@ -1360,6 +1383,14 @@ class Simulation:
             alph2[0] = 2.52
         if wall_hi:
             alph2[-1] = 2.52
+        # wall-parallel 'D' values of the filtered-velocity fill (moving
+        # lids; zero on non-wall faces), baked into the kernel's ghost
+        # recipes (gated scalar by _dsmag_onepass_vals_ok)
+        bvk = dict(
+            zvals=(float(self.bcu_vals[2][0]), float(self.bcu_vals[2][1]),
+                   float(self.bcv_vals[2][0]), float(self.bcv_vals[2][1])),
+            yvals=(float(self.bcu_vals[1][0]), float(self.bcu_vals[1][1]),
+                   float(self.bcw_vals[1][0]), float(self.bcw_vals[1][1])))
         if self._kernel_sharded and getattr(self, '_dsmag_xext', False):
             # 2D (gy, gx) pencil mesh, channel class: the one-pass kernel
             # runs on materialized 64-lane x-halo extensions (the filter
@@ -1381,7 +1412,7 @@ class Simulation:
                     *ext, alph2, grid.dzci, grid.dzfi,
                     cfg.dli[0], cfg.dli[1], wall_lo, wall_hi,
                     avg, interpret=self._pallas_interpret,
-                    ystrips=ys, x_interior=(64, nxl))
+                    ystrips=ys, x_interior=(64, nxl), **bvk)
                 assert out is not None, 'dsmag xext gating inconsistency'
                 if avg == 'cavity':
                     return out[..., 64:64 + nxl]
@@ -1422,7 +1453,7 @@ class Simulation:
                     u_, v_, w_, ue_, ve_, we_, alph2, grid.dzci, grid.dzfi,
                     cfg.dli[0], cfg.dli[1], wall_lo, wall_hi,
                     cfg.dsmag_avg, interpret=self._pallas_interpret,
-                    ystrips=ys, **ykw)
+                    ystrips=ys, **ykw, **bvk)
             yb1 = (ykw1['ye'], ykw1['yze']) if ywalled else ()
             out_specs = F if cfg.dsmag_avg == 'cavity' else (F, F, F)
             out = shard_map(ds_local, mesh=self.mesh,
@@ -1433,7 +1464,7 @@ class Simulation:
             out = pds.fused_dsmag_onepass(
                 u, v, w, ue, ve, we, alph2, grid.dzci, grid.dzfi,
                 cfg.dli[0], cfg.dli[1], wall_lo, wall_hi, cfg.dsmag_avg,
-                interpret=self._pallas_interpret, **ykw1)
+                interpret=self._pallas_interpret, **ykw1, **bvk)
         assert out is not None, 'fused_dsmag_onepass gating inconsistency'
         if cfg.dsmag_avg == 'cavity':
             return out
