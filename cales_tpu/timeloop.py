@@ -1926,8 +1926,14 @@ class Simulation:
                     ywalls=(True, True) if self._ywalled
                     else (False, False), ywf=ywf_,
                     alias_p=not first, **imp_kw)
-            ykw = {}
             if self._ywalled:
+                # N.B. the gx>1 y-walled correc call passes only the
+                # patched xe packs — not ye/ywf (the 1D path's in-kernel
+                # wall fixes).  Decomposition invariance is pinned at
+                # 1e-11 incl. the vlo planes
+                # (test_ywalled_kernel_2d_mesh_matches_single), so the
+                # extended arrays + patched packs carry everything the
+                # correc stencil reads on wall shards; kept verbatim.
                 ycor_l = self._yslice_gx(ycor_)
                 yzcor_l = self._yslice_gx(yzcor_)
                 lo_r, hi_r = self._xe_wall_rows(ycor_l, 2)
@@ -1936,9 +1942,6 @@ class Simulation:
                     self._xe_pack([w_, pp_]), lo_r, hi_r)
                 xze = self._halo_y_patched(
                     self._xe_pack([we_, ppe_]), zlo, zhi)
-                ykw = dict(ye=ycor_l, yze=yzcor_l,
-                           ywalls=(True, True),
-                           ywf=self._ywf_shard(u_.dtype))
             else:
                 xe = halo(self._xe_pack([w_, pp_]))
                 xze = halo(self._xe_pack([we_, ppe_]))
