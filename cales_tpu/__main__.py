@@ -28,8 +28,6 @@ def main(argv=None):
     import jax
     if args.cpu:
         jax.config.update('jax_platforms', 'cpu')
-        if args.dtype == 'float64' or args.dtype is None:
-            jax.config.update('jax_enable_x64', True)
 
     from .nml import config_from_nml
     from .driver import run
@@ -38,6 +36,11 @@ def main(argv=None):
     if args.dtype:
         overrides['dtype'] = args.dtype
     cfg = config_from_nml(args.input, **overrides)
+    if args.cpu and cfg.dtype == 'float64':
+        # x64 must follow the EFFECTIVE precision: enabling it for a
+        # float32 case promotes in-trace constants to f64 and the step's
+        # fori_loop carry dtypes mismatch
+        jax.config.update('jax_enable_x64', True)
 
     mesh = None
     if args.mesh:

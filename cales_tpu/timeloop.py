@@ -430,15 +430,16 @@ class Simulation:
                                     nx_local) is not None
                 and _os.environ.get('CALES_DSMAG_TWOPASS', '') != '1')
         elif (self.use_pallas_mom and cfg.sgstype == 'dsmag'
-              and self._gx_sharded and not self._ywalled
-              and not self._xwalled):
-            # 2D (gy, gx) pencil meshes (round 4, channel class): the
-            # one-pass kernel runs on MATERIALIZED 64-lane x-halo
-            # extensions (the filter chain needs 3-deep x ghosts — deeper
-            # than the 1-column xe roll-fixup bundle; 64/side keeps the
-            # lane tiling aligned and the in-kernel rolls' wraparound
-            # contaminates only the pad).  The averaging sums mask to the
-            # interior lanes (x_interior).
+              and self._gx_sharded and not self._xwalled):
+            # 2D (gy, gx) pencil meshes (round 4): the one-pass kernel
+            # runs on MATERIALIZED 64-lane x-halo extensions (the filter
+            # chain needs 3-deep x ghosts — deeper than the 1-column xe
+            # roll-fixup bundle; 64/side keeps the lane tiling aligned
+            # and the in-kernel rolls' wraparound contaminates only the
+            # pad).  The averaging sums mask to the interior lanes
+            # (x_interior).  y-walled (duct/cavity class) configs pass
+            # the ye bundles x-extended with the same ppermute exchange
+            # (their rows are periodic in x) + per-shard ywf wall gating.
             from .ops import pallas_dsmag as pds
             ok = (pds.eligible(cfg, self.sgs_setup)
                   and self._dsmag_onepass_vals_ok()
@@ -1392,41 +1393,60 @@ class Simulation:
             yvals=(float(self.bcu_vals[1][0]), float(self.bcu_vals[1][1]),
                    float(self.bcw_vals[1][0]), float(self.bcw_vals[1][1])))
         if self._kernel_sharded and getattr(self, '_dsmag_xext', False):
-            # 2D (gy, gx) pencil mesh, channel class: the one-pass kernel
-            # runs on materialized 64-lane x-halo extensions (the filter
-            # chain needs 3-deep x ghosts) with the averaging sums masked
-            # to the interior lanes; num/den reduce via psum so every
-            # shard sees the global ratio
+            # 2D (gy, gx) pencil mesh: the one-pass kernel runs on
+            # materialized 64-lane x-halo extensions (the filter chain
+            # needs 3-deep x ghosts) with the averaging sums masked to
+            # the interior lanes; num/den reduce via psum so every shard
+            # sees the global ratio.  y-walled (duct/cavity) configs
+            # x-extend the ye bundles with the same cyclic ppermute (the
+            # bundle rows are periodic in x) and gate the in-kernel wall
+            # fixes per shard (ywf); 'duct' averaging (over x only) psums
+            # across 'gx' and applies the per-(z,y)-row ratio in-shard.
             from jax import shard_map
             from jax.sharding import PartitionSpec as Pspec
             F = Pspec(None, 'gy', 'gx')
             R = Pspec()
             avg = cfg.dsmag_avg
+            ywalled = self._ywalled
 
-            def ds_local(u_, v_, w_, ue_, ve_, we_):
+            def ds_local(u_, v_, w_, ue_, ve_, we_, *yb):
                 nxl = u_.shape[-1]
                 ext = [self._halo_x(a) for a in
                        (u_, v_, w_, ue_, ve_, we_)]
                 ys = self._halo_strips(ext[0:3], ext[3:6])
+                ykw = {}
+                if ywalled:
+                    ykw = dict(ye=self._halo_x(yb[0]),
+                               yze=self._halo_x(yb[1]),
+                               ywalls=ykw1['ywalls'],
+                               ywf=self._ywf_shard(u_.dtype))
                 out = pds.fused_dsmag_onepass(
                     *ext, alph2, grid.dzci, grid.dzfi,
                     cfg.dli[0], cfg.dli[1], wall_lo, wall_hi,
                     avg, interpret=self._pallas_interpret,
-                    ystrips=ys, x_interior=(64, nxl), **bvk)
+                    ystrips=ys, x_interior=(64, nxl), **ykw, **bvk)
                 assert out is not None, 'dsmag xext gating inconsistency'
                 if avg == 'cavity':
                     return out[..., 64:64 + nxl]
                 s0e, nump_, denp_ = out
+                if avg == 'duct':
+                    num = jax.lax.psum(nump_, 'gx')
+                    den = jax.lax.psum(denp_, 'gx')
+                    ratio = num[..., 0:1] / den[..., 0:1]
+                    return jnp.maximum(s0e[..., 64:64 + nxl] * ratio, 0.0)
                 num1 = jax.lax.psum(jnp.sum(nump_[:, ::8, 0], axis=1),
                                     ('gy', 'gx'))
                 den1 = jax.lax.psum(jnp.sum(denp_[:, ::8, 0], axis=1),
                                     ('gy', 'gx'))
                 return s0e[..., 64:64 + nxl], num1, den1
-            out_specs = F if avg == 'cavity' else (F, R, R)
-            out = shard_map(ds_local, mesh=self.mesh, in_specs=(F,) * 6,
+            yb1 = (ykw1['ye'], ykw1['yze']) if ywalled else ()
+            yspec = (Pspec(None, None, 'gx'),) * len(yb1)
+            out_specs = F if avg in ('cavity', 'duct') else (F, R, R)
+            out = shard_map(ds_local, mesh=self.mesh,
+                            in_specs=(F,) * 6 + yspec,
                             out_specs=out_specs, check_vma=False)(
-                u, v, w, ue, ve, we)
-            if avg == 'cavity':
+                u, v, w, ue, ve, we, *yb1)
+            if avg in ('cavity', 'duct'):
                 return out
             s0, num1, den1 = out
             if avg == 'channel':

@@ -620,6 +620,31 @@ def test_ywalled_dsmag_kernel_sharded_matches_single(monkeypatch):
 
     _compare_kernel_sharded(cfg, (2, 1), assert_flags=flags)
 
+
+@pytest.mark.parametrize('avg', ['duct', 'cavity'])
+def test_ywalled_dsmag_kernel_2d_mesh_matches_single(monkeypatch, avg):
+    """y-walled dynamic Smagorinsky on a 2D (gy, gx) pencil mesh: the
+    x-extended one-pass kernel takes the ye bundles x-extended with the
+    same cyclic ppermute (their rows are periodic in x) + per-shard ywf
+    wall gating; 'duct' averaging (over x only, sgs.f90:540-614) psums
+    across 'gx' and applies the per-(z,y)-row ratio in-shard.  This was
+    the last dsmag decomposition hole (sgs.f90:153-380 runs under any
+    pencil, initmpi.f90:56-73)."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = Config(ng=(256, 32, 16), l=(2 * np.pi, 2.0, 2.0), gtype=1, gr=0.5,
+                 visci=2000.0, inivel='duc', is_wallturb=False,
+                 dtype='float64', is_forced=(True, False, False),
+                 velf=(1.0, 0.0, 0.0), sgstype='dsmag', dsmag_avg=avg,
+                 ptransform='mat', **_duct_bcs)
+
+    def flags(simN):
+        assert simN._ywalled and simN._gx_sharded, simN.exec_path()
+        assert simN._dsmag_onepass and simN._dsmag_xext, simN.exec_path()
+
+    _compare_kernel_sharded(cfg, (2, 2), assert_flags=flags)
+
 def test_scalar_ywalled_kernel_sharded_matches_single(monkeypatch):
     """Passive scalar on a y-walled duct-class config under the 1D slab
     decomposition: the scalar window rides the ppermute halo strips AND its
