@@ -464,7 +464,8 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
                 ywalls=(False, False), fuse_fillps=False, wrec=None,
                 sum_flags=(False, False), has_xop=False, has_ystrips=False,
                 has_ruo=True, has_sgs=True, has_scal=False, alpha_s=0.0,
-                ssource=0.0, has_ywf=False, fold_cn=False, xye=False):
+                ssource=0.0, has_ywf=False, fold_cn=False, xye=False,
+                has_xstrips=False):
     """fuse_fillps: also emit the projection RHS div(u_new)/dt_rk in the
     same pass (fillps.f90 folded into the momentum tail): the RHS core is
     evaluated one y row wide (row 7, the j-1 neighbor of tile row 0 — the
@@ -498,7 +499,7 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
             # into the momentum pass: the u/v/w windows are already here)
             sca, scae = rest[0:2]
             del rest[0:2]
-        xe = xze = ye = yze = yh = yhz = None
+        xe = xze = ye = yze = yh = yhz = xh = xhz = None
         if has_xe:
             xe, xze = rest[0], rest[1]
             del rest[0:2]
@@ -507,6 +508,12 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
             del rest[0:2]
         if has_ystrips:
             yh, yhz = rest[0], rest[1]
+            del rest[0:2]
+        if has_xstrips:
+            # x-WALLED sharded runs: the host-built xe bundle rides the
+            # strips window mode with its OWN 16-row pack (the field pack
+            # is nx lanes wide, the bundle 128 — they can't share)
+            xh, xhz = rest[0], rest[1]
             del rest[0:2]
         ruo = rvo = rwo = rso = None
         if has_ruo:
@@ -568,13 +575,16 @@ def _mom_kernel(tz, ty, nz, ny, nx, visc, dxi, dyi, bforce, interpret,
         base.append((p, pe, sp2))
         if has_scal:
             base.append((sca, scae, ssc2))
-        if has_xe:
-            base.append((xe, xze, sxe2))
         if has_ystrips:
             specs = [e + (('strips', yh, yhz, 16 * m),)
                      for m, e in enumerate(base)]
         else:
             specs = list(base)
+        if has_xe:
+            xsp = (xe, xze, sxe2)
+            if has_xstrips:
+                xsp = xsp + (('strips', xh, xhz, 0),)
+            specs.append(xsp)
         if has_ye:
             specs.append((ye, yze, sye2, 'ally'))
         wins = _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j,
@@ -778,7 +788,7 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                  fuse_fillps=False, wrec=None, sum_flags=(False, False),
                  xop=None, ystrips=None, has_ruo=True, has_sgs=True,
                  sca=None, scae=None, rso=None, scal_params=(0.0, 0.0),
-                 ywf=None, fold_cn=False, xye=False):
+                 ywf=None, fold_cn=False, xye=False, xstrips=None):
     """Momentum RHS + RK3 update in one HBM pass.
 
     u..p: interior (nz, ny, nx) fields; ue..pe: (3, ny, nx) z-edge stacks
@@ -845,10 +855,14 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
     has_ye = ye is not None
     has_xop = xop is not None
     has_ystrips = ystrips is not None
+    has_xstrips = xstrips is not None
     if fuse_fillps:
         assert split is None and not y_ext and not has_xe and not has_ye
     if has_ystrips:
-        assert not y_ext and not has_xe
+        # x-walled sharded runs pass the host-built xe bundle with its
+        # own 8-row strip pack (xstrips)
+        assert not y_ext and (not has_xe or has_xstrips)
+    assert not has_xstrips or (has_xe and has_ystrips)
     nout = (6 if split is None or fold_cn else 9) + 2 * has_scal
     nf = 4 + has_sgs + has_scal
     nwin = nf + has_xe + has_ye
@@ -864,10 +878,13 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
                        has_sgs=has_sgs, has_scal=has_scal,
                        alpha_s=float(scal_params[0]),
                        ssource=float(scal_params[1]), has_ywf=has_ywf,
-                       fold_cn=fold_cn, xye=xye and has_xe and has_ye)
+                       fold_cn=fold_cn, xye=xye and has_xe and has_ye,
+                       has_xstrips=has_xstrips)
     xargs = (xe, xze) if has_xe else ()
     yargs = (ye, yze) if has_ye else ()
     sargs = tuple(ystrips) if has_ystrips else ()
+    if has_xstrips:
+        sargs = sargs + tuple(xstrips)
     rargs = (ruo, rvo, rwo) if has_ruo else ()
     if has_ruo and has_scal:
         rargs = rargs + (rso,)
@@ -898,7 +915,8 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
     # with fuse_fillps (rvo is also passed as a second, ANY-space operand).
     aliases = {}
     if has_ruo and not fuse_fillps and not _no_alias_io():
-        ridx = 3 + 2 * nf + 2 * (has_xe + has_ye + has_ystrips)
+        ridx = 3 + 2 * nf + 2 * (has_xe + has_ye + has_ystrips
+                                 + has_xstrips)
         aliases = {ridx: 3, ridx + 1: 4, ridx + 2: 5}
         if has_scal:
             # dsdt carry in place alongside the momentum-RHS carries
@@ -908,7 +926,7 @@ def fused_mom_rk(u, v, w, s, p, ue, ve, we, se, pe, ruo, rvo, rwo,
         grid=grid,
         in_specs=[smem_spec, smem_spec, smem_spec]
                  + [any_spec] * (2 * nf + 2 * has_xe + 2 * has_ye
-                                 + 2 * has_ystrips)
+                                 + 2 * has_ystrips + 2 * has_xstrips)
                  + [int_spec] * len(rargs)
                  + [any_spec] * (len(fargs) - has_xop)
                  + [mat_spec] * has_xop,
@@ -1067,13 +1085,14 @@ def fused_smag(u, v, w, ue, ve, we, dzci, dzfi, dxi, dyi, visc, cs_delta2_1d,
 
 def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
                    has_xe=False, ywalls=(False, False), has_ystrips=False,
-                   has_xop=False, has_yop=False, has_ywf=False, xye=False):
+                   has_xop=False, has_yop=False, has_ywf=False, xye=False,
+                   has_xstrips=False):
     has_ye = any(ywalls)
     gj = ny // ty
 
     def kernel(sc, dzfi_s, u, v, w, ue, ve, we, *rest):
         rest = list(rest)
-        xe = xze = ye = yze = yh = yhz = None
+        xe = xze = ye = yze = yh = yhz = xh = xhz = None
         if has_xe:
             xe, xze = rest[0], rest[1]
             del rest[0:2]
@@ -1082,6 +1101,9 @@ def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
             del rest[0:2]
         if has_ystrips:
             yh, yhz = rest[0], rest[1]
+            del rest[0:2]
+        if has_xstrips:
+            xh, xhz = rest[0], rest[1]
             del rest[0:2]
         xop = rest.pop(0) if has_xop else None
         oyt = rest.pop(0) if has_yop else None
@@ -1097,11 +1119,14 @@ def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
         j = pl.program_id(1)
         z0 = k * tz
         specs = [(u, ue, su2), (v, ve, sv2), (w, we, sw2)]
-        if has_xe:
-            specs.append((xe, xze, sxe2))
         if has_ystrips:
             specs = [e + (('strips', yh, yhz, 16 * m),)
                      for m, e in enumerate(specs)]
+        if has_xe:
+            xsp = (xe, xze, sxe2)
+            if has_xstrips:
+                xsp = xsp + (('strips', xh, xhz, 0),)
+            specs.append(xsp)
         if has_ye:
             specs.append((ye, yze, sye2, 'ally'))
         wins = _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j,
@@ -1157,7 +1182,7 @@ def _fillps_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
 def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False,
                  y_ext=False, xe=None, xze=None, ye=None, yze=None,
                  ywalls=(False, False), ystrips=None, xop=None, yop=None,
-                 ywf=None, xye=False):
+                 ywf=None, xye=False, xstrips=None):
     """Poisson RHS div(u)/dt_rk in one pass (fillps.f90:14-48).
 
     u, v, w: prediction-velocity interiors; ue, ve, we: prediction-fill
@@ -1185,11 +1210,14 @@ def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False,
     has_xe = xe is not None
     has_ye = ye is not None
     has_ystrips = ystrips is not None
+    has_xstrips = xstrips is not None
     has_xop = xop is not None
     has_yop = yop is not None
     xargs = (xe, xze) if has_xe else ()
     yargs = (ye, yze) if has_ye else ()
     sargs = tuple(ystrips) if has_ystrips else ()
+    if has_xstrips:
+        sargs = sargs + tuple(xstrips)
     oargs = (jnp.asarray(xop, dt),) if has_xop else ()
     mat_specs = [pl.BlockSpec((nx, nx), lambda k, j: (0, 0))] * has_xop
     if has_yop:
@@ -1205,13 +1233,14 @@ def fused_fillps(u, v, w, ue, ve, we, dzfi, dti, dxi, dyi, interpret=False,
                           ywalls=ywalls if has_ye else (False, False),
                           has_ystrips=has_ystrips, has_xop=has_xop,
                           has_yop=has_yop, has_ywf=has_ywf,
-                          xye=xye and has_xe and has_ye)
+                          xye=xye and has_xe and has_ye,
+                          has_xstrips=has_xstrips)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[smem_spec, smem_spec]
                  + [any_spec] * (6 + 2 * has_xe + 2 * has_ye
-                                 + 2 * has_ystrips)
+                                 + 2 * has_ystrips + 2 * has_xstrips)
                  + mat_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
@@ -1451,13 +1480,13 @@ def fused_correc_updatep_smag(u, v, w, pp, p, ue, ve, we, ppe, dtrk,
 def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
                    impdiff=False, impdiff_1d=False, has_xe=False,
                    ywalls=(False, False), has_ystrips=False, has_ywf=False,
-                   xye=False, has_xopi=False):
+                   xye=False, has_xopi=False, has_xstrips=False):
     has_ye = any(ywalls)
     gj = ny // ty
 
     def kernel(sc, dzci_s, dzfi_s, w, pp, we, ppe, *rest):
         rest = list(rest)
-        xe = xze = ye = yze = yh = yhz = None
+        xe = xze = ye = yze = yh = yhz = xh = xhz = None
         if has_xe:
             xe, xze = rest[0], rest[1]
             del rest[0:2]
@@ -1466,6 +1495,9 @@ def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
             del rest[0:2]
         if has_ystrips:
             yh, yhz = rest[0], rest[1]
+            del rest[0:2]
+        if has_xstrips:
+            xh, xhz = rest[0], rest[1]
             del rest[0:2]
         xopi = rest.pop(0) if has_xopi else None
         (u_i, v_i, p_i, u_o, v_o, w_o, p_o, sw2, spp2) = rest[0:9]
@@ -1481,11 +1513,14 @@ def _correc_kernel(tz, ty, nz, ny, nx, dxi, dyi, interpret, y_ext=False,
         j = pl.program_id(1)
         z0 = k * tz
         specs = [(w, we, sw2), (pp, ppe, spp2)]
-        if has_xe:
-            specs.append((xe, xze, sxe2))
         if has_ystrips:
             specs = [e + (('strips', yh, yhz, 16 * m),)
                      for m, e in enumerate(specs)]
+        if has_xe:
+            xsp = (xe, xze, sxe2)
+            if has_xstrips:
+                xsp = xsp + (('strips', xh, xhz, 0),)
+            specs.append(xsp)
         if has_ye:
             specs.append((ye, yze, sye2, 'ally'))
         wins = _pipelined_windows(specs, sems, nz, ny, tz, ty, k, j,
@@ -1554,7 +1589,7 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
                          dzfi=None, xe=None, xze=None, ye=None, yze=None,
                          ywalls=(False, False), fu=0.0, fv=0.0,
                          ystrips=None, alias_p=False, ywf=None, xye=False,
-                         xopi=None):
+                         xopi=None, xstrips=None):
     """Velocity correction + pressure update in one pass (correc.f90:14-68,
     updatep.f90:14-24 explicit-diffusion branch).
 
@@ -1594,12 +1629,16 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
     has_xe = xe is not None
     has_ye = ye is not None
     has_ystrips = ystrips is not None
+    has_xstrips = xstrips is not None
+    assert not has_xstrips or (has_xe and has_ystrips)
     has_xopi = xopi is not None
     assert not (has_xopi and (has_xe or has_ye or has_ystrips or y_ext)), \
         'x-transform fusion: single-chip periodic-x/y correc only'
     xargs = (xe, xze) if has_xe else ()
     yargs = (ye, yze) if has_ye else ()
     sargs = tuple(ystrips) if has_ystrips else ()
+    if has_xstrips:
+        sargs = sargs + tuple(xstrips)
     oargs = (jnp.asarray(xopi, dt),) if has_xopi else ()
     nwin = 2 + has_xe + has_ye
     grid, int_spec, any_spec, smem_spec = _grid_specs(nz, ny, nx, tz, ty)
@@ -1608,14 +1647,16 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
                           impdiff_1d=impdiff_1d, has_xe=has_xe,
                           ywalls=ywalls if has_ye else (False, False),
                           has_ystrips=has_ystrips, has_ywf=has_ywf,
-                          xye=xye and has_xe and has_ye, has_xopi=has_xopi)
+                          xye=xye and has_xe and has_ye, has_xopi=has_xopi,
+                          has_xstrips=has_xstrips)
     # in-place correction: the u/v prediction inputs (and p with alias_p,
     # substeps where the donor is an intermediate) are read pointwise
     # through the same output-aligned int_spec blocks as the u/v/p outputs
     # and are dead after the call — see fused_mom_rk's alias note
     aliases = {}
     if not _no_alias_io():
-        uidx = 3 + 4 + 2 * (has_xe + has_ye + has_ystrips) + has_xopi
+        uidx = (3 + 4 + 2 * (has_xe + has_ye + has_ystrips + has_xstrips)
+                + has_xopi)
         aliases = {uidx: 0, uidx + 1: 1}
         if alias_p:
             aliases[uidx + 2] = 3
@@ -1625,7 +1666,7 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
         grid=grid,
         in_specs=[smem_spec, smem_spec, smem_spec]
                  + [any_spec] * (4 + 2 * has_xe + 2 * has_ye
-                                 + 2 * has_ystrips)
+                                 + 2 * has_ystrips + 2 * has_xstrips)
                  + [mat_spec] * has_xopi
                  + [int_spec] * 3,
         out_specs=[int_spec] * 4,

@@ -163,15 +163,25 @@ class Simulation:
         # the kernels with host-built x-ghost-column bundles riding the xe
         # edge-lane roll-fix protocol (ops/boundary.xedge_*) — no ppermute,
         # the columns come from the BC recipes; u's wall-face rewrite slot
-        # is patched into the kernel-input copy host-side.  Single-chip,
-        # y-periodic, scalar static BCs, no wall model (v1 scope).
+        # is patched into the kernel-input copy host-side.  Scalar static
+        # BCs, no wall model (v1 scope).  Meshes: 1D (gy) slabs with
+        # periodic y only (the bundles are y-sharded and ride the strips
+        # window mode with their own 8-row packs; the y halos of the
+        # bundle are cyclic ppermutes, exact under periodic y); x+y-walled
+        # stays single-chip.
         self._xwalled = not x_periodic
-        x_wall_ok = (self._xwalled and mesh is None and not self.has_wm
-                     and not cfg.scalar and scalar_bcs)
+        x_mesh_ok = mesh is None
+        if mesh is not None:
+            _gxm = dict(zip(mesh.axis_names,
+                            mesh.devices.shape)).get('gx', 1)
+            x_mesh_ok = _gxm == 1 and y_periodic
+        x_wall_ok = (self._xwalled and x_mesh_ok and not self.has_wm
+                     and scalar_bcs)
         xy_periodic = x_periodic or x_wall_ok
         if self._xwalled and not x_wall_ok:
-            _why('non-periodic x BCs with wall model/scalar/mesh '
-                 '(xedge path is single-chip, scalar-BC only)')
+            _why('non-periodic x BCs with wall model/scalar/2D mesh/'
+                 'y walls on a mesh (xedge path: scalar-BC, 1D-slab-'
+                 'periodic-y or single-chip only)')
         nx, ny, nz = cfg.ng
         # kernels under a mesh: per-shard Pallas under shard_map.  y halos
         # arrive as ppermute 8-row strips (y_ext mode); with gx > 1 the
@@ -217,10 +227,14 @@ class Simulation:
         self._scal_kernel_ok = (
             cfg.scalar
             and (mesh is None or self._kernel_sharded)
-            and not self._xwalled
             and not any(cfg.lwm[ib][d] != 0 for ib in range(2)
                         for d in range(3))
-            and all(cfg.cbcscal[ib][0] == 'P' for ib in range(2))
+            # x-walled configs carry the scalar's x ghosts as host-built
+            # xe columns (any static letter, xedge_scalar); x-periodic
+            # ones have no xe bundle, so the scalar must be x-periodic.
+            # Scalar + x AND y walls (corner sections) stays XLA.
+            and (all(cfg.cbcscal[ib][0] == 'P' for ib in range(2))
+                 if not self._xwalled else not self._ywalled)
             # y-walled configs carry the scalar's wall ghosts in the ye
             # bundle (any letter); with periodic-y velocity there is no
             # bundle, so the scalar must be y-periodic too
@@ -1712,6 +1726,18 @@ class Simulation:
                 zcstk.append(zxcs)
             cstk.append(xcp)
             zcstk.append(zxcp)
+            if hsc:
+                # scalar x-ghost columns ride the bundle after p (lane
+                # base 2m follows the kernel's window order u, v, w,
+                # [visct], p, sca)
+                cbcsc = tuple((cfg.cbcscal[0][d], cfg.cbcscal[1][d])
+                              for d in range(3))
+                bvsc = tuple((float(cfg.bcscal[0][d]),
+                              float(cfg.bcscal[1][d])) for d in range(3))
+                xcsc, zxcsc = bnd.xedge_scalar(state.s, cbcsc, bvsc,
+                                               cfg.dl, grid.dzc)
+                cstk.append(xcsc)
+                zcstk.append(zxcsc)
             xeb = self._xe_pack_cols(cstk)
             xzeb = self._xe_pack_cols(zcstk)
         if self._ywalled:
@@ -1748,13 +1774,16 @@ class Simulation:
 
     def _mom_kernel_sharded(self, state, u, v, w, p, visct,
                             ue, ve, we, se, pe, ye, yze, ru_o, rv_o, rw_o,
-                            f1, f2, split, hs, hsc, first, nout):
+                            f1, f2, split, hs, hsc, first, nout,
+                            xeb=None, xzeb=None):
         """Dispatch the fused momentum+RK kernel under shard_map for this
         mesh class: 1D (gy) slab meshes take packed 8-row ppermute halo
         STRIPS; 2D (gx>1) pencil meshes take (ny_local+16)-extended arrays
         + packed ppermute'd x ghost-column bundles (xe protocol), with the
         y-walled variants passing the replicated global ye bundles,
-        per-shard wall flags, and the xe wall-row patches."""
+        per-shard wall flags, and the xe wall-row patches.  x-WALLED 1D
+        slab meshes pass the host-built x-ghost-column bundles (xeb/xzeb,
+        y-sharded) riding the strips mode with their own 8-row packs."""
         from .ops import pallas_kernels as pk
         cfg, grid = self.cfg, self.grid
         dxi, dyi = cfg.dli[0], cfg.dli[1]
@@ -1762,6 +1791,7 @@ class Simulation:
         visc = cfg.visc
         halo = self._halo_y
         nfl = (10 if hs else 8) + 2 * hsc
+        xwalled = self._xwalled
 
         def mom_local(*a):
             if hs:
@@ -1776,6 +1806,10 @@ class Simulation:
             if hsc:
                 sca_, scae_ = a[na:na + 2]
             rest = a[nfl:]
+            xeb_ = xzeb_ = None
+            if xwalled:
+                xeb_, xzeb_ = rest[0], rest[1]
+                rest = rest[2:]
             ye_ = yze_ = ywf_ = None
             if self._ywalled:
                 # GLOBAL y-edge bundle, replicated: only the
@@ -1794,8 +1828,15 @@ class Simulation:
                     + [pe_] + ([scae_] if hsc else []))
             if not self._gx_sharded:
                 # 1D decomposition: 8-row halo STRIPS, no
-                # extended-array materialization
+                # extended-array materialization.  x-walled: the
+                # host-built xe column bundle rides with its own
+                # cyclic-ppermute strip pack (y-periodic gate)
                 ys = self._halo_strips(flds, efls)
+                xkw = {}
+                if xwalled:
+                    xkw = dict(xe=xeb_, xze=xzeb_,
+                               xstrips=self._halo_strips([xeb_],
+                                                         [xzeb_]))
                 return pk.fused_mom_rk(
                     u_, v_, w_, s_, p_, ue_, ve_, we_, se_, pe_,
                     *(r123 or (None,) * 3), dzci, dzfi, f1_, f2_,
@@ -1808,7 +1849,7 @@ class Simulation:
                     has_ruo=not first, has_sgs=hs,
                     sca=sca_, scae=scae_, rso=rso_,
                     scal_params=(cfg.visc / cfg.pr, cfg.ssource)
-                    if hsc else (0.0, 0.0))
+                    if hsc else (0.0, 0.0), **xkw)
             # 2D (gx>1) mesh: extended arrays + packed x
             # ghost-column bundles.  y-walled configs ride the
             # SAME in-kernel ye-bundle fixes as the 1D path —
@@ -1859,22 +1900,31 @@ class Simulation:
                  else (u, v, w, p, ue, ve, we, pe))
         if hsc:
             fargs = fargs + (state.s, self._zedge_scal(state.s))
+        xargs = (xeb, xzeb) if xwalled else ()
         sargs = (ye, yze, f1, f2) if self._ywalled else (f1, f2)
-        return self._smap(mom_local, nfl + len(rargs),
+        return self._smap(mom_local, nfl + len(xargs) + len(rargs),
                           len(sargs), nout)(
-            *fargs, *rargs, *sargs)
+            *fargs, *xargs, *rargs, *sargs)
 
-    def _fillps_sharded(self, u, v, w, ue2, ve2, we2, ye2, yze2, dtrk):
-        """fused_fillps under shard_map: 1D slab meshes take halo strips;
-        2D (gx>1) meshes take extended arrays + xe bundles with y-wall
-        row patches (same protocol recipe as _mom_kernel_sharded)."""
+    def _fillps_sharded(self, u, v, w, ue2, ve2, we2, ye2, yze2, dtrk,
+                        xeb=None, xzeb=None):
+        """fused_fillps under shard_map: 1D slab meshes take halo strips
+        (x-walled: + the host-built y-sharded xe bundles with their own
+        strip packs); 2D (gx>1) meshes take extended arrays + xe bundles
+        with y-wall row patches (same protocol recipe as
+        _mom_kernel_sharded)."""
         from .ops import pallas_kernels as pk
         cfg, grid = self.cfg, self.grid
         dxi, dyi = cfg.dli[0], cfg.dli[1]
         dzfi = grid.dzfi
         halo = self._halo_y
+        xwalled = self._xwalled
 
         def fillps_local(u_, v_, w_, ue_, ve_, we_, *extra):
+            xeb_ = xzeb_ = None
+            if xwalled:
+                xeb_, xzeb_ = extra[0], extra[1]
+                extra = extra[2:]
             if self._ywalled:
                 ye_, yze_, dti_ = extra
                 ywf_ = self._ywf_shard(u_.dtype)
@@ -1884,12 +1934,17 @@ class Simulation:
             if not self._gx_sharded:
                 ys = self._halo_strips([u_, v_, w_],
                                        [ue_, ve_, we_])
+                xkw = {}
+                if xwalled:
+                    xkw = dict(xe=xeb_, xze=xzeb_,
+                               xstrips=self._halo_strips([xeb_],
+                                                         [xzeb_]))
                 return pk.fused_fillps(
                     u_, v_, w_, ue_, ve_, we_, dzfi, dti_,
                     dxi, dyi, interpret=self._pallas_interpret,
                     ystrips=ys, ye=ye_, yze=yze_,
                     ywalls=(True, True) if self._ywalled
-                    else (False, False), ywf=ywf_)
+                    else (False, False), ywf=ywf_, **xkw)
             ykw = {}
             if self._ywalled:
                 ye_l = self._yslice_gx(ye_)
@@ -1913,13 +1968,14 @@ class Simulation:
                 halo(ve_), halo(we_), dzfi, dti_, dxi, dyi,
                 interpret=self._pallas_interpret, y_ext=True,
                 xe=xe, xze=xze, **ykw)
+        fxargs = (xeb, xzeb) if xwalled else ()
         fsargs = ((ye2, yze2, 1.0 / dtrk) if self._ywalled
                   else (1.0 / dtrk,))
-        return self._smap(fillps_local, 6, len(fsargs), 1)(
-            u, v, w, ue2, ve2, we2, *fsargs)
+        return self._smap(fillps_local, 6 + len(fxargs), len(fsargs), 1)(
+            u, v, w, ue2, ve2, we2, *fxargs, *fsargs)
 
     def _correc_sharded(self, u, v, w, pp, p, we2, ppe, ycor, yzcor,
-                        dtrk, alpha, imp_kw, first):
+                        dtrk, alpha, imp_kw, first, xeb=None, xzeb=None):
         """fused_correc_updatep under shard_map (same mesh-class protocol
         recipe as _fillps_sharded); returns (u, v, w, p)."""
         from .ops import pallas_kernels as pk
@@ -1927,8 +1983,13 @@ class Simulation:
         dxi, dyi = cfg.dli[0], cfg.dli[1]
         dzci = grid.dzci
         halo = self._halo_y
+        xwalled = self._xwalled
 
         def correc_local(u_, v_, w_, pp_, p_, we_, ppe_, *ex):
+            xeb_ = xzeb_ = None
+            if xwalled:
+                xeb_, xzeb_ = ex[0], ex[1]
+                ex = ex[2:]
             if self._ywalled:
                 ycor_, yzcor_, dt_, al_ = ex
                 ywf_ = self._ywf_shard(u_.dtype)
@@ -1937,6 +1998,11 @@ class Simulation:
                 ycor_ = yzcor_ = ywf_ = None
             if not self._gx_sharded:
                 ys = self._halo_strips([w_, pp_], [we_, ppe_])
+                xkw = {}
+                if xwalled:
+                    xkw = dict(xe=xeb_, xze=xzeb_,
+                               xstrips=self._halo_strips([xeb_],
+                                                         [xzeb_]))
                 return pk.fused_correc_updatep(
                     u_, v_, w_, pp_, p_, we_, ppe_, dt_,
                     dxi, dyi, dzci,
@@ -1945,7 +2011,7 @@ class Simulation:
                     ye=ycor_, yze=yzcor_,
                     ywalls=(True, True) if self._ywalled
                     else (False, False), ywf=ywf_,
-                    alias_p=not first, **imp_kw)
+                    alias_p=not first, **imp_kw, **xkw)
             if self._ywalled:
                 # N.B. the gx>1 y-walled correc call passes only the
                 # patched xe packs — not ye/ywf (the 1D path's in-kernel
@@ -1971,11 +2037,12 @@ class Simulation:
                 interpret=self._pallas_interpret, y_ext=True,
                 alpha=al_, xe=xe, xze=xze,
                 alias_p=not first, **imp_kw)
+        cxargs = (xeb, xzeb) if xwalled else ()
         csargs = ((ycor, yzcor, dtrk, alpha) if self._ywalled
                   else (dtrk, alpha))
-        return self._smap(correc_local, 7,
+        return self._smap(correc_local, 7 + len(cxargs),
                                 len(csargs), 4)(
-            u, v, w, pp, p, we2, ppe, *csargs)
+            u, v, w, pp, p, we2, ppe, *cxargs, *csargs)
 
     def _mom_rhs_xla(self, state, u, v, w, p, visct, f1, f2, f12, first,
                      ru_o, rv_o, rw_o):
@@ -2245,7 +2312,7 @@ class Simulation:
                     outs = self._mom_kernel_sharded(
                         state, u, v, w, p, visct, ue, ve, we, se, pe,
                         ye, yze, ru_o, rv_o, rw_o, f1, f2, split, hs, hsc,
-                        first, nout)
+                        first, nout, xeb=xeb, xzeb=xzeb)
                 else:
                     fuse_fp = self._fuse_mom_fillps
                     scal_kw = {}
@@ -2350,7 +2417,9 @@ class Simulation:
                     rhs = rhs_fused
                 elif self._kernel_sharded:
                     rhs = self._fillps_sharded(u, v, w, ue2, ve2, we2,
-                                               ye2, yze2, dtrk)
+                                               ye2, yze2, dtrk,
+                                               xeb=xkw_f.get('xe'),
+                                               xzeb=xkw_f.get('xze'))
                 else:
                     rhs = pk.fused_fillps(u, v, w, ue2, ve2, we2, dzfi,
                                           1.0 / dtrk, dxi, dyi,
@@ -2416,7 +2485,8 @@ class Simulation:
                 elif self._kernel_sharded:
                     u, v, w, p = self._correc_sharded(
                         u, v, w, pp, p, we2, ppe, ycor, yzcor, dtrk, alpha,
-                        imp_kw, first)
+                        imp_kw, first, xeb=xkw_c.get('xe'),
+                        xzeb=xkw_c.get('xze'))
                 else:
                     u, v, w, p = pk.fused_correc_updatep(
                         u, v, w, pp, p, we2, ppe, dtrk, dxi, dyi, dzci,

@@ -486,6 +486,55 @@ def test_pallas_step_integration_xywalled(monkeypatch):
                                        err_msg=f'vlo[{m}]')
 
 
+def test_pallas_step_integration_xwalled_scalar(monkeypatch):
+    """Passive scalar on an x-walled (inflow/outflow) config: the scalar's
+    x-ghost columns ride the host-built xe bundle after p (lane base 2m
+    follows the kernel window order) with static D/N values
+    (boundary.xedge_scalar), and its transport stays fused in the momentum
+    kernel (scal.f90 under the developing-channel class)."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    base = dict(ng=(128, 16, 16), l=(2.0, 1.5, 1.0), gtype=1, gr=0.0,
+                visci=5000.0, inivel='uni', is_wallturb=False,
+                dtype='float64', sgstype='none',
+                scalar=True, pr=0.71, iniscal='uni', ssource=0.02,
+                cbcscal=(('D', 'P', 'N'), ('N', 'P', 'N')),
+                bcscal=((1.0, 0.0, 0.0), (0.0, 0.0, 0.0)),
+                cbcvel=((('D', 'N', 'N'), ('P', 'P', 'P'),
+                         ('D', 'D', 'D')),
+                        (('N', 'N', 'N'), ('P', 'P', 'P'),
+                         ('D', 'D', 'D'))),
+                bcvel=(((1.0, 0.0, 0.0), (0.0, 0.0, 0.0),
+                        (0.0, 0.0, 0.0)),) * 2,
+                cbcpre=(('N', 'P', 'N'), ('D', 'P', 'N')),
+                cbcsgs=(('N', 'P', 'D'), ('N', 'P', 'D')))
+    results = []
+    for up_ in (False, True):
+        cfg = Config(**base, use_pallas=up_)
+        grid = make_grid_from_config(cfg)
+        sim = Simulation(cfg, grid)
+        if up_:
+            assert sim.use_pallas_mom, sim.exec_path()
+            assert sim._xwalled and sim._scal_kernel_ok, sim.exec_path()
+        s = sim.initial_state(*initflow(cfg, grid))
+        for _ in range(3):
+            s, _ = sim.step(s, 5e-4)
+        results.append(s)
+    a, b = results
+    for f in ('u', 'v', 'w', 's'):
+        np.testing.assert_allclose(np.asarray(getattr(b, f)),
+                                   np.asarray(getattr(a, f)),
+                                   atol=1e-12, err_msg=f)
+    np.testing.assert_allclose(np.asarray(b.p), np.asarray(a.p),
+                               atol=1e-11)
+    for m in range(3):
+        np.testing.assert_allclose(np.asarray(b.vlo[m]),
+                                   np.asarray(a.vlo[m]), atol=1e-12,
+                                   err_msg=f'vlo[{m}]')
+
+
 def test_pallas_step_integration_dsmag(monkeypatch):
     """Dynamic-Smagorinsky TWO-PASS kernel pipeline (DS1+DS2, interpret
     mode) vs the XLA dsmag path: channel, 2 steps, near-bitwise (averaging

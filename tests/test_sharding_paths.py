@@ -621,6 +621,38 @@ def test_ywalled_dsmag_kernel_sharded_matches_single(monkeypatch):
     _compare_kernel_sharded(cfg, (2, 1), assert_flags=flags)
 
 
+def test_xwalled_kernel_sharded_matches_single(monkeypatch):
+    """x-walled (inflow/outflow, developing-channel class) configs on the
+    kernel-SHARDED 1D slab path: the host-built x-ghost-column bundles
+    (ops/boundary.xedge_*) are y-sharded and ride the strips window mode
+    with their own cyclic-ppermute 8-row packs (exact: the x-walled mesh
+    gate requires periodic y).  Parity vs the single-chip kernel path,
+    incl. the retained u inflow-face plane (vlo[0]) and wlo
+    (bound.f90:401-445 under any pencil, initmpi.f90:56-73)."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    base = dict(ng=(128, 32, 16), l=(2.0, 1.5, 1.0), gtype=1, gr=0.0,
+                visci=5000.0, inivel='uni', is_wallturb=False,
+                dtype='float64',
+                cbcvel=((('D', 'N', 'N'), ('P', 'P', 'P'),
+                         ('D', 'D', 'D')),
+                        (('N', 'N', 'N'), ('P', 'P', 'P'),
+                         ('D', 'D', 'D'))),
+                bcvel=(((1.0, 0.0, 0.0), (0.0, 0.0, 0.0),
+                        (0.0, 0.0, 0.0)),) * 2,
+                cbcpre=(('N', 'P', 'N'), ('D', 'P', 'N')),
+                cbcsgs=(('N', 'P', 'D'), ('N', 'P', 'D')))
+    for extra in ({}, dict(impdiff=True, impdiff_1d=True)):
+        cfg = Config(**base, sgstype='none', ptransform='mat', **extra)
+
+        def flags(simN):
+            assert simN._xwalled and not simN._ywalled, simN.exec_path()
+
+        _compare_kernel_sharded(cfg, (2, 1), dt=5e-4, assert_flags=flags,
+                                check_vlo=(0, 2))
+
+
 @pytest.mark.parametrize('avg', ['duct', 'cavity'])
 def test_ywalled_dsmag_kernel_2d_mesh_matches_single(monkeypatch, avg):
     """y-walled dynamic Smagorinsky on a 2D (gy, gx) pencil mesh: the
