@@ -174,7 +174,10 @@ class Simulation:
         if mesh is not None:
             _gxm = dict(zip(mesh.axis_names,
                             mesh.devices.shape)).get('gx', 1)
-            x_mesh_ok = _gxm == 1 and y_periodic
+            # gx == 1 only: periodic y (cyclic bundle strips are exact)
+            # or y-walled (the replicated ye bundle carries the xe corner
+            # section and the in-kernel xe_ybase fixes are ywf-gated)
+            x_mesh_ok = _gxm == 1
         x_wall_ok = (self._xwalled and x_mesh_ok and not self.has_wm
                      and scalar_bcs)
         xy_periodic = x_periodic or x_wall_ok
@@ -1836,7 +1839,8 @@ class Simulation:
                 if xwalled:
                     xkw = dict(xe=xeb_, xze=xzeb_,
                                xstrips=self._halo_strips([xeb_],
-                                                         [xzeb_]))
+                                                         [xzeb_]),
+                               xye=self._ywalled)
                 return pk.fused_mom_rk(
                     u_, v_, w_, s_, p_, ue_, ve_, we_, se_, pe_,
                     *(r123 or (None,) * 3), dzci, dzfi, f1_, f2_,
@@ -1938,7 +1942,8 @@ class Simulation:
                 if xwalled:
                     xkw = dict(xe=xeb_, xze=xzeb_,
                                xstrips=self._halo_strips([xeb_],
-                                                         [xzeb_]))
+                                                         [xzeb_]),
+                               xye=self._ywalled)
                 return pk.fused_fillps(
                     u_, v_, w_, ue_, ve_, we_, dzfi, dti_,
                     dxi, dyi, interpret=self._pallas_interpret,
@@ -2002,7 +2007,8 @@ class Simulation:
                 if xwalled:
                     xkw = dict(xe=xeb_, xze=xzeb_,
                                xstrips=self._halo_strips([xeb_],
-                                                         [xzeb_]))
+                                                         [xzeb_]),
+                               xye=self._ywalled)
                 return pk.fused_correc_updatep(
                     u_, v_, w_, pp_, p_, we_, ppe_, dt_,
                     dxi, dyi, dzci,

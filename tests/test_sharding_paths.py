@@ -653,6 +653,34 @@ def test_xwalled_kernel_sharded_matches_single(monkeypatch):
                                 check_vlo=(0, 2))
 
 
+def test_xywalled_kernel_sharded_matches_single(monkeypatch):
+    """x+y-walled (developing-duct / closed-box class) on the kernel-
+    SHARDED 1D slab path: the y-sharded xe column bundles (own strip
+    packs) compose with the replicated ye bundle carrying the xe corner
+    section — the in-kernel xe_ybase wall-row fixes fire only on the
+    ywf-gated wall shards."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    cfg = Config(ng=(128, 32, 16), l=(2.0, 1.0, 1.0), gtype=1, gr=0.0,
+                 visci=2000.0, inivel='uni', is_wallturb=False,
+                 dtype='float64', sgstype='none', ptransform='mat',
+                 cbcvel=((('D', 'N', 'N'), ('D', 'D', 'D'),
+                          ('D', 'D', 'D')),
+                         (('N', 'N', 'N'), ('D', 'D', 'D'),
+                          ('D', 'D', 'D'))),
+                 bcvel=(((1.0, 0.0, 0.0), (0.0, 0.0, 0.0),
+                         (0.0, 0.0, 0.0)),) * 2,
+                 cbcpre=(('N', 'N', 'N'), ('D', 'N', 'N')),
+                 cbcsgs=(('N', 'D', 'D'), ('N', 'D', 'D')))
+
+    def flags(simN):
+        assert simN._xwalled and simN._ywalled, simN.exec_path()
+
+    _compare_kernel_sharded(cfg, (2, 1), dt=5e-4, assert_flags=flags,
+                            check_vlo=(0, 1, 2))
+
+
 @pytest.mark.parametrize('avg', ['duct', 'cavity'])
 def test_ywalled_dsmag_kernel_2d_mesh_matches_single(monkeypatch, avg):
     """y-walled dynamic Smagorinsky on a 2D (gy, gx) pencil mesh: the
