@@ -174,10 +174,14 @@ class Simulation:
         if mesh is not None:
             _gxm = dict(zip(mesh.axis_names,
                             mesh.devices.shape)).get('gx', 1)
-            # gx == 1 only: periodic y (cyclic bundle strips are exact)
-            # or y-walled (the replicated ye bundle carries the xe corner
-            # section and the in-kernel xe_ybase fixes are ywf-gated)
-            x_mesh_ok = _gxm == 1
+            # gx == 1: periodic y (cyclic bundle strips are exact) or
+            # y-walled (the replicated ye bundle carries the xe corner
+            # section and the in-kernel xe_ybase fixes are ywf-gated).
+            # gx > 1 (y-periodic only): the ppermute'd xe packs carry
+            # valid interior neighbor columns on interior shards; the
+            # gx-edge shards' wall-ghost lanes are replaced from the
+            # host-built recipe bundles (_xe_wall_patch)
+            x_mesh_ok = _gxm == 1 or y_periodic
         x_wall_ok = (self._xwalled and x_mesh_ok and not self.has_wm
                      and scalar_bcs)
         xy_periodic = x_periodic or x_wall_ok
@@ -963,16 +967,39 @@ class Simulation:
                         cols[0].dtype)
         return jnp.concatenate(cols + [pad], axis=-1)
 
-    def _smap(self, fn, n_field_in, n_scalar_in, n_out):
-        """shard_map a per-device kernel wrapper: field args
-        (z, y:'gy', x:'gx'), trailing scalars replicated."""
+    def _xe_wall_patch(self, pack, xeb, nf):
+        """x-WALLED on gx > 1: the cyclic _xe_pack wraps the domain, so
+        the gx-edge shards' ghost lanes hold the OPPOSITE wall's columns —
+        replace them from the host-built global recipe bundle (xeb,
+        replicated over gx, same 2m/2m+1 lane layout): lanes 2m on the
+        first shard (padded x 0), lanes 2m+1 on the last (padded nx+1).
+        Interior shards' ppermute'd neighbor columns are already the
+        correct interior values."""
+        gx = self._gx()
+        ix = jax.lax.axis_index('gx')
+        lane = jax.lax.broadcasted_iota(jnp.int32, pack.shape,
+                                        pack.ndim - 1)
+        lo = (lane % 2 == 0) & (lane < 2 * nf) & (ix == 0)
+        hi = (lane % 2 == 1) & (lane < 2 * nf) & (ix == gx - 1)
+        return jnp.where(lo | hi, xeb, pack)
+
+    def _smap(self, fn, n_field_in, n_scalar_in, n_out, n_xeb_in=0,
+              n_field2_in=0):
+        """shard_map a per-device kernel wrapper: n_field_in field args
+        (z, y:'gy', x:'gx'), then n_xeb_in host-built x-ghost bundles
+        (y-sharded, REPLICATED over gx — their 128 packed lanes are not
+        x-decomposable), then n_field2_in more field args (the momentum
+        kernel's rhs carries), trailing scalars replicated."""
         from jax import shard_map
         from jax.sharding import PartitionSpec as Pspec
         F = Pspec(None, 'gy', 'gx')
+        X = Pspec(None, 'gy', None)
         S = Pspec()
         out_specs = (F,) * n_out if n_out > 1 else F
         return shard_map(fn, mesh=self.mesh,
-                         in_specs=(F,) * n_field_in + (S,) * n_scalar_in,
+                         in_specs=(F,) * n_field_in + (X,) * n_xeb_in
+                                  + (F,) * n_field2_in
+                                  + (S,) * n_scalar_in,
                          out_specs=out_specs, check_vma=False)
 
     # --- z-edge stacks (Pallas kernel input format, ops/boundary.zedge_*) ---
@@ -1883,8 +1910,11 @@ class Simulation:
                            ywalls=(True, True),
                            ywf=self._ywf_shard(u_.dtype))
             else:
-                xe = halo(self._xe_pack(flds))
-                xze = halo(self._xe_pack(efls))
+                xe_p, xze_p = self._xe_pack(flds), self._xe_pack(efls)
+                if xwalled:
+                    xe_p = self._xe_wall_patch(xe_p, xeb_, len(flds))
+                    xze_p = self._xe_wall_patch(xze_p, xzeb_, len(flds))
+                xe, xze = halo(xe_p), halo(xze_p)
             return pk.fused_mom_rk(
                 halo(u_), halo(v_), halo(w_), hl(s_), halo(p_),
                 halo(ue_), halo(ve_), halo(we_), hl(se_),
@@ -1906,8 +1936,9 @@ class Simulation:
             fargs = fargs + (state.s, self._zedge_scal(state.s))
         xargs = (xeb, xzeb) if xwalled else ()
         sargs = (ye, yze, f1, f2) if self._ywalled else (f1, f2)
-        return self._smap(mom_local, nfl + len(xargs) + len(rargs),
-                          len(sargs), nout)(
+        return self._smap(mom_local, nfl, len(sargs), nout,
+                          n_xeb_in=len(xargs),
+                          n_field2_in=len(rargs))(
             *fargs, *xargs, *rargs, *sargs)
 
     def _fillps_sharded(self, u, v, w, ue2, ve2, we2, ye2, yze2, dtrk,
@@ -1966,8 +1997,12 @@ class Simulation:
                            ywalls=(True, True),
                            ywf=self._ywf_shard(u_.dtype))
             else:
-                xe = halo(self._xe_pack([u_, v_, w_]))
-                xze = halo(self._xe_pack([ue_, ve_, we_]))
+                xe_p = self._xe_pack([u_, v_, w_])
+                xze_p = self._xe_pack([ue_, ve_, we_])
+                if xwalled:
+                    xe_p = self._xe_wall_patch(xe_p, xeb_, 3)
+                    xze_p = self._xe_wall_patch(xze_p, xzeb_, 3)
+                xe, xze = halo(xe_p), halo(xze_p)
             return pk.fused_fillps(
                 halo(u_), halo(v_), halo(w_), halo(ue_),
                 halo(ve_), halo(we_), dzfi, dti_, dxi, dyi,
@@ -1976,7 +2011,8 @@ class Simulation:
         fxargs = (xeb, xzeb) if xwalled else ()
         fsargs = ((ye2, yze2, 1.0 / dtrk) if self._ywalled
                   else (1.0 / dtrk,))
-        return self._smap(fillps_local, 6 + len(fxargs), len(fsargs), 1)(
+        return self._smap(fillps_local, 6, len(fsargs), 1,
+                          n_xeb_in=len(fxargs))(
             u, v, w, ue2, ve2, we2, *fxargs, *fsargs)
 
     def _correc_sharded(self, u, v, w, pp, p, we2, ppe, ycor, yzcor,
@@ -2035,8 +2071,12 @@ class Simulation:
                 xze = self._halo_y_patched(
                     self._xe_pack([we_, ppe_]), zlo, zhi)
             else:
-                xe = halo(self._xe_pack([w_, pp_]))
-                xze = halo(self._xe_pack([we_, ppe_]))
+                xe_p = self._xe_pack([w_, pp_])
+                xze_p = self._xe_pack([we_, ppe_])
+                if xwalled:
+                    xe_p = self._xe_wall_patch(xe_p, xeb_, 2)
+                    xze_p = self._xe_wall_patch(xze_p, xzeb_, 2)
+                xe, xze = halo(xe_p), halo(xze_p)
             return pk.fused_correc_updatep(
                 u_, v_, halo(w_), halo(pp_), p_, halo(we_),
                 halo(ppe_), dt_, dxi, dyi, dzci,
@@ -2046,8 +2086,8 @@ class Simulation:
         cxargs = (xeb, xzeb) if xwalled else ()
         csargs = ((ycor, yzcor, dtrk, alpha) if self._ywalled
                   else (dtrk, alpha))
-        return self._smap(correc_local, 7 + len(cxargs),
-                                len(csargs), 4)(
+        return self._smap(correc_local, 7, len(csargs), 4,
+                          n_xeb_in=len(cxargs))(
             u, v, w, pp, p, we2, ppe, *cxargs, *csargs)
 
     def _mom_rhs_xla(self, state, u, v, w, p, visct, f1, f2, f12, first,

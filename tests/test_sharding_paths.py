@@ -653,6 +653,35 @@ def test_xwalled_kernel_sharded_matches_single(monkeypatch):
                                 check_vlo=(0, 2))
 
 
+def test_xwalled_kernel_2d_mesh_matches_single(monkeypatch):
+    """x-walled on a 2D (gy, gx) pencil mesh: the cyclic ppermute'd xe
+    packs carry valid interior neighbor columns on interior shards, and
+    the gx-edge shards' wall-ghost lanes are replaced from the host-built
+    recipe bundles (`_xe_wall_patch`, replicated over gx); u's wall-face
+    rewrite is already patched into the global kernel-input copy, which
+    lives on the last x shard."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = Config(ng=(256, 32, 16), l=(2.0, 1.5, 1.0), gtype=1, gr=0.0,
+                 visci=5000.0, inivel='uni', is_wallturb=False,
+                 dtype='float64', sgstype='none', ptransform='mat',
+                 cbcvel=((('D', 'N', 'N'), ('P', 'P', 'P'),
+                          ('D', 'D', 'D')),
+                         (('N', 'N', 'N'), ('P', 'P', 'P'),
+                          ('D', 'D', 'D'))),
+                 bcvel=(((1.0, 0.0, 0.0), (0.0, 0.0, 0.0),
+                         (0.0, 0.0, 0.0)),) * 2,
+                 cbcpre=(('N', 'P', 'N'), ('D', 'P', 'N')),
+                 cbcsgs=(('N', 'P', 'D'), ('N', 'P', 'D')))
+
+    def flags(simN):
+        assert simN._xwalled and simN._gx_sharded, simN.exec_path()
+
+    _compare_kernel_sharded(cfg, (2, 2), dt=5e-4, assert_flags=flags,
+                            check_vlo=(0, 2))
+
+
 def test_xywalled_kernel_sharded_matches_single(monkeypatch):
     """x+y-walled (developing-duct / closed-box class) on the kernel-
     SHARDED 1D slab path: the y-sharded xe column bundles (own strip
