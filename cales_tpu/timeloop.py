@@ -170,25 +170,20 @@ class Simulation:
         # bundle are cyclic ppermutes, exact under periodic y); x+y-walled
         # stays single-chip.
         self._xwalled = not x_periodic
-        x_mesh_ok = mesh is None
-        if mesh is not None:
-            _gxm = dict(zip(mesh.axis_names,
-                            mesh.devices.shape)).get('gx', 1)
-            # gx == 1: periodic y (cyclic bundle strips are exact) or
-            # y-walled (the replicated ye bundle carries the xe corner
-            # section and the in-kernel xe_ybase fixes are ywf-gated).
-            # gx > 1 (y-periodic only): the ppermute'd xe packs carry
-            # valid interior neighbor columns on interior shards; the
-            # gx-edge shards' wall-ghost lanes are replaced from the
-            # host-built recipe bundles (_xe_wall_patch)
-            x_mesh_ok = _gxm == 1 or y_periodic
-        x_wall_ok = (self._xwalled and x_mesh_ok and not self.has_wm
-                     and scalar_bcs)
+        # mesh coverage of the xedge protocol:
+        # gx == 1: periodic y (cyclic bundle strips are exact) or
+        # y-walled (the replicated ye bundle carries the xe corner
+        # section and the in-kernel xe_ybase fixes are ywf-gated).
+        # gx > 1: the ppermute'd xe packs carry valid interior neighbor
+        # columns on interior shards; the gx-edge shards' wall-ghost
+        # lanes are replaced from the host-built recipe bundles
+        # (_xe_wall_patch) — with y walls their y-ghost rows come from
+        # the ye bundles' xe corner section (_xe_packs_ywalled_gx)
+        x_wall_ok = (self._xwalled and not self.has_wm and scalar_bcs)
         xy_periodic = x_periodic or x_wall_ok
         if self._xwalled and not x_wall_ok:
-            _why('non-periodic x BCs with wall model/scalar/2D mesh/'
-                 'y walls on a mesh (xedge path: scalar-BC, 1D-slab-'
-                 'periodic-y or single-chip only)')
+            _why('non-periodic x BCs with wall model or plane-valued '
+                 'BC values (xedge path: scalar-BC, no wm)')
         nx, ny, nz = cfg.ng
         # kernels under a mesh: per-shard Pallas under shard_map.  y halos
         # arrive as ppermute 8-row strips (y_ext mode); with gx > 1 the
@@ -234,8 +229,13 @@ class Simulation:
         self._scal_kernel_ok = (
             cfg.scalar
             and (mesh is None or self._kernel_sharded)
-            and not any(cfg.lwm[ib][d] != 0 for ib in range(2)
-                        for d in range(3))
+            # wall-modeled faces are fine: the wm only rewrites the
+            # VELOCITY ghost planes (which reach the kernel through the
+            # zedge stacks / ye bundles exactly as without a scalar) —
+            # the scalar's own ghosts stay its static cbcscal recipes
+            # (the reference ships scal.f90 unwired, so the XLA path is
+            # the semantic oracle here; parity-tested in
+            # test_scalar_wmles_kernel_matches_xla)
             # x-walled configs carry the scalar's x ghosts as host-built
             # xe columns (any static letter, xedge_scalar); x-periodic
             # ones have no xe bundle, so the scalar must be x-periodic.
@@ -251,8 +251,8 @@ class Simulation:
                              nx_local, split=self._mom_split,
                              has_scal=True) is not None)
         if cfg.scalar and not self._scal_kernel_ok:
-            _why('scalar transport (non-periodic-x scalar BCs, wall model, '
-                 'x walls, 2D mesh, or no VMEM tiling with the scalar '
+            _why('scalar transport (non-periodic-x scalar BCs, '
+                 'x+y walls, 2D mesh, or no VMEM tiling with the scalar '
                  'window)')
         if not xy_periodic:
             _why('non-periodic x BCs')
@@ -982,6 +982,59 @@ class Simulation:
         lo = (lane % 2 == 0) & (lane < 2 * nf) & (ix == 0)
         hi = (lane % 2 == 1) & (lane < 2 * nf) & (ix == gx - 1)
         return jnp.where(lo | hi, xeb, pack)
+
+    def _xe_vface_patch(self, pack, src, iv):
+        """x+y-walled on gx>1: the host-built xeb columns are recipes of
+        the UN-rewritten global v, so the gx-edge wall lanes' y-face row
+        (the y-staggered wall-face slot _ystag_rw_gx rewrites on the
+        interior columns before packing) must be presented from the ye
+        bundles' xe corner section face row (3*nb+2) on the gy-hi wall
+        shard — the same sequential y-rewrite the single-chip in-kernel
+        xe_ybase fix applies."""
+        gx, gy = self._gx(), self._gy()
+        ix = jax.lax.axis_index('gx')
+        iy = jax.lax.axis_index('gy')
+        lane = jax.lax.broadcasted_iota(jnp.int32, pack.shape,
+                                        pack.ndim - 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, pack.shape,
+                                       pack.ndim - 2)
+        at_face = (row == pack.shape[-2] - 1) & (iy == gy - 1)
+        lo = (lane == 2 * iv) & (ix == 0)
+        hi = (lane == 2 * iv + 1) & (ix == gx - 1)
+        src = jnp.expand_dims(src, -2).astype(pack.dtype)
+        return jnp.where(at_face & (lo | hi), src, pack)
+
+    def _xe_packs_ywalled_gx(self, fx, ex, ye_g, yze_g, ye_l, yze_l,
+                             xeb=None, xzeb=None, nb=None, v_idx=None):
+        """xe/xze extended packs for the gx>1 y-walled kernel branches:
+        cyclic ppermute column packs whose wall-ghost rows (rows 7 /
+        8+ny of the y_ext layout) come from the x neighbors' ye bundle
+        rows (_xe_wall_rows).  x+y-walled configs additionally replace
+        the gx-edge shards' wall LANES from the host-built recipe
+        bundles (xeb/xzeb, _xe_wall_patch) and those lanes' y-ghost rows
+        from the ye bundles' xe corner section (rows 3*nb+0/1 of the
+        GLOBAL, unsliced bundles — the section lanes are xe-lane-packed,
+        not x positions, so the per-shard x slice is not usable there)."""
+        nf = len(fx)
+        lo_r, hi_r = self._xe_wall_rows(ye_l, nf)
+        zlo, zhi = self._xe_wall_rows(yze_l, nf)
+        xep, xzep = self._xe_pack(fx), self._xe_pack(ex)
+        if xeb is not None:
+            wp, L = self._xe_wall_patch, xep.shape[-1]
+            xsb = 3 * (nb if nb is not None else nf)
+            lo_r = wp(lo_r, ye_g[:, xsb, :L], nf)
+            hi_r = wp(hi_r, ye_g[:, xsb + 1, :L], nf)
+            zlo = wp(zlo, yze_g[:, xsb, :L], nf)
+            zhi = wp(zhi, yze_g[:, xsb + 1, :L], nf)
+            xep = wp(xep, xeb, nf)
+            xzep = wp(xzep, xzeb, nf)
+            if v_idx is not None:
+                xep = self._xe_vface_patch(xep, ye_g[:, xsb + 2, :L],
+                                           v_idx)
+                xzep = self._xe_vface_patch(xzep, yze_g[:, xsb + 2, :L],
+                                            v_idx)
+        return (self._halo_y_patched(xep, lo_r, hi_r),
+                self._halo_y_patched(xzep, zlo, zhi))
 
     def _smap(self, fn, n_field_in, n_scalar_in, n_out, n_xeb_in=0,
               n_field2_in=0):
@@ -1900,12 +1953,10 @@ class Simulation:
                       + ([sca_] if hsc else []))
                 ex = ([ue_, vex, we_] + ([se_] if hs else [])
                       + [pe_] + ([scae_] if hsc else []))
-                lo_r, hi_r = self._xe_wall_rows(ye_l, len(fx))
-                zlo, zhi = self._xe_wall_rows(yze_l, len(fx))
-                xe = self._halo_y_patched(self._xe_pack(fx),
-                                          lo_r, hi_r)
-                xze = self._halo_y_patched(self._xe_pack(ex),
-                                           zlo, zhi)
+                xe, xze = self._xe_packs_ywalled_gx(
+                    fx, ex, ye_, yze_, ye_l, yze_l,
+                    xeb=xeb_ if xwalled else None, xzeb=xzeb_,
+                    v_idx=1)
                 ykw = dict(ye=ye_l, yze=yze_l,
                            ywalls=(True, True),
                            ywf=self._ywf_shard(u_.dtype))
@@ -1987,12 +2038,10 @@ class Simulation:
                 yze_l = self._yslice_gx(yze_)
                 vx = self._ystag_rw_gx(v_, ye_l[:, 5])
                 vex = self._ystag_rw_gx(ve_, yze_l[:, 5])
-                lo_r, hi_r = self._xe_wall_rows(ye_l, 3)
-                zlo, zhi = self._xe_wall_rows(yze_l, 3)
-                xe = self._halo_y_patched(
-                    self._xe_pack([u_, vx, w_]), lo_r, hi_r)
-                xze = self._halo_y_patched(
-                    self._xe_pack([ue_, vex, we_]), zlo, zhi)
+                xe, xze = self._xe_packs_ywalled_gx(
+                    [u_, vx, w_], [ue_, vex, we_], ye_, yze_,
+                    ye_l, yze_l, xeb=xeb_ if xwalled else None,
+                    xzeb=xzeb_, v_idx=1)
                 ykw = dict(ye=ye_l, yze=yze_l,
                            ywalls=(True, True),
                            ywf=self._ywf_shard(u_.dtype))
@@ -2064,12 +2113,12 @@ class Simulation:
                 # correc stencil reads on wall shards; kept verbatim.
                 ycor_l = self._yslice_gx(ycor_)
                 yzcor_l = self._yslice_gx(yzcor_)
-                lo_r, hi_r = self._xe_wall_rows(ycor_l, 2)
-                zlo, zhi = self._xe_wall_rows(yzcor_l, 2)
-                xe = self._halo_y_patched(
-                    self._xe_pack([w_, pp_]), lo_r, hi_r)
-                xze = self._halo_y_patched(
-                    self._xe_pack([we_, ppe_]), zlo, zhi)
+                # bundle carries 3 fields (w, pp, v) -> the xe corner
+                # section rides at row base 9, while the pack holds 2
+                xe, xze = self._xe_packs_ywalled_gx(
+                    [w_, pp_], [we_, ppe_], ycor_, yzcor_,
+                    ycor_l, yzcor_l, xeb=xeb_ if xwalled else None,
+                    xzeb=xzeb_, nb=3)
             else:
                 xe_p = self._xe_pack([w_, pp_])
                 xze_p = self._xe_pack([we_, ppe_])

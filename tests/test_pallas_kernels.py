@@ -1142,3 +1142,88 @@ def test_scalar_ywalled_duct_kernel_matches_xla(monkeypatch):
         y = np.asarray(getattr(b, name))
         err = np.abs(x - y).max()
         assert err < 1e-11, f"{name} y-walled fused-scalar mismatch: {err}"
+
+
+def test_scalar_wmles_kernel_matches_xla(monkeypatch):
+    """Passive scalar + wall-modeled channel (log-law z walls): the wm
+    only rewrites the VELOCITY ghost planes — the scalar's ghosts stay
+    its static cbcscal recipes — so the fused scalar window composes
+    with the wm kernel path unchanged.  The reference ships scal.f90
+    unwired (SURVEY §2.1), so the XLA expression path is the oracle."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    base = dict(ng=(128, 16, 16), l=(12.8, 4.8, 2.0), gtype=6,
+                visci=125000.0, inivel='poi', is_wallturb=True,
+                dtype='float64', is_forced=(True, False, False),
+                velf=(1.0, 0.0, 0.0), sgstype='smag',
+                lwm=((0, 0, 1), (0, 0, 1)), hwm=0.1,
+                scalar=True, pr=0.71, iniscal='zer', ssource=0.05,
+                cbcscal=(('P', 'P', 'N'), ('P', 'P', 'N')),
+                cbcvel=((('P', 'P', 'P'), ('P', 'P', 'P'),
+                         ('D', 'D', 'D')),) * 2,
+                cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
+                cbcsgs=(('P', 'P', 'D'), ('P', 'P', 'D')))
+    results = []
+    for use_pallas in (False, True):
+        cfg = Config(**base, use_pallas=use_pallas)
+        grid = make_grid_from_config(cfg)
+        sim = Simulation(cfg, grid)
+        assert sim.use_pallas_mom == use_pallas, sim.exec_path()
+        if use_pallas:
+            assert sim.has_wm and sim._scal_kernel_ok, sim.exec_path()
+        s = sim.initial_state(*initflow(cfg, grid))
+        for _ in range(3):
+            s, _ = sim.step(s, 1e-3)
+        results.append(s)
+    a, b = results
+    for name in ('u', 'v', 'w', 'p', 's', 'visct'):
+        x = np.asarray(getattr(a, name))
+        y = np.asarray(getattr(b, name))
+        if name == 'p':
+            x, y = x - x.mean(), y - y.mean()
+        err = np.abs(x - y).max()
+        assert err < 1e-11, f"{name} wm+scalar kernel mismatch: {err}"
+
+
+def test_scalar_duct_wmles_kernel_matches_xla(monkeypatch):
+    """Passive scalar on the wall-modeled square duct (y/z log-law walls):
+    the wm-updated Neumann planes ride the ye bundles while the scalar's
+    wall ghost rows ride the same bundle with its own static recipes."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    base = dict(ng=(128, 16, 16), l=(12.8, 2.0, 2.0), gtype=1, gr=0.0,
+                visci=20000.0, inivel='duc', is_wallturb=True,
+                dtype='float64', is_forced=(True, False, False),
+                velf=(1.0, 0.0, 0.0), sgstype='smag', hwm=0.2,
+                lwm=((0, 1, 1), (0, 1, 1)),
+                scalar=True, pr=0.71, iniscal='uni', ssource=0.02,
+                cbcscal=(('P', 'N', 'N'), ('P', 'N', 'N')),
+                cbcvel=((('P', 'P', 'P'), ('D', 'D', 'D'),
+                         ('D', 'D', 'D')),) * 2,
+                cbcpre=(('P', 'N', 'N'), ('P', 'N', 'N')),
+                cbcsgs=(('P', 'D', 'D'), ('P', 'D', 'D')))
+    results = []
+    for use_pallas in (False, True):
+        cfg = Config(**base, use_pallas=use_pallas)
+        grid = make_grid_from_config(cfg)
+        sim = Simulation(cfg, grid)
+        assert sim.use_pallas_mom == use_pallas, sim.exec_path()
+        if use_pallas:
+            assert (sim._ywalled and sim.has_wm and sim._wm_fast
+                    and sim._scal_kernel_ok), sim.exec_path()
+        s = sim.initial_state(*initflow(cfg, grid))
+        for _ in range(2):
+            s, _ = sim.step(s, 1e-3)
+        results.append(s)
+    a, b = results
+    for name in ('u', 'v', 'w', 'p', 's', 'visct'):
+        x = np.asarray(getattr(a, name))
+        y = np.asarray(getattr(b, name))
+        if name == 'p':
+            x, y = x - x.mean(), y - y.mean()
+        err = np.abs(x - y).max()
+        assert err < 1e-11, f"{name} duct-wm+scalar kernel mismatch: {err}"

@@ -710,6 +710,38 @@ def test_xywalled_kernel_sharded_matches_single(monkeypatch):
                             check_vlo=(0, 1, 2))
 
 
+def test_xywalled_kernel_2d_mesh_matches_single(monkeypatch):
+    """x+y-walled (developing-duct / closed-box class) on a 2D (gy, gx)
+    pencil mesh — the last wall-topology decomposition hole: the cyclic
+    xe packs get BOTH host-side patches composed (_xe_packs_ywalled_gx):
+    wall-ghost ROWS from the x neighbors' ye bundle rows, gx-edge wall
+    LANES from the host-built xedge recipe bundles, and those lanes'
+    corner entries from the ye bundles' xe corner section.  The
+    reference runs any BC set under any pencil (initmpi.f90:56-73,
+    bound.f90:401-445)."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = Config(ng=(256, 32, 16), l=(2.0, 1.0, 1.0), gtype=1, gr=0.0,
+                 visci=2000.0, inivel='uni', is_wallturb=False,
+                 dtype='float64', sgstype='none', ptransform='mat',
+                 cbcvel=((('D', 'N', 'N'), ('D', 'D', 'D'),
+                          ('D', 'D', 'D')),
+                         (('N', 'N', 'N'), ('D', 'D', 'D'),
+                          ('D', 'D', 'D'))),
+                 bcvel=(((1.0, 0.0, 0.0), (0.0, 0.0, 0.0),
+                         (0.0, 0.0, 0.0)),) * 2,
+                 cbcpre=(('N', 'N', 'N'), ('D', 'N', 'N')),
+                 cbcsgs=(('N', 'D', 'D'), ('N', 'D', 'D')))
+
+    def flags(simN):
+        assert (simN._xwalled and simN._ywalled
+                and simN._gx_sharded), simN.exec_path()
+
+    _compare_kernel_sharded(cfg, (2, 2), dt=5e-4, assert_flags=flags,
+                            check_vlo=(0, 1, 2))
+
+
 @pytest.mark.parametrize('avg', ['duct', 'cavity'])
 def test_ywalled_dsmag_kernel_2d_mesh_matches_single(monkeypatch, avg):
     """y-walled dynamic Smagorinsky on a 2D (gy, gx) pencil mesh: the
