@@ -2103,14 +2103,21 @@ class Simulation:
                     ywalls=(True, True) if self._ywalled
                     else (False, False), ywf=ywf_,
                     alias_p=not first, **imp_kw, **xkw)
+            ykw = {}
             if self._ywalled:
-                # N.B. the gx>1 y-walled correc call passes only the
-                # patched xe packs — not ye/ywf (the 1D path's in-kernel
-                # wall fixes).  Decomposition invariance is pinned at
-                # 1e-11 incl. the vlo planes
-                # (test_ywalled_kernel_2d_mesh_matches_single), so the
-                # extended arrays + patched packs carry everything the
-                # correc stencil reads on wall shards; kept verbatim.
+                # the gx>1 y-walled correc needs the SAME in-kernel ye
+                # fixes as the 1D path (sliced bundle rows + ywf): the
+                # plain halo extension puts cyclic WRAP rows above the
+                # wall shard's pp window, and v's face slot must enter
+                # the correction from the prediction fill's rewrite row
+                # (bundle row 8), not the raw RK value.  y-symmetric
+                # flows (duct startup) mask the wrap read exactly —
+                # caught by the x+y-walled test, which breaks the
+                # symmetry (test_xywalled_kernel_2d_mesh_matches_single).
+                # xye stays False: the sliced bundle's lanes are the
+                # shard's x block, NOT section lanes, on ix>0 shards;
+                # the xe packs' wall rows are host-patched instead
+                # (_xe_packs_ywalled_gx).
                 ycor_l = self._yslice_gx(ycor_)
                 yzcor_l = self._yslice_gx(yzcor_)
                 # bundle carries 3 fields (w, pp, v) -> the xe corner
@@ -2119,6 +2126,8 @@ class Simulation:
                     [w_, pp_], [we_, ppe_], ycor_, yzcor_,
                     ycor_l, yzcor_l, xeb=xeb_ if xwalled else None,
                     xzeb=xzeb_, nb=3)
+                ykw = dict(ye=ycor_l, yze=yzcor_l,
+                           ywalls=(True, True), ywf=ywf_)
             else:
                 xe_p = self._xe_pack([w_, pp_])
                 xze_p = self._xe_pack([we_, ppe_])
@@ -2131,7 +2140,7 @@ class Simulation:
                 halo(ppe_), dt_, dxi, dyi, dzci,
                 interpret=self._pallas_interpret, y_ext=True,
                 alpha=al_, xe=xe, xze=xze,
-                alias_p=not first, **imp_kw)
+                alias_p=not first, **ykw, **imp_kw)
         cxargs = (xeb, xzeb) if xwalled else ()
         csargs = ((ycor, yzcor, dtrk, alpha) if self._ywalled
                   else (dtrk, alpha))

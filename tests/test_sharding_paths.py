@@ -738,6 +738,9 @@ def test_xywalled_kernel_2d_mesh_matches_single(monkeypatch):
         assert (simN._xwalled and simN._ywalled
                 and simN._gx_sharded), simN.exec_path()
 
+    # this test is the only sharded witness whose flow is y-ASYMMETRIC
+    # (x walls break the duct startup symmetry): it is what caught the
+    # gx>1 correc wrap-row read that symmetric configs cancel exactly
     _compare_kernel_sharded(cfg, (2, 2), dt=5e-4, assert_flags=flags,
                             check_vlo=(0, 1, 2))
 
