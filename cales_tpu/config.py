@@ -132,9 +132,11 @@ class Config:
     # (mat on TPU for n <= 4096, where XLA's FFT lowering is copy-bound;
     # fft elsewhere)
     ptransform: str = 'auto'
-    # Pallas mega-kernels for the hot stencils (momentum+RK, static-Smag)
-    # when eligible (TPU, f32, periodic x/y, explicit diffusion, no mesh);
-    # ineligible configurations always fall back to the XLA expression path
+    # Pallas mega-kernels for the hot stencils (momentum+RK, sgs, correc)
+    # when eligible (TPU f32; all wall topologies incl. x/y walls, wall
+    # models, implicit diffusion, scalar, 1D/2D meshes — see
+    # Simulation.exec_path() for the live gate report); the few remaining
+    # ineligible corners fall back to the XLA expression path (PARITY.md)
     use_pallas: bool = True
 
     # --- passive scalar (reference ships scal.f90/rk_scal unwired;

@@ -3,8 +3,20 @@
 The XLA expression path materializes ~80 intermediates per call (12 padded
 copies, 18 three-stage separable filters, products, extrapolations) and
 moves ~9 GB/substep at 256x128x128 — bandwidth-bound at ~840 GB/s but ~15x
-the structural traffic.  These kernels compute the Germano-Lilly pipeline
-in two passes:
+the structural traffic.  Two kernel designs live here:
+
+  ONE-PASS (fused_dsmag_onepass, the DEFAULT whenever its tile budget
+      fits — see `fused_tiles`; CALES_DSMAG_TWOPASS=1 forces the
+      fallback): a single z-march with staged VMEM plane rings — stage A
+      computes the 15 source planes (|S|Sij products, centered velocity,
+      its products), stage B the 27-point-filtered quantities, stage C the
+      test-filter strain + Mij/Lij contraction.  The filtered-velocity
+      ghost fill is synthesized in-register (the eligible BC class has
+      plane-local/linear recipes; w is never read at k=+1, v never at
+      j=+1).  Reads 3 fields, writes 1-3 — vs ~25 words/cell two-pass.
+
+  TWO-PASS (fused_dsmag_level1/level2, fallback when the one-pass ring
+      budget doesn't fit):
 
   DS1 (grid level, fused_dsmag_level1): velocity windows (z +-2) -> strain
       rate s0/sij (strain_rate_core) -> |S|Sij products -> 27-point top-hat
@@ -25,7 +37,10 @@ in two passes:
       reduction), or cell-wise num/den for 'cavity'.
 
 Eligibility (checked by the caller, timeloop): the momentum-kernel
-conditions (TPU f32, periodic x/y, no mesh) plus sgstype='dsmag', the 3D
+conditions (TPU f32; periodic OR y-walled — duct/cavity ride the ye
+bundles; meshes: 1D (gy) slabs since r3, 2D (gy,gx) pencils since r4 via
+the 64-lane ppermute'd x-halo extensions `_halo_x` — the filter chain
+needs 3-deep x ghosts) plus sgstype='dsmag', the 3D
 filter (not filter_2d), no wall model anywhere, and each z face either a
 velocity wall (Dirichlet normal component -> product ghosts by
 extrapolation, sgs.f90:682-767 with fac_cbc=1) or a homogeneous-Neumann

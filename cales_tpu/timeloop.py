@@ -164,11 +164,12 @@ class Simulation:
         # edge-lane roll-fix protocol (ops/boundary.xedge_*) — no ppermute,
         # the columns come from the BC recipes; u's wall-face rewrite slot
         # is patched into the kernel-input copy host-side.  Scalar static
-        # BCs, no wall model (v1 scope).  Meshes: 1D (gy) slabs with
-        # periodic y only (the bundles are y-sharded and ride the strips
-        # window mode with their own 8-row packs; the y halos of the
-        # bundle are cyclic ppermutes, exact under periodic y); x+y-walled
-        # stays single-chip.
+        # BCs, no wall model (v1 scope).  Meshes: 1D (gy) slabs (periodic
+        # y: the y-sharded bundles ride the strips window mode with their
+        # own cyclic-ppermute 8-row packs; y-walled: the xye plumbing
+        # passes them with the ye corner sections) and 2D (gy,gx) pencils
+        # (gx-edge shards' xe pack wall lanes replaced from the host-built
+        # recipe bundles, _xe_wall_patch / _xe_packs_ywalled_gx).
         self._xwalled = not x_periodic
         # mesh coverage of the xedge protocol:
         # gx == 1: periodic y (cyclic bundle strips are exact) or
