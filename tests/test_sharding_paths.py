@@ -29,9 +29,31 @@ from cales_tpu.parallel.mesh import make_mesh, field_sharding
 DIMS = (2, 4)
 
 
+def _perturbed(cfg, grid, scale=1e-2, seed=20260820):
+    """initflow ICs + a seeded, fully x/y/z-ASYMMETRIC random perturbation.
+
+    EVERY sharded parity witness in this file must use this instead of bare
+    initflow: symmetric startup flows (duct 'duc', channel 'log', 'uni') can
+    cancel whole families of ghost-row/lane bugs EXACTLY — the round-4 gx>1
+    y-walled correc wrap-row read shipped precisely because y-symmetric
+    flows masked the bad read.  The fixed seed makes the noise deterministic,
+    so the single-device and sharded runs see bit-identical ICs (the same
+    decomposition-invariance discipline as the reference, utils.f90:17-24).
+    """
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+
+    def pert(f):
+        f = np.asarray(f)
+        return jnp.asarray(f + scale * rng.standard_normal(f.shape).astype(f.dtype))
+
+    u, v, w, p = initflow(cfg, grid)
+    return pert(u), pert(v), pert(w), pert(p)
+
+
 def _run(cfg, mesh=None, nsteps=3, dt=2e-3):
     grid = make_grid_from_config(cfg)
-    u, v, w, p = initflow(cfg, grid)
+    u, v, w, p = _perturbed(cfg, grid)
     sim = Simulation(cfg, grid, mesh=mesh)
     s = sim.initial_state(u, v, w, p)
     if mesh is not None:
@@ -125,7 +147,7 @@ def test_kernel_path_sharded_matches_single(monkeypatch):
                  is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
                  sgstype='smag', ptransform='mat', **_channel_bcs)
     grid = make_grid_from_config(cfg)
-    u, v, w, p = initflow(cfg, grid)
+    u, v, w, p = _perturbed(cfg, grid)
     dt = 1e-3
 
     sim1 = Simulation(cfg, grid)
@@ -167,7 +189,7 @@ def test_sharded_pallas_solve_matches_single(monkeypatch):
                  is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
                  sgstype='smag', ptransform='mat', **_channel_bcs)
     grid = make_grid_from_config(cfg)
-    u, v, w, p = initflow(cfg, grid)
+    u, v, w, p = _perturbed(cfg, grid)
     dt = 1e-3
 
     sim1 = Simulation(cfg, grid)
@@ -211,7 +233,7 @@ def test_impdiff_1d_kernel_sharded_matches_single(monkeypatch):
                  sgstype='none', impdiff=True, impdiff_1d=True,
                  ptransform='mat', **_channel_bcs)
     grid = make_grid_from_config(cfg)
-    u, v, w, p = initflow(cfg, grid)
+    u, v, w, p = _perturbed(cfg, grid)
     dt = 1e-3
 
     sim1 = Simulation(cfg, grid)
@@ -253,7 +275,7 @@ def test_dsmag_kernel_path_sharded_matches_single(monkeypatch):
                  sgstype='dsmag', dsmag_avg='channel', ptransform='mat',
                  **_channel_bcs)
     grid = make_grid_from_config(cfg)
-    u, v, w, p = initflow(cfg, grid)
+    u, v, w, p = _perturbed(cfg, grid)
     dt = 1e-3
 
     sim1 = Simulation(cfg, grid)
@@ -297,7 +319,7 @@ def test_kernel_path_2d_mesh_matches_single(monkeypatch):
                  is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
                  sgstype='smag', ptransform='mat', **_channel_bcs)
     grid = make_grid_from_config(cfg)
-    u, v, w, p = initflow(cfg, grid)
+    u, v, w, p = _perturbed(cfg, grid)
     dt = 1e-3
 
     sim1 = Simulation(cfg, grid)
@@ -344,7 +366,7 @@ def test_dsmag_kernel_path_2d_mesh_matches_single(monkeypatch):
                  sgstype='dsmag', dsmag_avg='channel', ptransform='mat',
                  **_channel_bcs)
     grid = make_grid_from_config(cfg)
-    u, v, w, p = initflow(cfg, grid)
+    u, v, w, p = _perturbed(cfg, grid)
     dt = 1e-3
 
     sim1 = Simulation(cfg, grid)
@@ -389,7 +411,7 @@ def test_kernel_path_sharded_dns_no_sgs(monkeypatch):
                  is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
                  sgstype='none', ptransform='mat', **_channel_bcs)
     grid = make_grid_from_config(cfg)
-    u, v, w, p = initflow(cfg, grid)
+    u, v, w, p = _perturbed(cfg, grid)
     dt = 1e-3
 
     sim1 = Simulation(cfg, grid)
@@ -435,7 +457,7 @@ def test_scalar_kernel_sharded_matches_single(monkeypatch):
                  cbcscal=(('P', 'P', 'N'), ('P', 'P', 'N')),
                  **_channel_bcs)
     grid = make_grid_from_config(cfg)
-    u, v, w, p = initflow(cfg, grid)
+    u, v, w, p = _perturbed(cfg, grid)
     dt = 1e-3
 
     sim1 = Simulation(cfg, grid)
@@ -476,7 +498,7 @@ def _compare_kernel_sharded(cfg, mesh_shape, nsteps=2, dt=1e-3, tol=1e-11,
                             assert_flags=None, check_vlo=()):
     """Single-device kernel path vs the kernel-sharded path (interpret)."""
     grid = make_grid_from_config(cfg)
-    u, v, w, p = initflow(cfg, grid)
+    u, v, w, p = _perturbed(cfg, grid)
 
     sim1 = Simulation(cfg, grid)
     assert sim1.use_pallas_mom, sim1.exec_path()
@@ -738,9 +760,6 @@ def test_xywalled_kernel_2d_mesh_matches_single(monkeypatch):
         assert (simN._xwalled and simN._ywalled
                 and simN._gx_sharded), simN.exec_path()
 
-    # this test is the only sharded witness whose flow is y-ASYMMETRIC
-    # (x walls break the duct startup symmetry): it is what caught the
-    # gx>1 correc wrap-row read that symmetric configs cancel exactly
     _compare_kernel_sharded(cfg, (2, 2), dt=5e-4, assert_flags=flags,
                             check_vlo=(0, 1, 2))
 
