@@ -48,13 +48,37 @@ def bc_plane_shapes(ng):
 def make_bc_values(ng, vals, dtype):
     """Per-face BC values from namelist scalars (initbc, bound.f90:764-795).
 
-    Kept as python scalars (broadcast in-kernel): materializing them as
-    full planes at trace time would inline megabytes of literal constants
-    into the HLO and blow up TPU compile time.  The wall model promotes the
-    faces it owns to full traced planes (wallmodel.update_wallmodel_bcs)."""
-    del ng, dtype
-    return tuple(tuple(float(vals[idir][ib]) for ib in range(2))
-                 for idir in range(3))
+    Scalars are kept as python scalars (broadcast in-kernel): materializing
+    them as full planes at trace time would inline megabytes of literal
+    constants into the HLO and blow up TPU compile time.  The wall model
+    promotes the faces it owns to full traced planes
+    (wallmodel.update_wallmodel_bcs).
+
+    A 2-D array entry (round 5) is a USER-SUPPLIED plane-valued BC — an
+    inflow profile, a nonuniform moving lid, wall transpiration (the
+    reference holds every BC as a plane internally, bound.f90:764-795) —
+    kept as a padded (t1+2, t2+2) device plane; every downstream recipe
+    (_bc_row/_corner_rows/_corner_cols/ensure_plane) already crops or
+    slices planes.  One static plane is ~0.5 MB at the 512-class — far
+    below the inlined-literal compile hazard (full 3-D fields)."""
+    shapes = bc_plane_shapes(ng)
+    axes = ('x', 'y', 'z')
+    out = []
+    for idir in range(3):
+        pair = []
+        for ib in range(2):
+            v = vals[idir][ib]
+            if hasattr(v, 'ndim') and getattr(v, 'ndim', 0) == 2:
+                want = shapes[axes[idir]]
+                if tuple(v.shape) != want:
+                    raise ValueError(
+                        f'plane-valued BC for direction {axes[idir]} must '
+                        f'have padded shape {want}, got {tuple(v.shape)}')
+                pair.append(jnp.asarray(v, dtype))
+            else:
+                pair.append(float(v))
+        out.append(tuple(pair))
+    return tuple(out)
 
 
 def ensure_plane(val, shape, dtype):
@@ -431,14 +455,29 @@ def _xcols_face(q, letters, bcvals, dr, lo_keep=None, keep=False):
     return jnp.stack([lo, hi, newlast], axis=2)
 
 
-def _zedge_of_xcols(cols, letters, bcval_scalars, dr, face=False,
+def _corner_cols(val, dtype):
+    """z-direction BC value at the x-column-stack column positions
+    [padded x 0, padded x nx+1, padded x nx]: scalars pass through;
+    a padded (ny+2, nx+2) plane (wall-model Neumann values) contributes
+    its matching columns, shape (ny, 3), broadcasting against the (ny, 3)
+    x-column planes of _zedge_of_xcols — the x analogue of _corner_rows
+    (x-walled + z-wall-model kernel path, round 5)."""
+    if hasattr(val, 'ndim') and getattr(val, 'ndim', 0) == 2:
+        return jnp.stack([val[:, 0], val[:, -1], val[:, -2]],
+                         axis=1)[1:-1].astype(dtype)
+    return val
+
+
+def _zedge_of_xcols(cols, letters, bcvals, dr, face=False,
                     vlo_plane=None, keep=False):
     """z-edge stack (3, ny, 3) of a (nz, ny, 3) x-column stack — the corner
     values of the sequential x->y->z fill: the z formula applied to the
-    x-ghost columns.  BC values must be scalars (x-wall-modeled faces are
-    gated off the kernel path)."""
+    x-ghost columns.  BC values are scalars or padded (ny+2, nx+2) planes
+    (z-wall-model Neumann values; their x-ghost/rewrite columns are what
+    the sequential fill reads there — _corner_cols)."""
     first, second_last, last = cols[0], cols[-2], cols[-1]
-    b0, b1 = bcval_scalars
+    b0 = _corner_cols(bcvals[0], cols.dtype)
+    b1 = _corner_cols(bcvals[1], cols.dtype)
     if not face:
         if letters[0] == 'P':
             lo, hi = last, first
@@ -455,10 +494,10 @@ def _zedge_of_xcols(cols, letters, bcval_scalars, dr, face=False,
                         vlo_plane[1:-1, -2]], axis=1).astype(cols.dtype)
         hi = second_last if letters[1] == 'D' else last
         return jnp.stack([lo, last, hi])
-    lo = jnp.full_like(first, b0) if letters[0] == 'D' \
+    lo = _bfill(b0, first) if letters[0] == 'D' \
         else -dr[0] * b0 + first
     if letters[1] == 'D':
-        newlast, hi = jnp.full_like(first, b1), second_last
+        newlast, hi = _bfill(b1, first), second_last
     else:
         newlast, hi = dr[1] * b1 + second_last, last
     return jnp.stack([lo, newlast, hi])
@@ -469,8 +508,11 @@ def xedge_velocity(u, v, w, cbcvel, bcu, bcv, bcw, dl, dzc, dzf,
     """x-ghost-column stacks (nz, ny, 3) for (u, v, w) + their z-edge
     corner stacks (3, ny, 3) — the x-wall kernel-input protocol (cols
     [padded x 0, padded x nx+1, padded x nx]).  Same semantics as
-    pad_velocity's x and z passes; scalar static BC values only (x-wall
-    wall models are gated off the kernel path)."""
+    pad_velocity's x and z passes; bcu/bcv/bcw z-direction values may be
+    z-wall-model-updated planes (the timeloop passes the freshly-updated
+    pytrees, exactly as for the ye bundles — _corner_cols slices their
+    x-ghost columns); x-direction values are static scalars (x-wall wall
+    models stay off the kernel path)."""
     nz = u.shape[0]
     dr_x = (dl[0], dl[0])
     dr_z_par = (float(dzc[0]), float(dzc[nz]))

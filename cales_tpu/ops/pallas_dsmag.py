@@ -789,8 +789,16 @@ def fused_tiles(nz, ny, itemsize, nx):
     # larger tz first: the kernel is VPU-bound and each (k, j) tile pays
     # a (tz+2)/tz warmup-row overhead in stages A/B (measured: the whole
     # pipeline runs ~8 ms/substep at 512x256x256 f32, ~9x its HBM floor)
-    for tz, ty in ((32, 64), (16, 64), (8, 64), (16, 32), (8, 32), (8, 16),
-                   (4, 16), (4, 8), (2, 8)):
+    cands = ((32, 64), (16, 64), (8, 64), (16, 32), (8, 32), (8, 16),
+             (4, 16), (4, 8), (2, 8))
+    import os
+    pref = os.environ.get('CALES_DSMAG_TILES', '')
+    if pref:
+        # bench override, e.g. CALES_DSMAG_TILES=64x64 — still budget- and
+        # divisibility-checked below, so a bad pick falls through
+        tzp, typ = (int(s) for s in pref.split('x'))
+        cands = ((tzp, typ),) + cands
+    for tz, ty in cands:
         if nz % tz or ny % ty or tz < 2:
             continue
         win = 2 * (tz + 4) * (ty + 16) * nx * itemsize

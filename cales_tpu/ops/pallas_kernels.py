@@ -1607,7 +1607,8 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
     x-spectral from the solve's skip_bwd_x path and the window is
     inverse-transformed in-register on the idle MXU (the x-transform
     fusion for the no-smag correc classes: sgs none / impdiff / periodic
-    z).  Single-chip, periodic x/y only (no xe/ye/strips)."""
+    z / y-walled duct+cavity).  Single-chip only (no xe/strips); with ye
+    the bundle's pp rows must arrive physical (timeloop inverts them)."""
     nz, ny, nx = u.shape
     dt = u.dtype
     if nx % 128 or ny % 8:
@@ -1632,8 +1633,13 @@ def fused_correc_updatep(u, v, w, pp, p, we, ppe, dtrk, dxi, dyi, dzci,
     has_xstrips = xstrips is not None
     assert not has_xstrips or (has_xe and has_ystrips)
     has_xopi = xopi is not None
-    assert not (has_xopi and (has_xe or has_ye or has_ystrips or y_ext)), \
-        'x-transform fusion: single-chip periodic-x/y correc only'
+    # xopi composes with ye (y-walled duct/cavity class): the window
+    # transform runs BEFORE the accessor's ye ghost-row substitution, so
+    # the bundle's pp rows must arrive PHYSICAL (the caller inverts them
+    # host-side — timeloop builds them from spectral pp via the
+    # x-pointwise linear-homogeneous recipes and applies xopi to the rows)
+    assert not (has_xopi and (has_xe or has_ystrips or y_ext)), \
+        'x-transform fusion: single-chip correc only'
     xargs = (xe, xze) if has_xe else ()
     yargs = (ye, yze) if has_ye else ()
     sargs = tuple(ystrips) if has_ystrips else ()

@@ -94,6 +94,7 @@ class Simulation:
             np.isscalar(b[idir][ib]) or np.ndim(b[idir][ib]) == 0
             for b in (self.bcu_vals, self.bcv_vals, self.bcw_vals)
             for idir in range(3) for ib in range(2))
+        self._scalar_bcs = scalar_bcs
         self._wm_fast = (
             self.has_wm
             and not any(cfg.lwm[ib][0] != 0 for ib in range(2))
@@ -180,11 +181,29 @@ class Simulation:
         # lanes are replaced from the host-built recipe bundles
         # (_xe_wall_patch) — with y walls their y-ghost rows come from
         # the ye bundles' xe corner section (_xe_packs_ywalled_gx)
-        x_wall_ok = (self._xwalled and not self.has_wm and scalar_bcs)
+        # x-walled + wall model (round 5): a z-ONLY wall model composes
+        # with the xedge protocol — the xe column bundles are built from
+        # the wm-updated Neumann planes each substep exactly as the ye
+        # bundles are (boundary._corner_cols slices the planes' x-ghost
+        # columns for the z-corner stacks).  x-wall wall models would
+        # need wm-built columns, and y-wall wall models plane-valued
+        # recipes in the xye corner section — both stay on the XLA path.
+        wm_z_only = (self.has_wm
+                     and not any(cfg.lwm[ib][d] != 0
+                                 for ib in range(2) for d in (0, 1)))
+        # plane-valued STATIC BCs (inflow profiles etc., round 5) ride the
+        # same bundle builders as the wall-model planes (_bc_row /
+        # _corner_rows / _corner_cols crop them), so they only exclude the
+        # x+y-walled corner sections (_xye_section bakes scalars)
+        x_wall_ok = (self._xwalled
+                     and (scalar_bcs or not self._ywalled)
+                     and (not self.has_wm
+                          or (wm_z_only and not self._ywalled)))
         xy_periodic = x_periodic or x_wall_ok
         if self._xwalled and not x_wall_ok:
-            _why('non-periodic x BCs with wall model or plane-valued '
-                 'BC values (xedge path: scalar-BC, no wm)')
+            _why('non-periodic x BCs with an x/y wall model or '
+                 'plane-valued BC values at x+y walls (xedge path: z-only '
+                 'wm; corner sections bake scalars)')
         nx, ny, nz = cfg.ng
         # kernels under a mesh: per-shard Pallas under shard_map.  y halos
         # arrive as ppermute 8-row strips (y_ext mode); with gx > 1 the
@@ -240,9 +259,11 @@ class Simulation:
             # x-walled configs carry the scalar's x ghosts as host-built
             # xe columns (any static letter, xedge_scalar); x-periodic
             # ones have no xe bundle, so the scalar must be x-periodic.
-            # Scalar + x AND y walls (corner sections) stays XLA.
+            # Scalar + x AND y walls rides the xye corner-section protocol
+            # (_xye_entries has_scal) — single-chip (round 5).
             and (all(cfg.cbcscal[ib][0] == 'P' for ib in range(2))
-                 if not self._xwalled else not self._ywalled)
+                 if not self._xwalled
+                 else (not self._ywalled or mesh is None))
             # y-walled configs carry the scalar's wall ghosts in the ye
             # bundle (any letter); with periodic-y velocity there is no
             # bundle, so the scalar must be y-periodic too
@@ -252,9 +273,9 @@ class Simulation:
                              nx_local, split=self._mom_split,
                              has_scal=True) is not None)
         if cfg.scalar and not self._scal_kernel_ok:
-            _why('scalar transport (non-periodic-x scalar BCs, '
-                 'x+y walls, 2D mesh, or no VMEM tiling with the scalar '
-                 'window)')
+            _why('scalar transport (non-periodic-x scalar BCs without x '
+                 'walls, x+y walls on a mesh, or no VMEM tiling with the '
+                 'scalar window)')
         if not xy_periodic:
             _why('non-periodic x BCs')
         if not tiles_ok:
@@ -295,6 +316,9 @@ class Simulation:
             self.use_pallas_smag and not self._kernel_sharded
             and mesh is None and not self._ywalled and not cfg.impdiff
             and (not self.has_wm or self._wm_z_fast)
+            # the in-kernel z-ghost recipes bake SCALAR values (zrec);
+            # plane-valued BCs keep the separate (plane-capable) kernels
+            and self._scalar_bcs
             and cfg.cbc_vel(2, 0)[0] != 'P'
             and _os.environ.get('CALES_NO_FUSE_SMAG', '') != '1')
         if self._fuse_correc_smag:
@@ -329,7 +353,7 @@ class Simulation:
         self._fuse_mom_fillps = (
             self.use_pallas_mom and self._mom_split is None
             and mesh is None and not self._ywalled and not self._xwalled
-            and not self.has_wm
+            and not self.has_wm and self._scalar_bcs
             and not cfg.scalar
             and cfg.cbc_vel(2, 2)[0] != 'P' and not cfg.is_forced[2]
             and _os.environ.get('CALES_FUSE_FILLPS', '') == '1'
@@ -377,13 +401,21 @@ class Simulation:
             isinstance(pl_, (int, float, np.floating, np.ndarray))
             and np.all(np.asarray(pl_) == 0.0) for pl_ in self.rhsb_p.values())
         # the fusion rides either the correc+smag kernel or (round 4) the
-        # plain fused_correc_updatep kernel (sgs none / impdiff / periodic
-        # z: triperiodic + impdiff channel classes), single-chip periodic
-        # x/y only — walls would need the ye/xe pp bundle rows transformed
+        # plain fused_correc_updatep kernel, single-chip: periodic x/y
+        # (triperiodic + impdiff channel classes) and (round 5) y-walled
+        # (duct/cavity/dsmag classes) — the pp y-bundle recipes are
+        # x-pointwise, linear and homogeneous under the bcpre==0 gate
+        # below, so they commute with the x transform: the host applies
+        # them to the spectral pp and inverse-transforms ONLY the bundle
+        # rows (tiny matmuls); the kernel window transform runs before the
+        # accessor's ye ghost-row substitution, which then drops the
+        # transformed wrap-garbage rows at wall tiles.  x-walled stays
+        # out: the xe ghost COLUMNS are not recoverable from spectral pp
+        # without a full-field contraction per column.
         xop_correc_ok = (
             self._fuse_correc_smag
             or (self.use_pallas_mom and mesh is None
-                and not self._ywalled and not self._xwalled))
+                and not self._xwalled))
         self._fuse_xop = (
             xop_correc_ok
             and self.solver_p.trx.kind == 'mat'
@@ -874,10 +906,14 @@ class Simulation:
             return jnp.concatenate(cols + [pad], axis=-1)
         return pack(rows), pack(zrows)
 
-    def _xye_entries(self, cstks, with_p=True, correc_wp=False):
+    def _xye_entries(self, cstks, with_p=True, correc_wp=False,
+                     has_scal=False):
         """Entry specs for _xye_section in xe-lane order: velocity triple
-        (+ visct + pressure, mom site), prediction triple (fillps), or
-        the (w, pp) pair (correc site)."""
+        (+ visct + pressure + passive scalar, mom site), prediction triple
+        (fillps), or the (w, pp) pair (correc site).  has_scal: the last
+        stack is the passive scalar's x-ghost columns (its own cbcscal
+        recipes) — must be passed explicitly, the length heuristic below
+        cannot tell a trailing scalar from visct."""
         cfg = self.cfg
         ylts = lambda iv: (self.cbcvel[0][1][iv], self.cbcvel[1][1][iv])
         zlts = lambda iv: (self.cbcvel[0][2][iv], self.cbcvel[1][2][iv])
@@ -891,7 +927,7 @@ class Simulation:
                (cstks[1], 'v', ylts(1), bcs[1][1], zlts(1), bcs[1][2]),
                (cstks[2], 'w', ylts(2), bcs[2][1], zlts(2), bcs[2][2])]
         k = 3
-        if len(cstks) > (3 + with_p):
+        if len(cstks) - has_scal > (3 + with_p):
             cbcs = tuple((cfg.cbcsgs[0][d], cfg.cbcsgs[1][d])
                          for d in range(3))
             out.append((cstks[k], 'c', cbcs[1], self.bcs_vals[1],
@@ -900,6 +936,14 @@ class Simulation:
         if with_p:
             out.append((cstks[k], 'c', self.cbcpre[1], self.bcp_vals[1],
                         self.cbcpre[2], self.bcp_vals[2]))
+            k += 1
+        if has_scal:
+            cbcsc = tuple((cfg.cbcscal[0][d], cfg.cbcscal[1][d])
+                          for d in range(3))
+            bvsc = tuple((float(cfg.bcscal[0][d]), float(cfg.bcscal[1][d]))
+                         for d in range(3))
+            out.append((cstks[k], 'c', cbcsc[1], bvsc[1], cbcsc[2],
+                        bvsc[2]))
         return out
 
     def _yslice_gx(self, a):
@@ -1348,7 +1392,8 @@ class Simulation:
             if self._ywalled:
                 checks.append((1, 1))
             for d, iv in checks:
-                if float(cfg.bcvel[ib][d][iv]) != 0.0:
+                if (not np.isscalar(cfg.bcvel[ib][d][iv])
+                        or float(cfg.bcvel[ib][d][iv]) != 0.0):
                     return False
             for d, ivs in ((2, (0, 1)), (1, (0, 2))):
                 for iv in ivs:
@@ -1628,7 +1673,7 @@ class Simulation:
     def _advance_wall_planes(self, state, pp, ppe, we2, dtrk, xf,
                              yv2=None, zyv2=None, zyw2=None, ypp=None,
                              zypp=None, xu2=None, zxu2=None, zxw2=None,
-                             xpp=None, zxpp=None, xsec2=None):
+                             xpp=None, zxpp=None, xsec2=None, bcu_z=None):
         """Advance the retained wall-face / wall-ghost planes (vlo)
         through the padded correc sweep (correc.f90:45-67): the kept
         planes' entries evolve with the plane-sized pressure-gradient
@@ -1728,9 +1773,15 @@ class Simulation:
             wlo = jnp.concatenate([w_ylo[None], wlo, w_yhi[None]], axis=0)
             wlo = jnp.concatenate([wlo[:, -1:], wlo, wlo[:, :1]], axis=1)
             # v wall-face plane: v(y=0) = v_pred(y=0) - dt dyi (pp(1)-pp(0))
-            vlo_i = yv2[:, 0] - dtrk * dyi * (pp[:, 0, :] - ypp[:, 0])
-            v_zlo = zyv2[0, 0] - dtrk * dyi * (ppe[0][0] - zypp[0, 0])
-            v_zhi = zyv2[2, 0] - dtrk * dyi * (ppe[2][0] - zypp[2, 0])
+            # (ypp/zypp arrive already inverted under xf — _substep
+            # transforms the bundle rows before packing; pp/ppe rows are
+            # still spectral there and are inverted here)
+            ppj0 = self._xinv_plane(pp[:, 0, :]) if xf else pp[:, 0, :]
+            ppe0 = self._xinv_plane(ppe[0]) if xf else ppe[0]
+            ppe2 = self._xinv_plane(ppe[2]) if xf else ppe[2]
+            vlo_i = yv2[:, 0] - dtrk * dyi * (ppj0 - ypp[:, 0])
+            v_zlo = zyv2[0, 0] - dtrk * dyi * (ppe0[0] - zypp[0, 0])
+            v_zhi = zyv2[2, 0] - dtrk * dyi * (ppe2[0] - zypp[2, 0])
             vlo_v = jnp.concatenate([v_zlo[None], vlo_i, v_zhi[None]],
                                     axis=0)
             vlo_v = jnp.concatenate([vlo_v[:, -1:], vlo_v, vlo_v[:, :1]],
@@ -1757,6 +1808,29 @@ class Simulation:
             ulo = jnp.concatenate([u_zlo[None], ulo_i, u_zhi[None]],
                                   axis=0)
             ulo = jnp.concatenate([ulo[:, -1:], ulo, ulo[:, :1]], axis=1)
+            # (z-ghost, y-ghost) corners: the sequential fill applies the
+            # z recipe at the face's y-ghost columns, where a PLANE-valued
+            # b (z wall model) keeps its untouched promoted static ghost
+            # entries — the y-wrap of the interior recipe values cannot
+            # reproduce that (4 scalar entries; scalar b wraps exactly)
+            if bcu_z is not None and not (np.isscalar(bcu_z[0])
+                                          and np.isscalar(bcu_z[1])):
+                nzg = cfg.ng[2]
+                lts = (self.cbcvel[0][2][0], self.cbcvel[1][2][0])
+                for ib, zg, zin in ((0, 0, 1), (1, nzg + 1, nzg)):
+                    b = bcu_z[ib]
+                    drv = float(self.grid.dzc[0 if ib == 0 else nzg])
+                    for yg in (0, -1):
+                        bval = (float(b) if np.isscalar(b)
+                                else b[yg, 0])
+                        first = ulo[zin, yg]
+                        if lts[ib] == 'D':
+                            val = 2.0 * bval - first
+                        elif ib == 0:
+                            val = -drv * bval + first
+                        else:
+                            val = drv * bval + first
+                        ulo = ulo.at[zg, yg].set(val)
             vlo = (ulo, state.vlo[1], wlo)
         else:
             # the x/y planes are unused under periodic x/y
@@ -1792,11 +1866,20 @@ class Simulation:
         se = self._zedge_s(visct) if hs else None
         ye = yze = None
         xeb = xzeb = None
+        wm_bcs = None
+        if self.has_wm and (self._xwalled or self._ywalled):
+            # wm-updated Neumann planes for the bundle builders below —
+            # recomputed here, a pure function of (u, v, w) identical to
+            # the values the previous substep's zq stacks were built with
+            wm_bcs = ((bcu, bcv, bcw) if cfg.impdiff
+                      else self._dynamic_bcs(u, v, w))
         if self._xwalled:
             # x-ghost-column bundles of the same (post-correc) fill —
-            # the xe protocol with host-BUILT columns (no ppermute)
+            # the xe protocol with host-BUILT columns (no ppermute);
+            # with a z wall model the z-corner stacks read the wm planes'
+            # x-ghost columns (boundary._corner_cols)
             (xcu, xcv, xcw), zxc = self._xbundle_vel(
-                u, v, w, vlo=state.vlo, is_correc=True)
+                u, v, w, vlo=state.vlo, is_correc=True, bcs=wm_bcs)
             xcp, zxcp = bnd.xedge_scalar(p, self.cbcpre, self.bcp_vals,
                                          cfg.dl, grid.dzc)
             cstk, zcstk = [xcu, xcv, xcw], list(zxc)
@@ -1827,15 +1910,9 @@ class Simulation:
         if self._ywalled:
             # y-wall ghost-row bundles of the same (post-correc) fill;
             # with a y/z wall model the bundles carry the wm-updated
-            # Neumann planes (recomputed here — a pure function of
-            # (u, v, w), identical to the values the previous substep's
-            # zq stacks were built with)
-            ybcs = None
-            if self.has_wm:
-                ybcs = ((bcu, bcv, bcw) if cfg.impdiff
-                        else self._dynamic_bcs(u, v, w))
+            # Neumann planes (xbcs above)
             (yu, yv, yw), zy = self._ybundle_vel(
-                u, v, w, vlo=state.vlo, is_correc=True, bcs=ybcs)
+                u, v, w, vlo=state.vlo, is_correc=True, bcs=wm_bcs)
             yp, zyp = self._ybundle_p(p)
             ystk, zstk = [yu, yv, yw], list(zy)
             if hs:
@@ -1851,7 +1928,7 @@ class Simulation:
             xsec = None
             if self._xwalled:
                 xsec = self._xye_section(
-                    self._xye_entries(cstk, with_p=True),
+                    self._xye_entries(cstk, with_p=True, has_scal=hsc),
                     vlo=state.vlo, is_correc=True)
             ye, yze = self._pack_ybundle(ystk, zstk, xsec=xsec)
         return ue, ve, we, pe, se, ye, yze, xeb, xzeb
@@ -2493,7 +2570,7 @@ class Simulation:
                 (xu2, xv2, xw2), (zxu2, zxv2, zxw2) = self._xbundle_vel(
                     u, v, w, is_correc=False, bcs=(bcu, bcv, bcw))
                 u = self._patch_last_xcol(u, xu2[..., 2])
-                wb.update(xu2=xu2, zxu2=zxu2, zxw2=zxw2)
+                wb.update(xu2=xu2, zxu2=zxu2, zxw2=zxw2, bcu_z=bcu[2])
             ue2, ve2, we2 = self._zedge_vel(u, v, w, bcu, bcv, bcw,
                                             is_correc=False)
             if self._xwalled:
@@ -2566,6 +2643,15 @@ class Simulation:
                 wb.update(xpp=xpp, zxpp=zxpp)
             if self._ywalled:
                 ypp, zypp = self._ybundle_p(pp)
+                if xf:
+                    # pp is x-spectral; the y-recipes are x-pointwise,
+                    # linear and homogeneous (bcpre==0 gated), so
+                    # recipe(spectral) == spectral(recipe) — invert just
+                    # the bundle rows (tiny matmuls) so the kernel's ye
+                    # ghost substitution (post window transform) and the
+                    # host wall-plane consumers see physical rows
+                    ypp, zypp = (self._xinv_plane(ypp),
+                                 self._xinv_plane(zypp))
                 xsec_c = None
                 if self._xwalled:
                     xsec_c = self._xye_section(

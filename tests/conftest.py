@@ -36,6 +36,7 @@ _SLOW_PREFIXES = (
     "test_pallas_impdiff",
     "test_pallas_xwalled",
     "test_pallas_xywalled",
+    "test_pallas_plane_valued",
     "test_pallas_cn_fold",
     "test_pallas_fillps_fusion",
 )

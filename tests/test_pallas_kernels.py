@@ -535,6 +535,170 @@ def test_pallas_step_integration_xwalled_scalar(monkeypatch):
                                    err_msg=f'vlo[{m}]')
 
 
+def test_pallas_xwalled_wm(monkeypatch):
+    """x-walled (inflow/outflow) + z-wall-model config (developing WMLES
+    class, round 5): the xe column bundles are built from the wm-updated
+    Neumann planes each substep (boundary._corner_cols slices the planes'
+    x-ghost columns for the z-corner stacks) exactly as the ye bundles
+    are on duct WMLES; smag stays on the XLA fallback (use_pallas_smag
+    excludes x-walled).  Parity vs the all-XLA path."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    base = dict(ng=(128, 16, 16), l=(6.4, 3.2, 2.0), gtype=6,
+                visci=50000.0, inivel='uni', is_wallturb=False,
+                dtype='float64', sgstype='smag',
+                lwm=((0, 0, 1), (0, 0, 1)), hwm=0.1,
+                cbcvel=((('D', 'N', 'N'), ('P', 'P', 'P'),
+                         ('D', 'D', 'D')),
+                        (('N', 'N', 'N'), ('P', 'P', 'P'),
+                         ('D', 'D', 'D'))),
+                bcvel=(((1.0, 0.0, 0.0), (0.0, 0.0, 0.0),
+                        (0.0, 0.0, 0.0)),) * 2,
+                cbcpre=(('N', 'P', 'N'), ('D', 'P', 'N')),
+                cbcsgs=(('N', 'P', 'D'), ('N', 'P', 'D')))
+    results = []
+    for up_ in (False, True):
+        cfg = Config(**base, use_pallas=up_)
+        grid = make_grid_from_config(cfg)
+        sim = Simulation(cfg, grid)
+        if up_:
+            assert sim.use_pallas_mom, sim.exec_path()
+            assert sim._xwalled and sim.has_wm, sim.exec_path()
+        s = sim.initial_state(*initflow(cfg, grid))
+        for _ in range(2):
+            s, _ = sim.step(s, 1e-3)
+        results.append(s)
+    a, b = results
+    for f in ('u', 'v', 'w', 'p', 'visct'):
+        np.testing.assert_allclose(np.asarray(getattr(b, f)),
+                                   np.asarray(getattr(a, f)),
+                                   atol=1e-11, err_msg=f)
+    for m in range(3):
+        np.testing.assert_allclose(np.asarray(b.vlo[m]),
+                                   np.asarray(a.vlo[m]), atol=1e-12,
+                                   err_msg=f'vlo[{m}]')
+
+
+def test_pallas_plane_valued_bcs(monkeypatch):
+    """USER-SUPPLIED plane-valued static BCs on the kernel path (round 5):
+    a z-varying inflow profile on a developing channel (x-walled class —
+    the xe column bundles crop the padded plane via _bc_row/_corner_cols)
+    and an x-varying moving lid on a periodic channel (z-edge stacks carry
+    the plane; the correc+smag fusion correctly downgrades to the separate
+    plane-capable kernels).  Parity vs the all-XLA path."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    nx, ny, nz = 128, 16, 16
+    # padded (nz+2, ny+2) x-face inflow profile: parabolic in z
+    zc = (np.arange(nz + 2) - 0.5) / nz
+    prof = (6.0 * zc * (1.0 - zc))[:, None] * np.ones((1, ny + 2))
+    xwalled = dict(ng=(nx, ny, nz), l=(2.0, 1.5, 1.0), gtype=1, gr=0.0,
+                   visci=5000.0, inivel='uni', is_wallturb=False,
+                   dtype='float64', sgstype='none',
+                   cbcvel=((('D', 'N', 'N'), ('P', 'P', 'P'),
+                            ('D', 'D', 'D')),
+                           (('N', 'N', 'N'), ('P', 'P', 'P'),
+                            ('D', 'D', 'D'))),
+                   bcvel=(((prof, 0.0, 0.0), (0.0, 0.0, 0.0),
+                           (0.0, 0.0, 0.0)),) * 2,
+                   cbcpre=(('N', 'P', 'N'), ('D', 'P', 'N')),
+                   cbcsgs=(('N', 'P', 'D'), ('N', 'P', 'D')))
+    # padded (ny+2, nx+2) moving-lid plane: sinusoidal in x
+    lid = 1.0 + 0.3 * np.sin(
+        2 * np.pi * np.arange(nx + 2) / nx)[None, :] * np.ones((ny + 2, 1))
+    chan = dict(ng=(nx, ny, nz), l=(2 * np.pi, np.pi, 1.0), gtype=1, gr=0.0,
+                visci=2000.0, inivel='uni', is_wallturb=False,
+                dtype='float64', sgstype='smag',
+                cbcvel=((('P', 'P', 'P'), ('P', 'P', 'P'),
+                         ('D', 'D', 'D')),) * 2,
+                bcvel=(((0.0,) * 3,) * 3,
+                       ((0.0, 0.0, 0.0), (0.0, 0.0, 0.0),
+                        (lid, 0.0, 0.0))),
+                cbcpre=(('P', 'P', 'N'), ('P', 'P', 'N')),
+                cbcsgs=(('P', 'P', 'D'), ('P', 'P', 'D')))
+    for tag, base in (('xwalled-inflow', xwalled), ('lid-plane', chan)):
+        results = []
+        for up_ in (False, True):
+            cfg = Config(**base, use_pallas=up_)
+            grid = make_grid_from_config(cfg)
+            sim = Simulation(cfg, grid)
+            if up_:
+                assert sim.use_pallas_mom, (tag, sim.exec_path())
+                assert not sim._scalar_bcs
+                assert not sim._fuse_correc_smag
+            s = sim.initial_state(*initflow(cfg, grid))
+            for _ in range(2):
+                s, _ = sim.step(s, 5e-4)
+            results.append(s)
+        a, b = results
+        names = ('u', 'v', 'w', 'p') + (('visct',)
+                                        if base['sgstype'] != 'none' else ())
+        for f in names:
+            np.testing.assert_allclose(np.asarray(getattr(b, f)),
+                                       np.asarray(getattr(a, f)),
+                                       atol=1e-11, err_msg=f'{tag}:{f}')
+        for m in range(3):
+            # vlo planes are semantically live only along walled
+            # directions (pad_velocity's 'P' branch never reads vlo, and
+            # the kernel path then keeps the stale state plane by design)
+            if base['cbcvel'][0][m][m] == 'P':
+                continue
+            np.testing.assert_allclose(np.asarray(b.vlo[m]),
+                                       np.asarray(a.vlo[m]), atol=1e-12,
+                                       err_msg=f'{tag}:vlo[{m}]')
+
+
+def test_pallas_xywalled_scalar(monkeypatch):
+    """Passive scalar on an x+y-walled config (developing duct class,
+    round 5): the scalar's x-ghost columns ride the xe bundle after p AND
+    its xye corner section rides the ye bundle (_xye_entries has_scal) —
+    the last scalar kernel-path fallback closed."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    base = dict(ng=(128, 16, 16), l=(2.0, 1.0, 1.0), gtype=1, gr=0.0,
+                visci=2000.0, inivel='uni', is_wallturb=False,
+                dtype='float64', sgstype='none',
+                scalar=True, pr=0.71, iniscal='uni', ssource=0.02,
+                cbcscal=(('D', 'D', 'N'), ('N', 'N', 'N')),
+                bcscal=((1.0, 0.5, 0.0), (0.0, 0.0, 0.0)),
+                cbcvel=((('D', 'N', 'N'), ('D', 'D', 'D'),
+                         ('D', 'D', 'D')),
+                        (('N', 'N', 'N'), ('D', 'D', 'D'),
+                         ('D', 'D', 'D'))),
+                bcvel=(((1.0, 0.0, 0.0), (0.0, 0.0, 0.0),
+                        (0.0, 0.0, 0.0)),) * 2,
+                cbcpre=(('N', 'N', 'N'), ('D', 'N', 'N')),
+                cbcsgs=(('N', 'D', 'D'), ('N', 'D', 'D')))
+    results = []
+    for up_ in (False, True):
+        cfg = Config(**base, use_pallas=up_)
+        grid = make_grid_from_config(cfg)
+        sim = Simulation(cfg, grid)
+        if up_:
+            assert sim.use_pallas_mom, sim.exec_path()
+            assert (sim._xwalled and sim._ywalled
+                    and sim._scal_kernel_ok), sim.exec_path()
+        s = sim.initial_state(*initflow(cfg, grid))
+        for _ in range(3):
+            s, _ = sim.step(s, 5e-4)
+        results.append(s)
+    a, b = results
+    for f in ('u', 'v', 'w', 's', 'p'):
+        np.testing.assert_allclose(np.asarray(getattr(b, f)),
+                                   np.asarray(getattr(a, f)),
+                                   atol=1e-11, err_msg=f)
+    for m in range(3):
+        np.testing.assert_allclose(np.asarray(b.vlo[m]),
+                                   np.asarray(a.vlo[m]), atol=1e-12,
+                                   err_msg=f'vlo[{m}]')
+
+
 def test_pallas_step_integration_dsmag(monkeypatch):
     """Dynamic-Smagorinsky TWO-PASS kernel pipeline (DS1+DS2, interpret
     mode) vs the XLA dsmag path: channel, 2 steps, near-bitwise (averaging
@@ -951,6 +1115,72 @@ def test_pallas_xop_plain_correc(monkeypatch):
                 x, y = x - x.mean(), y - y.mean()
             err = np.abs(x - y).max()
             assert err < 1e-11, f"{name} plain-xop mismatch: {err}"
+
+
+def test_pallas_xop_ywalled_correc(monkeypatch):
+    """x-transform fusion on the Y-WALLED plain correc path (duct/cavity
+    classes, round 5): the pp y-bundle rows are built from spectral pp via
+    the x-pointwise linear-homogeneous recipes and inverted host-side;
+    the kernel window transform composes with the ye ghost substitution.
+    Full-step parity vs the XLA expression path with the fusion asserted
+    ON.  ICs carry a seeded x-asymmetric perturbation — an x-uniform
+    cavity startup has only the DC x mode and would mask transform bugs."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    from cales_tpu import models
+    from cales_tpu.initflow import initflow
+    from cales_tpu.timeloop import Simulation
+
+    rng_seed = 20260821
+    cases = [
+        ('duct-dsmag', lambda up: models.square_duct_les(
+            ng=(128, 16, 16), dtype='float64', ptransform='mat',
+            use_pallas=up)),
+        ('cavity-dsmag', lambda up: models.spanwise_cavity(
+            ng=(128, 16, 16), sgstype='dsmag', dtype='float64',
+            ptransform='mat', use_pallas=up)),
+        ('duct-impdiff1d', lambda up: models.square_duct_les(
+            ng=(128, 16, 16), sgstype='none', impdiff=True, impdiff_1d=True,
+            dtype='float64', ptransform='mat', use_pallas=up)),
+    ]
+    for tag, build in cases:
+        results = []
+        for use_pallas in (False, True):
+            cfg = build(use_pallas)
+            grid = make_grid_from_config(cfg)
+            sim = Simulation(cfg, grid)
+            if use_pallas:
+                assert sim._ywalled and sim._fuse_xop, \
+                    (tag, sim.exec_path())
+                assert not sim._fuse_correc_smag
+            rng = np.random.default_rng(rng_seed)
+            fields = [np.asarray(f) for f in initflow(cfg, grid)]
+            fields = [jnp.asarray(
+                f + 1e-2 * rng.standard_normal(f.shape).astype(f.dtype))
+                for f in fields]
+            s = sim.initial_state(*fields)
+            for _ in range(2):
+                s, _ = sim.step(s, 1e-3)
+            results.append(s)
+        a, b = results
+        names = ('u', 'v', 'w', 'p') + (
+            ('visct',) if 'dsmag' in tag else ())
+        for name in names:
+            x = np.asarray(getattr(a, name))
+            y = np.asarray(getattr(b, name))
+            if name == 'p':
+                # duct/cavity pressure BCs (P, N, N) are singular: the
+                # Thomas solve PINS the constant mode, the XLA eig path
+                # PROJECTS it — compare gauge-free
+                x, y = x - x.mean(), y - y.mean()
+            err = np.abs(x - y).max()
+            assert err < 1e-11, f"{name} ({tag}) ywalled-xop mismatch: {err}"
+        # the retained wall-face planes evolve through _advance_wall_planes
+        # (the xf row inversions live there) — compare them too
+        for i in (1, 2):
+            x = np.asarray(a.vlo[i])
+            y = np.asarray(b.vlo[i])
+            err = np.abs(x - y).max()
+            assert err < 1e-11, f"vlo[{i}] ({tag}) ywalled-xop mismatch: {err}"
 
 
 def test_pallas_xop_fusion_matches_xla(monkeypatch):
