@@ -788,9 +788,13 @@ def fused_tiles(nz, ny, itemsize, nx):
         return None
     # larger tz first: the kernel is VPU-bound and each (k, j) tile pays
     # a (tz+2)/tz warmup-row overhead in stages A/B (measured: the whole
-    # pipeline runs ~8 ms/substep at 512x256x256 f32, ~9x its HBM floor)
-    cands = ((32, 64), (16, 64), (8, 64), (16, 32), (8, 32), (8, 16),
-             (4, 16), (4, 8), (2, 8))
+    # pipeline runs ~8 ms/substep at 512x256x256 f32, ~9x its HBM floor).
+    # Round-5 sweep at that shape (duct row): (64,64) 0.4685 <
+    # (32,128) 0.4729 < (32,64) 0.4736 ns/cell/substep — tz=64 halves the
+    # warmup replay; ty=128 loses more to VMEM pressure than the smaller
+    # y-halo overread buys
+    cands = ((64, 64), (32, 64), (16, 64), (8, 64), (16, 32), (8, 32),
+             (8, 16), (4, 16), (4, 8), (2, 8))
     import os
     pref = os.environ.get('CALES_DSMAG_TILES', '')
     if pref:

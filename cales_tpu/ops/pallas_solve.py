@@ -61,13 +61,21 @@ def y_tiles(nz, ny, nx, itemsize, with_x=True):
 
 
 def z_tiles(nz, ny, nx, itemsize):
-    """y-block width for the z-stage kernel."""
+    """(y-block width, x-block width) for the z-stage kernel.  Mosaic
+    requires the middle block dim to be a multiple of 8 (or the full ny)
+    and the last a multiple of 128; elongated boxes (the north-star
+    (512, 64, 1024) per-chip block) additionally need the x dimension
+    split to fit VMEM — the sweep is independent per lane, so x blocking
+    is free."""
     for ty in (32, 16, 8, 4, 2, 1):
-        if ny % ty:
+        if ny % ty or (ty % 8 and ty != ny):
             continue
-        if (10 * ty * nz * nx + 2 * nz * nz) * itemsize \
-                < VMEM_BUDGET - 8 * 1024 * 1024:
-            return ty
+        for txn in (nx, nx // 2, nx // 4, nx // 8):
+            if txn <= 0 or txn % 128 or nx % txn:
+                continue
+            if (10 * ty * nz * txn + 2 * nz * nz) * itemsize \
+                    < VMEM_BUDGET - 8 * 1024 * 1024:
+                return ty, txn
     return None
 
 
@@ -166,8 +174,8 @@ def apply_z_eig(arr, Vl, Vr, lamz, lamy, lamx, tol, alias=False,
     periodic z, where the Thomas sweep needs the rank-1 kernel instead."""
     nz, ny, nx = arr.shape
     dt = arr.dtype
-    ty = z_tiles(nz, ny, nx, dt.itemsize)
-    assert ty is not None and Vl.shape == (nz, nz)
+    ty, txn = z_tiles(nz, ny, nx, dt.itemsize)
+    assert Vl.shape == (nz, nz)
     lamz_c = jnp.asarray(lamz, dtype=dt).reshape(nz, 1)
     lamy_s = jnp.asarray(lamy, dtype=dt)            # (ny,) scalar rows, SMEM
     lamx_r = jnp.asarray(lamx, dtype=dt).reshape(1, nx)
@@ -176,28 +184,28 @@ def apply_z_eig(arr, Vl, Vr, lamz, lamy, lamx, tol, alias=False,
     def kernel(ly_ref, vl_ref, vr_ref, lz_ref, lx_ref, d_ref, o_ref):
         j = pl.program_id(0)
         # big-dot formulation (see apply_y): ty y-rows side-by-side along
-        # lanes -> both eigen-matmuls run with free dim ty*nx
+        # lanes -> both eigen-matmuls run with free dim ty*txn
         wide = jnp.concatenate([d_ref[:, t, :] for t in range(ty)],
                                axis=1)
         lam_w = jnp.concatenate(
             [lx_ref[...] + ly_ref[j * ty + t] for t in range(ty)], axis=1)
         hat = _dot_xop(vl_ref[...], wide)
-        lam3 = lz_ref[...] + lam_w                  # (nz, ty*nx)
+        lam3 = lz_ref[...] + lam_w                  # (nz, ty*txn)
         inv = jnp.where(jnp.abs(lam3) > tol, 1.0 / lam3, 0.0)
         out = _dot_xop(vr_ref[...], hat * inv)
         for t in range(ty):
-            o_ref[:, t, :] = out[:, t * nx:(t + 1) * nx]
+            o_ref[:, t, :] = out[:, t * txn:(t + 1) * txn]
 
-    blk = pl.BlockSpec((nz, ty, nx), lambda j: (0, j, 0))
+    blk = pl.BlockSpec((nz, ty, txn), lambda j, i: (0, j, i))
     shape = (nz, ny, nx)
     return pl.pallas_call(
         kernel,
-        grid=(ny // ty,),
+        grid=(ny // ty, nx // txn),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((nz, nz), lambda j: (0, 0)),
-                  pl.BlockSpec((nz, nz), lambda j: (0, 0)),
-                  pl.BlockSpec((nz, 1), lambda j: (0, 0)),
-                  pl.BlockSpec((1, nx), lambda j: (0, 0)),
+                  pl.BlockSpec((nz, nz), lambda j, i: (0, 0)),
+                  pl.BlockSpec((nz, nz), lambda j, i: (0, 0)),
+                  pl.BlockSpec((nz, 1), lambda j, i: (0, 0)),
+                  pl.BlockSpec((1, txn), lambda j, i: (0, i)),
                   blk],
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct(shape, dt),
@@ -216,8 +224,12 @@ def thomas_z_tiles(nz, ny, nx, itemsize):
     for ty in (16, 8):
         if ny % ty:
             continue
-        if 6 * ty * nz * nx * itemsize < VMEM_BUDGET - 8 * 1024 * 1024:
-            return ty
+        for txn in (nx, nx // 2, nx // 4, nx // 8):
+            if txn <= 0 or txn % 128 or nx % txn:
+                continue
+            if (6 * ty * nz * txn * itemsize
+                    < VMEM_BUDGET - 8 * 1024 * 1024):
+                return ty, txn
     return None
 
 
@@ -266,8 +278,8 @@ def apply_thomas_periodic_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
     nz, ny, nx = arr.shape
     n = nz - 1
     dt = arr.dtype
-    ty = thomas_z_tiles(nz, ny, nx, dt.itemsize)
-    assert ty is not None and n >= 2
+    ty, txn = thomas_z_tiles(nz, ny, nx, dt.itemsize)
+    assert n >= 2
     a_s = jnp.asarray(a, dtype=dt)
     b_s = jnp.asarray(b, dtype=dt)
     c_s = jnp.asarray(c, dtype=dt)
@@ -332,20 +344,20 @@ def apply_thomas_periodic_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
         jax.lax.fori_loop(0, n, combine, 0)
         o_ref[n] = pn
 
-    blk = pl.BlockSpec((nz, ty, nx), lambda j: (0, j, 0))
+    blk = pl.BlockSpec((nz, ty, txn), lambda j, i: (0, j, i))
     return pl.pallas_call(
         kernel,
-        grid=(ny // ty,),
+        grid=(ny // ty, nx // txn),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, nx), lambda j: (0, 0)),
+                  pl.BlockSpec((1, txn), lambda j, i: (0, i)),
                   blk],
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
-        scratch_shapes=[pltpu.VMEM((nz, ty, nx), dt),
-                        pltpu.VMEM((nz, ty, nx), dt)],
+        scratch_shapes=[pltpu.VMEM((nz, ty, txn), dt),
+                        pltpu.VMEM((nz, ty, txn), dt)],
         input_output_aliases={5: 0},
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
@@ -379,8 +391,7 @@ def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
     ns = nz if n_solve is None else int(n_solve)   # rows solved; rows
     assert 2 <= ns <= nz                           # ns..nz-1 pass through
     dt = arr.dtype
-    ty = thomas_z_tiles(nz, ny, nx, dt.itemsize)
-    assert ty is not None
+    ty, txn = thomas_z_tiles(nz, ny, nx, dt.itemsize)
     a_s = jnp.asarray(a, dtype=dt)[:ns]
     b_s = jnp.asarray(b, dtype=dt)[:ns]
     c_s = jnp.asarray(c, dtype=dt)[:ns]
@@ -389,7 +400,7 @@ def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
         lam_args = (jnp.asarray(lamy, dtype=dt),
                     jnp.asarray(lamx, dtype=dt).reshape(1, nx))
         lam_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-                     pl.BlockSpec((1, nx), lambda j: (0, 0))]
+                     pl.BlockSpec((1, txn), lambda j, i: (0, i))]
     else:
         lam_args, lam_specs = (), []
     pin = bool(pin_singular)
@@ -404,7 +415,7 @@ def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
     assert has_bc == (bc_hi is not None)
     bc_args = ((jnp.asarray(bc_lo, dt), jnp.asarray(bc_hi, dt))
                if has_bc else ())
-    bc_specs = ([pl.BlockSpec((ty, nx), lambda j: (j, 0))] * 2
+    bc_specs = ([pl.BlockSpec((ty, txn), lambda j, i: (j, i))] * 2
                 if has_bc else [])
 
     def kernel(a_ref, b_ref, c_ref, *refs):
@@ -420,7 +431,7 @@ def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
             lam = jnp.concatenate(rows, axis=0)
         else:
             d_ref, o_ref, w_ref = refs
-            lam = jnp.zeros((ty, nx), dt)
+            lam = jnp.zeros((ty, txn), dt)
         sh = sh_ref[0, 0] if has_shift else 0.0
 
         # peeled z=0 step: pin the singular lanes' gauge here
@@ -464,17 +475,17 @@ def _apply_thomas_z(arr, a, b, c, lamy, lamx, pin_singular, tol,
         for z in range(ns, nz):
             o_ref[z] = d_ref[z] + sh if has_shift else d_ref[z]
 
-    blk = pl.BlockSpec((nz, ty, nx), lambda j: (0, j, 0))
+    blk = pl.BlockSpec((nz, ty, txn), lambda j, i: (0, j, i))
     return pl.pallas_call(
         kernel,
-        grid=(ny // ty,),
+        grid=(ny // ty, nx // txn),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
                  + shift_specs + bc_specs + lam_specs + [blk],
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), dt),
-        scratch_shapes=[pltpu.VMEM((nz, ty, nx), dt)],
+        scratch_shapes=[pltpu.VMEM((nz, ty, txn), dt)],
         input_output_aliases={3 + has_shift + 2 * has_bc
                               + len(lam_specs): 0},
         compiler_params=_COMPILER_PARAMS,

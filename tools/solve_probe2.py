@@ -152,7 +152,7 @@ def z_variant(Vl, Vr, lamz, lamy, lamx, tol, kind):
     """
     lamz_c = lamz.reshape(NZ, 1)
     lamx_r = lamx.reshape(1, NX)
-    ty = z_tiles(NZ, NY, NX, 4)
+    ty, _txn = z_tiles(NZ, NY, NX, 4)   # probe shapes never x-split
 
     def body(j, wide, ly_ref, vl_ref, vr_ref, lz_ref, lx_ref):
         hat = _dot_xop(vl_ref[...], wide)

@@ -44,7 +44,20 @@ def main():
     ap.add_argument('--explicit', action='store_true',
                     help='explicit z diffusion (no CN); ~8x more steps')
     ap.add_argument('--cpu', action='store_true')
+    ap.add_argument('--visci', type=float, default=10_000.0,
+                    help='bulk Reynolds number U_b h / nu (10000 -> '
+                         'Re_tau 543.5; 20000 -> Re_tau 1000.5, both '
+                         'Lee & Moser 2015)')
+    ap.add_argument('--retau-ref', type=float, default=None,
+                    help='DNS reference Re_tau (default: matched to '
+                         '--visci from the Lee & Moser 2015 cases)')
     args = ap.parse_args()
+    retau_ref = args.retau_ref
+    if retau_ref is None:
+        lm2015 = {2857.0: 182.088, 10_000.0: 543.5, 20_000.0: 1000.512}
+        if args.visci not in lm2015:
+            ap.error('--retau-ref required for a non-tabulated --visci')
+        retau_ref = lm2015[args.visci]
 
     import jax
     if args.cpu:
@@ -60,7 +73,7 @@ def main():
     from cales_tpu.timeloop import Simulation
 
     ng = tuple(int(v) for v in args.ng.split('x'))
-    visci = 10_000.0              # Re_b = U_b h / nu, h = lz/2 = 1
+    visci = args.visci            # Re_b = U_b h / nu, h = lz/2 = 1
     cfg = Config(ng=ng, l=(12.8, 4.8, 2.0), gtype=1, gr=5.0, visci=visci,
                  inivel='poi', is_wallturb=True,
                  dtype='float64' if args.cpu else 'float32',
@@ -104,10 +117,10 @@ def main():
     dpdl_mean = dpdl_acc / max(nacc, 1)
     u_tau = np.sqrt(abs(dpdl_mean) * h)
     re_tau = u_tau * h / nu
-    err_rt = (re_tau - RE_TAU_REF) / RE_TAU_REF * 100.0
-    err_cf = ((re_tau / RE_TAU_REF) ** 2 - 1.0) * 100.0
+    err_rt = (re_tau - retau_ref) / retau_ref * 100.0
+    err_cf = ((re_tau / retau_ref) ** 2 - 1.0) * 100.0
     print(f'<dpdl_x> = {dpdl_mean:.6e}  u_tau/U_b = {u_tau:.5f}  '
-          f'Re_tau = {re_tau:.1f}  ({err_rt:+.1f}% vs {RE_TAU_REF} '
+          f'Re_tau = {re_tau:.1f}  ({err_rt:+.1f}% vs {retau_ref} '
           f'[Lee & Moser 2015]; cf error {err_cf:+.1f}%, bar <=5% '
           f'per sgs.f90:28-30)')
 
