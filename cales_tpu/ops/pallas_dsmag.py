@@ -798,10 +798,12 @@ def fused_tiles(nz, ny, itemsize, nx):
     import os
     pref = os.environ.get('CALES_DSMAG_TILES', '')
     if pref:
-        # bench override, e.g. CALES_DSMAG_TILES=64x64 — still budget- and
-        # divisibility-checked below, so a bad pick falls through
+        # bench override, e.g. CALES_DSMAG_TILES=64x64: divisibility-
+        # checked but TRUSTED past the conservative budget model below —
+        # Mosaic's own VMEM check is the arbiter for experimental picks
         tzp, typ = (int(s) for s in pref.split('x'))
-        cands = ((tzp, typ),) + cands
+        if nz % tzp == 0 and ny % typ == 0 and tzp >= 2:
+            return tzp, typ
     for tz, ty in cands:
         if nz % tz or ny % ty or tz < 2:
             continue
@@ -818,7 +820,7 @@ def _ds_onepass_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, avg,
                        interpret, y_ext=False, ywalls=None,
                        has_ystrips=False, has_ywf=False, x_interior=None,
                        zvals=(0.0, 0.0, 0.0, 0.0),
-                       yvals=(0.0, 0.0, 0.0, 0.0)):
+                       yvals=(0.0, 0.0, 0.0, 0.0), fold_ratio=False):
     """The whole Germano-Lilly pipeline in ONE z-march: stage A computes
     the NWQ source planes (DS1's ring), stage B the 15 filtered quantities
     (fm, lij in full registers, fvel at width ty+2) into VMEM rings, and
@@ -867,7 +869,7 @@ def _ds_onepass_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, avg,
             del rest[0:2]
         if has_ywf:
             ywf_s = rest.pop(0)
-        if avg == 'cavity':
+        if avg == 'cavity' or fold_ratio:
             visct_o = rest.pop(0)
             s0_o = num_o = den_o = None
         else:
@@ -1138,6 +1140,15 @@ def _ds_onepass_kernel(tz, ty, nz, ny, nx, dxi, dyi, wall_lo, wall_hi, avg,
                     den = jnp.where(xmask, den, 0.0)
                 if avg == 'cavity':
                     visct_o[kk] = jnp.maximum(s0row * num / den, 0.0)
+                elif avg == 'duct' and fold_ratio:
+                    # single-chip / gy-slab duct: each (z, y) row holds
+                    # its COMPLETE homogeneous-x extent locally, so the
+                    # ave2d ratio finishes right here — no s0/partials
+                    # round trip, no host multiply pass (ave2d_duct,
+                    # sgs.f90:540-614)
+                    nsum = jnp.sum(num, axis=-1, keepdims=True)
+                    dsum = jnp.sum(den, axis=-1, keepdims=True)
+                    visct_o[kk] = jnp.maximum(s0row * (nsum / dsum), 0.0)
                 elif avg == 'duct':
                     s0_o[kk] = s0row
                     num_o[kk] = jnp.sum(num, axis=-1, keepdims=True)
@@ -1159,9 +1170,11 @@ def fused_dsmag_onepass(u, v, w, ue, ve, we, alph2_1d, dzci, dzfi, dxi, dyi,
                         ye=None, yze=None, ywalls=None, ystrips=None,
                         ywf=None, x_interior=None,
                         zvals=(0.0, 0.0, 0.0, 0.0),
-                        yvals=(0.0, 0.0, 0.0, 0.0)):
+                        yvals=(0.0, 0.0, 0.0, 0.0), fold_ratio=False):
     """Single-pass dynamic Smagorinsky: reads the corrected-fill velocity
-    interiors (+ z-edge stacks / y bundles), returns visct (avg='cavity')
+    interiors (+ z-edge stacks / y bundles), returns visct (avg='cavity',
+    or avg='duct' with fold_ratio=True — every (z, y) row's homogeneous-x
+    extent is locally complete, so the ave2d ratio finishes in stage C)
     or (s0, num_part, den_part) with the partial-sum shapes of
     fused_dsmag_level2 -- the caller finishes the homogeneous averaging
     and forms visct = max(s0 * ratio, 0).  No DS1->DS2 intermediates touch
@@ -1201,14 +1214,18 @@ def fused_dsmag_onepass(u, v, w, ue, ve, we, alph2_1d, dzci, dzfi, dxi, dyi,
     int_spec = pl.BlockSpec((tz, ty, nx), lambda k, j: (k, j, 0))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    fold_ratio = bool(fold_ratio) and avg == 'duct'
+    assert not (fold_ratio and x_interior is not None), \
+        'fold_ratio: the x extent must be locally complete (gx == 1)'
     kern = _ds_onepass_kernel(tz, ty, nz, ny, nx, float(dxi), float(dyi),
                               bool(wall_lo), bool(wall_hi), avg, interpret,
                               y_ext=y_ext, ywalls=ywalls if has_ye else None,
                               has_ystrips=has_ystrips, has_ywf=has_ywf,
                               x_interior=x_interior,
                               zvals=tuple(float(q) for q in zvals),
-                              yvals=tuple(float(q) for q in yvals))
-    if avg == 'cavity':
+                              yvals=tuple(float(q) for q in yvals),
+                              fold_ratio=fold_ratio)
+    if avg == 'cavity' or fold_ratio:
         out_specs = [int_spec]
         out_shape = [jax.ShapeDtypeStruct((nz, ny, nx), dt)]
     elif avg == 'duct':
@@ -1242,6 +1259,6 @@ def fused_dsmag_onepass(u, v, w, ue, ve, we, alph2_1d, dzci, dzfi, dxi, dyi,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(alph2_s, dzci_s, dzfi_s, u, v, w, ue, ve, we, *yargs, *sargs, *wargs)
-    if avg == 'cavity':
+    if avg == 'cavity' or fold_ratio:
         return outs[0]
     return outs[0], outs[1], outs[2]

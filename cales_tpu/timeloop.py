@@ -260,10 +260,12 @@ class Simulation:
             # xe columns (any static letter, xedge_scalar); x-periodic
             # ones have no xe bundle, so the scalar must be x-periodic.
             # Scalar + x AND y walls rides the xye corner-section protocol
-            # (_xye_entries has_scal) — single-chip (round 5).
+            # (_xye_entries has_scal) — single-chip + 1D (gy) slab meshes
+            # (round 5; the bundle plumbing is stack-count-generic, only
+            # the gx>1 xe-pack wall patches are not scalar-aware yet).
             and (all(cfg.cbcscal[ib][0] == 'P' for ib in range(2))
                  if not self._xwalled
-                 else (not self._ywalled or mesh is None))
+                 else (not self._ywalled or not self._gx_sharded))
             # y-walled configs carry the scalar's wall ghosts in the ye
             # bundle (any letter); with periodic-y velocity there is no
             # bundle, so the scalar must be y-periodic too
@@ -1616,9 +1618,11 @@ class Simulation:
                     u_, v_, w_, ue_, ve_, we_, alph2, grid.dzci, grid.dzfi,
                     cfg.dli[0], cfg.dli[1], wall_lo, wall_hi,
                     cfg.dsmag_avg, interpret=self._pallas_interpret,
-                    ystrips=ys, **ykw, **bvk)
+                    ystrips=ys, fold_ratio=cfg.dsmag_avg == 'duct',
+                    **ykw, **bvk)
             yb1 = (ykw1['ye'], ykw1['yze']) if ywalled else ()
-            out_specs = F if cfg.dsmag_avg == 'cavity' else (F, F, F)
+            out_specs = (F if cfg.dsmag_avg in ('cavity', 'duct')
+                         else (F, F, F))
             out = shard_map(ds_local, mesh=self.mesh,
                             in_specs=(F,) * 6 + (S,) * len(yb1),
                             out_specs=out_specs, check_vma=False)(
@@ -1627,9 +1631,12 @@ class Simulation:
             out = pds.fused_dsmag_onepass(
                 u, v, w, ue, ve, we, alph2, grid.dzci, grid.dzfi,
                 cfg.dli[0], cfg.dli[1], wall_lo, wall_hi, cfg.dsmag_avg,
-                interpret=self._pallas_interpret, **ykw1, **bvk)
+                interpret=self._pallas_interpret,
+                fold_ratio=cfg.dsmag_avg == 'duct', **ykw1, **bvk)
         assert out is not None, 'fused_dsmag_onepass gating inconsistency'
-        if cfg.dsmag_avg == 'cavity':
+        if cfg.dsmag_avg in ('cavity', 'duct'):
+            # 'duct' rides the in-kernel ratio fold on these branches
+            # (every (z, y) row's x extent is locally complete)
             return out
         s0, nump, denp = out
         if cfg.dsmag_avg == 'duct':

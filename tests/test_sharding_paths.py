@@ -732,6 +732,39 @@ def test_xywalled_kernel_sharded_matches_single(monkeypatch):
                             check_vlo=(0, 1, 2))
 
 
+def test_xywalled_scalar_kernel_sharded_matches_single(monkeypatch):
+    """Passive scalar on an x+y-walled config on the kernel-SHARDED 1D
+    slab path (round 5): the scalar's host-built xe columns ride the
+    y-sharded xe bundle packs and its xye corner section rides the
+    replicated ye bundle (_xye_entries has_scal) — the bundle plumbing is
+    stack-count-generic."""
+    monkeypatch.setenv('CALES_PALLAS_INTERPRET', '1')
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    cfg = Config(ng=(128, 32, 16), l=(2.0, 1.0, 1.0), gtype=1, gr=0.0,
+                 visci=2000.0, inivel='uni', is_wallturb=False,
+                 dtype='float64', sgstype='none', ptransform='mat',
+                 scalar=True, pr=0.71, iniscal='uni', ssource=0.02,
+                 cbcscal=(('D', 'D', 'N'), ('N', 'N', 'N')),
+                 bcscal=((1.0, 0.5, 0.0), (0.0, 0.0, 0.0)),
+                 cbcvel=((('D', 'N', 'N'), ('D', 'D', 'D'),
+                          ('D', 'D', 'D')),
+                         (('N', 'N', 'N'), ('D', 'D', 'D'),
+                          ('D', 'D', 'D'))),
+                 bcvel=(((1.0, 0.0, 0.0), (0.0, 0.0, 0.0),
+                         (0.0, 0.0, 0.0)),) * 2,
+                 cbcpre=(('N', 'N', 'N'), ('D', 'N', 'N')),
+                 cbcsgs=(('N', 'D', 'D'), ('N', 'D', 'D')))
+
+    def flags(simN):
+        assert (simN._xwalled and simN._ywalled
+                and simN._scal_kernel_ok), simN.exec_path()
+
+    _compare_kernel_sharded(cfg, (2, 1), dt=5e-4, assert_flags=flags,
+                            names=('u', 'v', 'w', 'p', 's'),
+                            check_vlo=(0, 1, 2))
+
+
 def test_xywalled_kernel_2d_mesh_matches_single(monkeypatch):
     """x+y-walled (developing-duct / closed-box class) on a 2D (gy, gx)
     pencil mesh — the last wall-topology decomposition hole: the cyclic

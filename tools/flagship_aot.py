@@ -73,7 +73,11 @@ def main(argv=None):
     cfg = Config(ng=ng, l=(2 * np.pi, np.pi, 2.0), gtype=1, gr=1.0,
                  visci=20_000.0, inivel='log', is_wallturb=True,
                  is_forced=(True, False, False), velf=(1.0, 0.0, 0.0),
-                 sgstype=args.sgstype, dsmag_avg='channel', dtype='float32')
+                 sgstype=args.sgstype, dsmag_avg='channel', dtype='float32',
+                 # the TPU production transform path (all-matmul); 'auto'
+                 # on this CPU-device proof would pick rfft, whose c64
+                 # intermediates trip an XLA verifier bug under sharding
+                 ptransform='mat')
     grid = make_grid_from_config(cfg)
     mesh = make_mesh(dims)
     sim = Simulation(cfg, grid, mesh=mesh)
