@@ -215,10 +215,20 @@ def main(argv=None):
         # + Poisson-solve fraction (measured by ablating the solve)
         mpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              'BENCH_MATRIX.json')
-        results = {}
-        if args.only and os.path.exists(mpath):
+        # the file holds one section per grid tag ('grids'); a bare
+        # legacy payload ({'grid': tag, 'configs': ...}) is absorbed as
+        # that tag's section
+        sections = {}
+        if os.path.exists(mpath):
             with open(mpath) as f:
-                results = json.load(f).get('configs', {})
+                old = json.load(f)
+            if 'grids' in old:
+                sections = old['grids']
+            elif 'grid' in old:
+                sections[old['grid']] = {'nsteps': old.get('nsteps'),
+                                         'configs': old.get('configs', {})}
+        results = dict(sections.get(tag, {}).get('configs', {})) \
+            if args.only else {}
         only = set(args.only.split(',')) if args.only else None
         for name, kw in _matrix_configs(ng).items():
             if only is not None and name not in only:
@@ -240,10 +250,12 @@ def main(argv=None):
             }
             print(f'# {name}: {ns_full:.4f} ns/cell/substep, '
                   f'poisson {frac:.1%}, {path}', flush=True)
-        payload = {'grid': tag, 'nsteps': nsteps, 'configs': results}
+        sections[tag] = {'nsteps': nsteps, 'configs': results}
+        payload = {'grids': sections}
         with open(mpath, 'w') as f:
             json.dump(payload, f, indent=1)
-        print(json.dumps(payload))
+        print(json.dumps({'grid': tag, 'nsteps': nsteps,
+                          'configs': results}))
         return
 
     # headline config (BASELINE config #3 class; ptransform='mat' == the TPU
