@@ -357,7 +357,19 @@ def solve(sv: DirectSolver, p, alpha=None, hints=None,
         xyb = None if skip_bwd_x else np.asarray(sv.trx.bwd_mat).T.copy()
         body = ps.apply_y(p, sv.try_.fwd_mat, alias=True, MxT=xyf,
                           interpret=pallas_interpret)
+        # z-stage pick (round 5, measured on TPU): the O(nz) in-kernel
+        # Thomas sweep wins at large nz (512x256x256: solve 2.09 -> 1.31
+        # ms) where the eig stage's two (nz, nz) matmuls dominate, but
+        # LOSES at the 256-class (triperiodic 0.2262 vs 0.2075
+        # ns/cell/substep: the sweep's nz sequential steps over small
+        # (ty, txn) slabs vectorize poorly while the MXU absorbs the
+        # smaller matmuls easily).  Default: Thomas from nz >= 384;
+        # CALES_PSOLVE_THOMAS=1 / CALES_NO_PSOLVE_THOMAS=1 force it
+        # on / off
+        want_thomas = (nz >= 384
+                       or _os.environ.get('CALES_PSOLVE_THOMAS', '') == '1')
         if (_os.environ.get('CALES_NO_PSOLVE_THOMAS', '') != '1'
+                and want_thomas
                 and ps.thomas_z_tiles(nz, ny, nx, p.dtype.itemsize)
                 and (sv.bcz != 'PP' or nz >= 3)):
             lam_scale = float(np.abs(sv.lamx).max() + np.abs(sv.lamy).max())
