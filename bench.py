@@ -227,8 +227,10 @@ def main(argv=None):
             elif 'grid' in old:
                 sections[old['grid']] = {'nsteps': old.get('nsteps'),
                                          'configs': old.get('configs', {})}
-        results = dict(sections.get(tag, {}).get('configs', {})) \
-            if args.only else {}
+        # start from the tag's existing rows: --only merges, and a full
+        # --no-solve-ablation pass keeps the previously measured
+        # poisson fractions
+        results = dict(sections.get(tag, {}).get('configs', {}))
         only = set(args.only.split(',')) if args.only else None
         for name, kw in _matrix_configs(ng).items():
             if only is not None and name not in only:
