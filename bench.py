@@ -199,10 +199,14 @@ def main(argv=None):
         # compile both step counts + warm the pipeline
         state, _ = timed_advance(state, 1)
         state, _ = timed_advance(state, nsteps)
-        # measure
-        state, t1 = timed_advance(state, 1)
+        # measure; the 1-step dispatch-overhead probe is taken as the MIN
+        # of two runs bracketing the N-step run — a queue-stalled single
+        # probe OVERestimates the overhead and yields a fake speedup
+        # (observed: a 0.0976 'measurement' of the 0.23 headline)
+        state, t1a = timed_advance(state, 1)
         state, tN = timed_advance(state, nsteps)
-        per_step = max((tN - t1) / (nsteps - 1), 1e-9)
+        state, t1b = timed_advance(state, 1)
+        per_step = max((tN - min(t1a, t1b)) / (nsteps - 1), 1e-9)
         ncell = cfg.ng[0] * cfg.ng[1] * cfg.ng[2]
         return per_step / 3.0 / ncell * 1e9, sim.exec_path()
 
